@@ -1,0 +1,203 @@
+"""Batch build path: DataFrame of (key, value) → published domain version.
+
+Spark-first restatement of the reference write pipeline
+(reference: elephantdb-cascading/src/jvm/elephantdb/cascading/
+KeyValTailAssembly.java:25-79 — Shardize → MakeSortableKey →
+GroupBy(shard, sort key) with numReduceTasks == numShards;
+elephantdb-core/src/jvm/elephantdb/hadoop/ElephantOutputFormat.java:40-136 —
+per-reducer local store build + copy to DFS; ElephantDBTap.java:166-188 —
+version commit/rollback):
+
+    dedup last-writer-wins            (A9,  JavaBerkDB.java:84-94)
+  → shard column = md5_mod(key, n)    (A4/A5, Utils.java:57-60)
+  → repartition(n) with EXACT 1:1 shard→partition placement (A7)
+  → sortWithinPartitions(shard, key)  (A6, secondary sort)
+  → write.partitionBy("shard") key-sorted Parquet into <root>/<version>/
+  → copy-forward untouched shards     (A20, DomainStore.java:156-180)
+  → publish token                     (A17, VersionedStore.java:102-108)
+
+One shuffle total. The sort doubles as Parquet min/max statistics quality:
+row-group pruning on key predicates is what makes point reads cheap.
+
+Scale notes (100 TB): no driver-side collect of data anywhere; the only
+driver materializations are shard-id lists (≤ num_shards ints). The
+`maxRecordsPerFile`/`shuffle.partitions` sizing is the caller's knob via
+`DomainSpec.persistence_opts` (e.g. target 512 MB–1 GB per shard file →
+pick num_shards ≈ dataset_bytes / 768 MB).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elephantdb_spark.sharding import exact_partition_slots, md5_mod_col, slot_col
+from elephantdb_spark.spec import DomainSpec
+from elephantdb_spark.store import DomainStore
+
+#: Write-time document transform hook, the analogue of the reference's
+#: pluggable Indexer (elephantdb-core/src/jvm/elephantdb/index/Indexer.java:8-9).
+#: Receives and returns a DataFrame with at least (key, value).
+Indexer = Callable[[DataFrame], DataFrame]
+
+
+def dedup_last_writer_wins(df: DataFrame, seq_col: str | None = None) -> DataFrame:
+    """Keep one row per key — the last writer (A9, JavaBerkDB.java:84-94).
+
+    With ``seq_col``, "last" is the max of that column (deterministic).
+    Without, ties are broken arbitrarily-but-deterministically by the
+    greatest value bytes, mirroring the reference where reducer arrival
+    order among equal keys is itself unspecified.
+    """
+    order = F.col(seq_col) if seq_col else F.col("value")
+    w = Window.partitionBy("key").orderBy(order.desc_nulls_last())
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if seq_col:
+        out = out.drop(seq_col)
+    return out.select("key", "value")
+
+
+def _write_version(
+    spark: SparkSession,
+    df: DataFrame,
+    store: DomainStore,
+    version_path: str,
+) -> None:
+    """Shard, sort, and write one version directory (no publish)."""
+    n = store.spec.num_shards
+    slots = exact_partition_slots(spark, n)
+    sharded = df.withColumn("shard", md5_mod_col(F.col("key"), n))
+    # Exact 1:1 shard→partition placement (see sharding.exact_partition_slots),
+    # then sort by (shard, key) so the partitioned writer streams rows in key
+    # order without re-sorting — each shard becomes one key-sorted file.
+    (
+        sharded.withColumn("__slot", slot_col(F.col("shard"), slots))
+        .repartition(n, F.col("__slot"))
+        .sortWithinPartitions("shard", "key")
+        .drop("__slot")
+        .write.mode("errorifexists")
+        .partitionBy("shard")
+        .parquet(version_path)
+    )
+
+
+def build_domain(
+    spark: SparkSession,
+    df: DataFrame,
+    domain_root: str,
+    spec: DomainSpec | None = None,
+    version: int | None = None,
+    seq_col: str | None = None,
+    indexer: Indexer | None = None,
+) -> int:
+    """Build and atomically publish a new full version of a domain.
+
+    ``df`` must have columns ``key: binary`` (non-null) and
+    ``value: binary`` (+ optionally ``seq_col`` for last-writer-wins order).
+    Returns the published version id.
+    """
+    store = DomainStore.create_or_open(domain_root, spec)
+    if version is None:
+        version = int(time.time() * 1000)
+    vpath = store.create_version(version)
+    try:
+        data = dedup_last_writer_wins(df, seq_col)
+        if indexer is not None:
+            data = indexer(data).select("key", "value")
+        _write_version(spark, data, store, vpath)
+        store.succeed_version(version)
+    except Exception:
+        store.fail_version(version)  # rollback (ElephantDBTap.java:182-188)
+        raise
+    return version
+
+
+def update_domain(
+    spark: SparkSession,
+    batch: DataFrame,
+    domain_root: str,
+    version: int | None = None,
+    seq_col: str | None = None,
+    indexer: Indexer | None = None,
+) -> int:
+    """Incremental update: merge a batch into a new version, copying forward
+    shards the batch does not touch (A20, DomainStore.java:156-180;
+    append/upsert semantics of openPersistenceForAppend, JavaBerkDB.java:84-94).
+
+    Per-key semantics match SURVEY Q11: full-outer merge where the new batch
+    wins. Only shards containing batch keys are recomputed; every other
+    shard directory is file-copied from the previous version.
+    """
+    store = DomainStore.open(domain_root)
+    n = store.spec.num_shards
+    prev = store.most_recent_version()
+    if prev is None:
+        return build_domain(spark, batch, domain_root, store.spec, version, seq_col, indexer)
+    if version is None:
+        version = int(time.time() * 1000)
+    vpath = store.create_version(version)
+    try:
+        new_data = dedup_last_writer_wins(batch, seq_col)
+        if indexer is not None:
+            new_data = indexer(new_data).select("key", "value")
+        new_data = new_data.withColumn("shard", md5_mod_col(F.col("key"), n))
+
+        # Which shards does the batch touch? (small: ≤ n ints on the driver)
+        touched = sorted(
+            r.shard for r in new_data.select("shard").distinct().collect()
+        )
+        prev_path = store.version_path(prev)
+        old = (
+            spark.read.option("basePath", prev_path)
+            .parquet(prev_path)
+            .filter(F.col("shard").isin(touched))  # partition-pruned scan
+            .select("key", "value", F.col("shard").cast("int").alias("shard"))
+        )
+        # New batch wins per key (Q11: COALESCE(new, old)).
+        merged = (
+            old.withColumn("__src", F.lit(0))
+            .unionByName(new_data.withColumn("__src", F.lit(1)))
+        )
+        w = Window.partitionBy("key").orderBy(F.col("__src").desc())
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("key", "value")
+        )
+        _write_version(spark, merged, store, vpath)
+        store.synchronize_versions(prev, version)
+        store.succeed_version(version)
+    except Exception:
+        store.fail_version(version)
+        raise
+    return version
+
+
+def reshard(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    new_num_shards: int,
+    version: int | None = None,
+) -> int:
+    """Full read → re-partition under a new shard count → publish (A21,
+    elephantdb-cascalog/src/clj/elephantdb/cascalog/keyval.clj:55-64)."""
+    src = DomainStore.open(src_root)
+    current = src.most_recent_version()
+    if current is None:
+        raise RuntimeError(f"domain at {src_root} has no published version")
+    df = spark.read.parquet(src.version_path(current)).select("key", "value")
+    new_spec = DomainSpec(
+        num_shards=new_num_shards,
+        shard_scheme=src.spec.shard_scheme,
+        persistence_format=src.spec.persistence_format,
+        persistence_opts=src.spec.persistence_opts,
+    )
+    return build_domain(spark, df, dst_root, new_spec, version)

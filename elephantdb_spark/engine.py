@@ -1,0 +1,312 @@
+"""Read path + catalog: the serving-layer query semantics, Spark-first.
+
+The reference serves `get` / `multiGet` / `directMultiGet` / `getCount` over
+Thrift from a ring of daemons (reference:
+elephantdb-thrift/src/keyval.thrift:8-21,
+elephantdb-server/src/clj/elephantdb/keyval/core.clj:108-172). The ring,
+replica failover and RPC fan-out are process topology, not query semantics —
+Spark's scheduler replaces them. What this module keeps, observably
+identical:
+
+* point get hit → value bytes; miss → None (JavaBerkDB.java:75-81);
+* multiGet returns an entry per requested key, misses null-preserving
+  (core.clj:118-134) — expressed as a broadcast left join of the key set
+  against only the shards those keys hash to;
+* directMultiGet restricted to an explicit shard set raises the analogue of
+  WrongHostException for keys routed elsewhere (core.clj:148-155);
+* getCount is a full count of the domain (core.clj:212-216);
+* version visibility: only token-published versions are readable; reads
+  resolve the current version at query start (hot-swap = publishing a newer
+  version; common/domain.clj:208-228).
+
+Scale design: every lookup computes its shard set driver-side with the pure
+Python md5-mod and passes only those ``shard=<i>`` directories to the Parquet
+reader (partition pruning by construction), then relies on key-sorted files
+for row-group min/max skipping. A multiGet of k keys over a 100 TB domain
+touches ≤ k shard files and ≤ k row groups — the same asymptotics as the
+reference's B-tree probes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+from elephantdb_spark.sharding import shard_index
+from elephantdb_spark.spec import DomainSpec
+from elephantdb_spark.store import DomainStore, shard_dirname
+
+KV_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType(), False),
+        StructField("value", BinaryType(), True),
+    ]
+)
+
+KV_SHARD_SCHEMA = StructType(
+    list(KV_SCHEMA.fields) + [StructField("shard", IntegerType(), True)]
+)
+
+
+class DomainNotFoundError(KeyError):
+    """Unknown domain (thrift DomainNotFoundException, core.thrift:44-47)."""
+
+
+class DomainNotLoadedError(RuntimeError):
+    """Domain exists but has no published version
+    (thrift DomainNotLoadedException)."""
+
+
+class WrongHostError(RuntimeError):
+    """directMultiGet asked a shard set that doesn't own the key
+    (thrift WrongHostException, core.thrift:53-55; core.clj:154-155)."""
+
+
+class Domain:
+    """Read handle over one published domain (common/domain.clj:286-318)."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str | None = None):
+        if not DomainSpec.exists(root):
+            raise DomainNotFoundError(root)
+        self.spark = spark
+        self.root = root
+        self.name = name or os.path.basename(root.rstrip("/"))
+        self.store = DomainStore.open(root)
+
+    # -- version/catalog metadata -------------------------------------------
+    @property
+    def spec(self) -> DomainSpec:
+        return self.store.spec
+
+    def versions(self) -> list[int]:
+        return self.store.all_versions()
+
+    def current_version(self) -> int | None:
+        return self.store.most_recent_version()
+
+    def status(self) -> str:
+        """'ready' iff a published version exists, else 'idle'
+        (status machine, common/status.clj:5-45; loading/updating states are
+        transient process states the snapshot model doesn't need)."""
+        return "ready" if self.current_version() is not None else "idle"
+
+    def metadata(self) -> dict:
+        """Catalog metadata (A28, common/metadata.clj:14-26)."""
+        return {
+            "name": self.name,
+            "root": self.root,
+            "spec": self.spec.to_dict(),
+            "versions": self.versions(),
+            "current_version": self.current_version(),
+            "status": self.status(),
+        }
+
+    # -- internals -----------------------------------------------------------
+    def _resolve_version(self, version: int | None = None) -> int:
+        if version is not None:
+            if not self.store.versioned_store.has_version(version):
+                raise DomainNotLoadedError(
+                    f"domain {self.name}: version {version} not published"
+                )
+            return int(version)
+        v = self.current_version()
+        if v is None:
+            raise DomainNotLoadedError(f"domain {self.name} has no published version")
+        return v
+
+    def _empty_kv(self, with_shard: bool = True) -> DataFrame:
+        schema = KV_SHARD_SCHEMA if with_shard else KV_SCHEMA
+        return self.spark.createDataFrame([], schema)
+
+    def _pruned_read(self, shards: list[int], version: int | None = None) -> DataFrame:
+        """Read only the given shard directories of a version — the Spark
+        analogue of key→shard→single-B-tree-probe routing
+        (common/domain.clj:243-259)."""
+        v = self._resolve_version(version)
+        vpath = self.store.version_path(v)
+        paths = [
+            os.path.join(vpath, shard_dirname(s))
+            for s in sorted(set(shards))
+            if os.path.isdir(os.path.join(vpath, shard_dirname(s)))
+        ]
+        if not paths:
+            return self._empty_kv()
+        return (
+            self.spark.read.option("basePath", vpath)
+            .parquet(*paths)
+            .select("key", "value", F.col("shard").cast("int").alias("shard"))
+        )
+
+    def _keys_df(self, keys: list[bytes]) -> DataFrame:
+        rows = [(bytes(k),) for k in keys]
+        return self.spark.createDataFrame(
+            rows, StructType([StructField("key", BinaryType(), False)])
+        )
+
+    # -- reads ----------------------------------------------------------------
+    def scan(self, version: int | None = None) -> DataFrame:
+        """Full scan of all shards (A11/A14, ElephantInputFormat.java:165-184;
+        common/domain.clj:289-293). Returns (key, value, shard); within-file
+        row order is the shard's key order (A13)."""
+        v = self._resolve_version(version)
+        vpath = self.store.version_path(v)
+        return (
+            self.spark.read.option("basePath", vpath)
+            .parquet(vpath)
+            .select("key", "value", F.col("shard").cast("int").alias("shard"))
+        )
+
+    def multi_get_df(
+        self, keys: list[bytes], version: int | None = None
+    ) -> DataFrame:
+        """multiGet as a miss-preserving broadcast left join against only the
+        shards the keys hash to (A2, core.clj:118-134). Returns one row per
+        requested key: (key, value) with value null on miss."""
+        if not keys:
+            return self.spark.createDataFrame([], KV_SCHEMA)
+        n = self.spec.num_shards
+        shards = sorted({shard_index(k, n) for k in keys})
+        key_lits = [bytes(k) for k in keys]
+        # Key-equality is pushed into the Parquet scan (row-group min/max
+        # skipping over key-sorted files), so the matched side is ≤ len(keys)
+        # rows regardless of domain size — then broadcast it under the
+        # miss-preserving left join.
+        matched = (
+            self._pruned_read(shards, version)
+            .filter(F.col("key").isin(key_lits))
+            .drop("shard")
+        )
+        keys_df = self._keys_df(keys)
+        return keys_df.join(F.broadcast(matched), on="key", how="left").select(
+            "key", "value"
+        )
+
+    def direct_multi_get_df(
+        self,
+        keys: list[bytes],
+        shards: list[int],
+        version: int | None = None,
+    ) -> DataFrame:
+        """directMultiGet: serve only from an explicit shard set; a key owned
+        by another shard raises WrongHostError (A3, core.clj:148-155)."""
+        n = self.spec.num_shards
+        owned = set(shards)
+        for k in keys:
+            s = shard_index(k, n)
+            if s not in owned:
+                raise WrongHostError(
+                    f"key routed to shard {s}, not in local shard set {sorted(owned)}"
+                )
+        if not keys:
+            return self.spark.createDataFrame([], KV_SCHEMA)
+        matched = (
+            self._pruned_read(sorted(owned), version)
+            .filter(F.col("key").isin([bytes(k) for k in keys]))
+            .drop("shard")
+        )
+        keys_df = self._keys_df(keys)
+        return keys_df.join(F.broadcast(matched), on="key", how="left").select(
+            "key", "value"
+        )
+
+    def get(self, key: bytes, version: int | None = None) -> bytes | None:
+        """Point get; miss → None (A1, core.clj:166-172; null semantics
+        JavaBerkDB.java:75-81)."""
+        rows = self.multi_get_df([key], version).collect()
+        if not rows or rows[0].value is None:
+            return None
+        return bytes(rows[0].value)
+
+    def multi_get(
+        self, keys: list[bytes], version: int | None = None
+    ) -> dict[bytes, bytes | None]:
+        """multiGet → {key: value-or-None}, one entry per requested key."""
+        rows = self.multi_get_df(keys, version).collect()
+        return {
+            bytes(r.key): (None if r.value is None else bytes(r.value)) for r in rows
+        }
+
+    def count_df(self, version: int | None = None) -> DataFrame:
+        """getCount as a DataFrame (A15, core.clj:212-216). Catalyst serves
+        it from Parquet footer metadata — same answer as the reference's
+        full-scan count, without the scan."""
+        return self.scan(version).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def count(self, version: int | None = None) -> int:
+        return self.count_df(version).collect()[0].cnt
+
+    def to_map(self, version: int | None = None) -> dict[bytes, bytes | None]:
+        """Materialize the whole domain (A16, keyval/domain.clj:36-41).
+        Test-support op — driver-side by design."""
+        rows = self.scan(version).collect()
+        return {
+            bytes(r.key): (None if r.value is None else bytes(r.value)) for r in rows
+        }
+
+    # -- lifecycle -----------------------------------------------------------
+    def cleanup_versions(self, versions_to_keep: int = 1) -> None:
+        """Version GC (A19, VersionedStore.java:110-127)."""
+        self.store.cleanup(versions_to_keep)
+
+
+class Engine:
+    """Catalog of domains under one root — the analogue of the reference
+    Database (common/database.clj:130-166) minus the network."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def domain_root(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def domain(self, name: str) -> Domain:
+        root = self.domain_root(name)
+        if not DomainSpec.exists(root):
+            raise DomainNotFoundError(name)
+        return Domain(self.spark, root, name)
+
+    def list_domains(self) -> list[str]:
+        """getDomains (A28, core.thrift:80-91)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            name
+            for name in os.listdir(self.root)
+            if DomainSpec.exists(os.path.join(self.root, name))
+        )
+
+    def get_status(self) -> dict[str, str]:
+        return {name: self.domain(name).status() for name in self.list_domains()}
+
+    def is_fully_loaded(self) -> bool:
+        return all(s == "ready" for s in self.get_status().values())
+
+    def metadata(self) -> dict[str, dict]:
+        return {name: self.domain(name).metadata() for name in self.list_domains()}
+
+    # convenience pass-throughs matching the thrift surface
+    def get(self, domain: str, key: bytes) -> bytes | None:
+        return self.domain(domain).get(key)
+
+    def multi_get(self, domain: str, keys: list[bytes]) -> dict[bytes, bytes | None]:
+        return self.domain(domain).multi_get(keys)
+
+    def get_count(self, domain: str) -> int:
+        return self.domain(domain).count()
+
+    def purge_unused_domains(self, keep: list[str]) -> list[str]:
+        """Delete domain dirs not in ``keep`` (A29,
+        common/database.clj:79-93). Returns purged names."""
+        import shutil
+
+        purged = []
+        for name in self.list_domains():
+            if name not in keep:
+                shutil.rmtree(self.domain_root(name))
+                purged.append(name)
+        return purged

@@ -1,0 +1,139 @@
+"""Key → shard routing: byte-exact parity with the reference's
+``MD5(key)`` signed-big-endian ``BigInteger mod numShards``
+(reference: elephantdb-core/src/jvm/elephantdb/Utils.java:57-60,
+elephantdb-core/src/jvm/elephantdb/partition/HashModScheme.java:7-9).
+
+Three interchangeable implementations, all verified equal in tests:
+
+* :func:`shard_index` — pure Python (driver-side routing for point reads).
+* :func:`md5_mod_col` — a JVM-side Column expression built from Spark's
+  built-in ``md5``/``conv``/``pmod`` so the hot build path stays inside
+  whole-stage codegen (no Python UDF, no serialization to Python workers —
+  this is what makes the shard assignment free at 100 TB).
+* :func:`duckdb_md5_mod_sql` — the same function as ANSI-ish SQL for the
+  DuckDB correctness oracle.
+
+Java's ``BigInteger(byte[])`` interprets the 16 MD5 bytes as a *signed*
+big-endian integer, and ``BigInteger.mod`` is always non-negative. We
+reproduce that with 64-bit halves: ``value = hi_signed * 2^64 + lo`` and
+``value mod n == ((hi_signed mod n) * (2^64 mod n) + lo mod n) mod n``
+(all mods taken non-negative).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+_TWO63 = 1 << 63
+_TWO64 = 1 << 64
+
+
+def shard_index(key: bytes, num_shards: int) -> int:
+    """Shard for ``key`` — byte-exact reference parity (Utils.java:57-60)."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    digest = hashlib.md5(bytes(key)).digest()
+    # Python's % on a negative int is non-negative for positive n, matching
+    # Java BigInteger.mod.
+    return int.from_bytes(digest, "big", signed=True) % num_shards
+
+
+def md5_mod_col(key: Column, num_shards: int) -> Column:
+    """JVM-side shard expression over a binary key column.
+
+    Entirely built-in functions (md5 → hex split → conv → decimal modular
+    arithmetic), so Catalyst keeps it in whole-stage codegen. Equality with
+    :func:`shard_index` is property-tested in tests/test_sharding.py.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    hexs = F.md5(key)
+    hi = F.conv(F.substring(hexs, 1, 16), 16, 10).cast("decimal(20,0)")
+    lo = F.conv(F.substring(hexs, 17, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit(str(_TWO63)).cast("decimal(20,0)")
+    two64 = F.lit(str(_TWO64)).cast("decimal(21,0)")
+    hi_signed = F.when(hi >= two63, hi - two64).otherwise(hi)
+    shard = F.pmod(
+        F.pmod(hi_signed, F.lit(num_shards)) * F.lit(_TWO64 % num_shards)
+        + F.pmod(lo, F.lit(num_shards)),
+        F.lit(num_shards),
+    )
+    return shard.cast("int")
+
+
+def duckdb_md5_mod_sql(key_expr: str, num_shards: int) -> str:
+    """DuckDB SQL computing the identical shard for a VARCHAR/BLOB expr.
+
+    Used by the oracle side of parity tests (SURVEY §2 Part C Q9).
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    n = num_shards
+    hi = f"CAST(('0x' || substr(md5({key_expr}),1,16)) AS UBIGINT)"
+    lo = f"CAST(('0x' || substr(md5({key_expr}),17,16)) AS UBIGINT)"
+    hi_signed = (
+        f"(CASE WHEN {hi} >= CAST('9223372036854775808' AS UHUGEINT) "
+        f"THEN CAST({hi} AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT) "
+        f"ELSE CAST({hi} AS HUGEINT) END)"
+    )
+    return (
+        f"CAST((((({hi_signed} % {n} + {n}) % {n}) * {_TWO64 % n} "
+        f"+ (CAST({lo} AS HUGEINT) % {n})) % {n}) AS INTEGER)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact shard → Spark-partition placement.
+#
+# `df.repartition(n, col)` places rows by `pmod(murmur3(col), n)`, which for
+# col = shard id is a balls-in-bins assignment: with n shards into n
+# partitions ~37% of partitions would be empty and some would carry 2-3
+# shards — real skew at scale. We instead compute, once per (session, n), a
+# "slot" value x_s per shard s such that Spark's own hash places x_s in
+# partition s, giving an exact 1:1 shard→partition mapping (the analogue of
+# the reference forcing numReduceTasks == numShards,
+# elephantdb-cascading/src/jvm/elephantdb/cascading/ElephantDBTap.java:108).
+# ---------------------------------------------------------------------------
+
+_slot_cache: dict[tuple[str, int], dict[int, int]] = {}
+
+
+def exact_partition_slots(spark: SparkSession, num_shards: int) -> dict[int, int]:
+    """Map shard → int x with ``pmod(spark_hash(x), num_shards) == shard``.
+
+    Probes Spark's own Murmur3 ``hash()`` (the same expression HashPartitioning
+    uses) so the mapping is exact by construction, not by reimplementation.
+    """
+    cache_key = (spark.sparkContext.applicationId, num_shards)
+    cached = _slot_cache.get(cache_key)
+    if cached is not None:
+        return cached
+    slots: dict[int, int] = {}
+    probe_lo, probe_hi = 0, max(num_shards * 4, 64)
+    while len(slots) < num_shards:
+        rows = (
+            spark.range(probe_lo, probe_hi)
+            .select(
+                F.col("id").cast("int").alias("x"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_shards)).alias("s"),
+            )
+            .collect()
+        )
+        for r in rows:
+            slots.setdefault(r.s, r.x)
+        probe_lo, probe_hi = probe_hi, probe_hi * 2
+    result = {s: slots[s] for s in range(num_shards)}
+    _slot_cache[cache_key] = result
+    return result
+
+
+def slot_col(shard: Column, slots: dict[int, int]) -> Column:
+    """Column mapping a shard id to its exact-placement slot value."""
+    pairs: list[Column] = []
+    for s, x in slots.items():
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(x))
+    return F.element_at(F.create_map(*pairs), shard).cast("int")

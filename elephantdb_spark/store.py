@@ -1,0 +1,206 @@
+"""Versioned on-disk layout: VersionedStore + DomainStore.
+
+Reproduces the reference's snapshot-commit protocol (reference:
+elephantdb-core/src/jvm/elephantdb/store/VersionedStore.java:21-146,
+elephantdb-core/src/jvm/elephantdb/store/DomainStore.java:16-180):
+
+* a domain root contains ``domain-spec.json`` plus one directory per
+  version (named by the numeric version id, epoch-millis by default);
+* a version is *visible* only once an empty ``<version>.version`` token
+  file exists beside it — readers list tokens, never directories, so a
+  half-written version can never be served (atomic publish);
+* ``fail``/``delete`` remove dir + token; ``cleanup(n)`` keeps the n newest
+  published versions and deletes everything else, including unpublished
+  junk;
+* incremental builds copy forward shard directories that the new batch did
+  not touch (``synchronize_versions`` — DomainStore.java:156-180).
+
+Layout difference from the reference (deliberate, Spark-first): a shard is
+a Hive-style partition directory ``shard=<i>/`` of key-sorted Parquet
+instead of a BerkeleyDB/LevelDB file tree, so Catalyst partition pruning
+serves the reference's "a get touches exactly one shard" property
+(common/domain.clj:243-259) with zero custom reader code.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from elephantdb_spark.spec import DomainSpec, SpecMismatchError
+
+FINISHED_VERSION_SUFFIX = ".version"
+
+
+def shard_dirname(shard: int) -> str:
+    return f"shard={shard}"
+
+
+class VersionedStore:
+    """Filesystem layout + commit protocol (VersionedStore.java:21-146)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def version_path(self, version: int) -> str:
+        return os.path.join(self.root, str(int(version)))
+
+    def token_path(self, version: int) -> str:
+        return os.path.join(self.root, f"{int(version)}{FINISHED_VERSION_SUFFIX}")
+
+    # -- queries -------------------------------------------------------------
+    def all_versions(self) -> list[int]:
+        """Published versions, most recent first (VersionedStore.java:132-146)."""
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in os.listdir(self.root):
+            if name.endswith(FINISHED_VERSION_SUFFIX):
+                stem = name[: -len(FINISHED_VERSION_SUFFIX)]
+                try:
+                    out.append(int(stem))
+                except ValueError:
+                    continue
+        return sorted(out, reverse=True)
+
+    def most_recent_version(self, max_version: int | None = None) -> int | None:
+        """Newest published version, optionally capped at ``max_version``
+        inclusive (VersionedStore.java:64-76)."""
+        for v in self.all_versions():
+            if max_version is None or v <= max_version:
+                return v
+        return None
+
+    def most_recent_version_path(self, max_version: int | None = None) -> str | None:
+        v = self.most_recent_version(max_version)
+        return None if v is None else self.version_path(v)
+
+    def has_version(self, version: int) -> bool:
+        return int(version) in self.all_versions()
+
+    # -- lifecycle -----------------------------------------------------------
+    def create_version(self, version: int | None = None) -> str:
+        """Reserve a version dir; errors if already published; clears any
+        incomplete leftover dir (VersionedStore.java:78-91)."""
+        if version is None:
+            version = int(time.time() * 1000)
+        version = int(version)
+        if self.has_version(version):
+            raise RuntimeError(f"Version {version} already exists")
+        path = self.version_path(version)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        return path
+
+    def succeed_version(self, version: int) -> None:
+        """Atomic publish: create the empty token file last
+        (VersionedStore.java:102-108)."""
+        with open(self.token_path(version), "w"):
+            pass
+
+    def fail_version(self, version: int) -> None:
+        self.delete_version(version)
+
+    def delete_version(self, version: int) -> None:
+        path = self.version_path(version)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        token = self.token_path(version)
+        if os.path.exists(token):
+            os.remove(token)
+
+    def cleanup(self, versions_to_keep: int = -1) -> None:
+        """Keep the N newest published versions; delete every other
+        version-like entry, including unpublished dirs
+        (VersionedStore.java:110-127)."""
+        versions = self.all_versions()
+        if versions_to_keep >= 0:
+            versions = versions[: min(len(versions), versions_to_keep)]
+        keepers = set(versions)
+        for name in os.listdir(self.root):
+            full = os.path.join(self.root, name)
+            stem = name
+            if name.endswith(FINISHED_VERSION_SUFFIX):
+                stem = name[: -len(FINISHED_VERSION_SUFFIX)]
+            try:
+                v = int(stem)
+            except ValueError:
+                continue  # not version-like (e.g. domain-spec.json)
+            if v not in keepers:
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
+
+
+class DomainStore:
+    """VersionedStore + spec management for one domain
+    (DomainStore.java:16-54)."""
+
+    def __init__(self, root: str, spec: DomainSpec):
+        self.root = root
+        self.spec = spec
+        self.versioned_store = VersionedStore(root)
+
+    @classmethod
+    def create_or_open(cls, root: str, spec: DomainSpec | None = None) -> "DomainStore":
+        """Open with spec equality check; create+persist spec on first use
+        (DomainStore.java:40-53)."""
+        if DomainSpec.exists(root):
+            stored = DomainSpec.read(root)
+            if spec is not None:
+                spec.assert_matches(stored)
+            return cls(root, stored)
+        if spec is None:
+            raise SpecMismatchError(f"no spec found at {root} and none supplied")
+        spec.write(root)
+        return cls(root, spec)
+
+    @classmethod
+    def open(cls, root: str) -> "DomainStore":
+        return cls(root, DomainSpec.read(root))
+
+    # delegate the version lifecycle
+    def all_versions(self) -> list[int]:
+        return self.versioned_store.all_versions()
+
+    def most_recent_version(self, max_version: int | None = None) -> int | None:
+        return self.versioned_store.most_recent_version(max_version)
+
+    def version_path(self, version: int) -> str:
+        return self.versioned_store.version_path(version)
+
+    def create_version(self, version: int | None = None) -> str:
+        return self.versioned_store.create_version(version)
+
+    def succeed_version(self, version: int) -> None:
+        self.versioned_store.succeed_version(version)
+
+    def fail_version(self, version: int) -> None:
+        self.versioned_store.fail_version(version)
+
+    def delete_version(self, version: int) -> None:
+        self.versioned_store.delete_version(version)
+
+    def cleanup(self, versions_to_keep: int = -1) -> None:
+        self.versioned_store.cleanup(versions_to_keep)
+
+    def synchronize_versions(self, old_version: int | None, new_version: int) -> list[int]:
+        """Copy-forward: for each shard present in ``old_version`` but absent
+        in ``new_version``, file-copy the shard directory — never recompute
+        (DomainStore.java:156-180). Returns the copied shard ids."""
+        if old_version is None:
+            return []
+        old_path = self.version_path(old_version)
+        new_path = self.version_path(new_version)
+        copied = []
+        for i in range(self.spec.num_shards):
+            src = os.path.join(old_path, shard_dirname(i))
+            dst = os.path.join(new_path, shard_dirname(i))
+            if os.path.isdir(src) and not os.path.exists(dst):
+                shutil.copytree(src, dst)
+                copied.append(i)
+        return copied

@@ -1,0 +1,347 @@
+"""Parity query set (SURVEY §2 Part C) — the driver-checked surface.
+
+Each query exercises one reference operator through the *real* engine
+(domains built on disk, manifest-resolved, shard-pruned reads), paired with
+an ANSI-SQL oracle DuckDB runs over the same source parquet tables. Column
+names and types are aligned on both sides because the driver's compare
+hashes values after sorting columns by name.
+
+Domains are built once per (process, sf_dir) under a temp root and reused by
+every query — mirroring how a real deployment builds a domain once and
+serves many reads.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elephantdb_spark.build import build_domain, reshard, update_domain
+from elephantdb_spark.engine import Engine
+from elephantdb_spark.sharding import duckdb_md5_mod_sql, shard_index
+from elephantdb_spark.spec import DomainSpec
+
+NUM_SHARDS = 8  # FIXTURES.md F6
+
+# deterministic version ids for the versioned-domain fixtures
+V1, V2 = 1, 2
+
+#: c_custkey threshold splitting the versioned customer domain (valid at
+#: every sf: sf0.001 has 150 customers, sf0.01 has 1500).
+VERSION_SPLIT = 100
+
+#: keys for Q5: those of 1..30 that hash to shard 3 of 8 (precomputed with
+#: the same md5-mod both engines implement; SQL side is a plain IN-list).
+DIRECT_SHARD = 3
+DIRECT_KEYS = [i for i in range(1, 31) if shard_index(str(i).encode(), NUM_SHARDS) == DIRECT_SHARD]
+
+MULTIGET_KEYS = [1, 2, 3, 5, 8, 13]
+MISS_KEYS = [1, 999999999]
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's synthetic parquet carries TIMESTAMP(NANOS) fields, which
+    # Spark's reader rejects unless nanos are read back as long (we never
+    # interpret those columns as timestamps).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _as_kv(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    return df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.col(value_col).cast("string").cast("binary").alias("value"),
+    )
+
+
+_ROOTS: dict[str, str] = {}
+
+
+def domains_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the parity domains."""
+    sf_dir = os.path.abspath(sf_dir)
+    cached = _ROOTS.get(sf_dir)
+    if cached is not None:
+        return cached
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(), f"edb_parity_{tag}_{os.getpid()}"
+    )
+    eng = Engine(spark, root)
+    spec = DomainSpec(num_shards=NUM_SHARDS)
+
+    customer = _table(spark, sf_dir, "customer")
+    # customer_kv: str(c_custkey) -> c_name (FIXTURES.md F6)
+    build_domain(
+        spark, _as_kv(customer, "c_custkey", "c_name"),
+        eng.domain_root("customer_kv"), spec, version=V1,
+    )
+    # orders_kv: str(o_orderkey) -> str(o_totalprice)
+    build_domain(
+        spark, _as_kv(_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"),
+        eng.domain_root("orders_kv"), spec, version=V1,
+    )
+    # events_kv: LWW build — key=str(user_id), value=event_type, seq=event_id (Q10)
+    events = _table(spark, sf_dir, "events")
+    ev_kv = events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+    )
+    build_domain(
+        spark, ev_kv, eng.domain_root("events_kv"), spec, version=V1, seq_col="seq"
+    )
+    # events_incr: v1 = even event_ids, then update with odd event_ids (Q11)
+    build_domain(
+        spark, ev_kv.filter(F.col("seq") % 2 == 0),
+        eng.domain_root("events_incr"), spec, version=V1, seq_col="seq",
+    )
+    update_domain(
+        spark, ev_kv.filter(F.col("seq") % 2 == 1),
+        eng.domain_root("events_incr"), version=V2, seq_col="seq",
+    )
+    # customer_versioned: v1 = custkey <= 100, v2 = update with the rest (Q13/Q14)
+    build_domain(
+        spark,
+        _as_kv(customer.filter(F.col("c_custkey") <= VERSION_SPLIT), "c_custkey", "c_name"),
+        eng.domain_root("customer_versioned"), spec, version=V1,
+    )
+    update_domain(
+        spark,
+        _as_kv(customer.filter(F.col("c_custkey") > VERSION_SPLIT), "c_custkey", "c_name"),
+        eng.domain_root("customer_versioned"), version=V2,
+    )
+    # customer_r5: reshard of customer_kv to 5 shards (Q12)
+    reshard(spark, eng.domain_root("customer_kv"), eng.domain_root("customer_r5"), 5, version=V1)
+
+    _ROOTS[sf_dir] = root
+    return root
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    return Engine(spark, domains_root(spark, sf_dir))
+
+
+def _key_bytes(i: int) -> bytes:
+    return str(i).encode()
+
+
+def _k_as_custkey(df: DataFrame) -> DataFrame:
+    return df.withColumn("c_custkey", F.col("key").cast("string").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Part C queries. Signature: (spark, sf_dir) -> DataFrame.
+# ---------------------------------------------------------------------------
+
+def q01_point_get_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 point get, hit (keyval.thrift:8-12, core.clj:166-172)."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    return (
+        dom.multi_get_df([_key_bytes(42)])
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("string").alias("c_name"))
+    )
+
+
+def q02_point_get_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 point get, miss → null (JavaBerkDB.java:75-81)."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    return dom.multi_get_df([_key_bytes(-1)]).select(
+        F.col("value").isNull().alias("is_miss")
+    )
+
+
+def q03_multi_get_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 multiGet, all hits (core.clj:118-134)."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    df = dom.multi_get_df([_key_bytes(i) for i in MULTIGET_KEYS])
+    return _k_as_custkey(df).select(
+        "c_custkey", F.col("value").cast("string").alias("c_name")
+    ).orderBy("c_custkey")
+
+
+def q04_multi_get_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 multiGet with misses — key-preserving left join."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    df = dom.multi_get_df([_key_bytes(i) for i in MISS_KEYS])
+    return _k_as_custkey(df).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.col("value").cast("string").alias("c_name"),
+    ).orderBy("probe_key")
+
+
+def q05_direct_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 directMultiGet restricted to one shard (core.clj:148-155)."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    df = dom.direct_multi_get_df(
+        [_key_bytes(i) for i in DIRECT_KEYS], shards=[DIRECT_SHARD]
+    )
+    return _k_as_custkey(df).select(
+        "c_custkey", F.col("value").cast("string").alias("c_name")
+    ).orderBy("c_custkey")
+
+
+def q06_multi_get_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 multiGet as a semi-join: key set from another table's FK."""
+    eng = _engine(spark, sf_dir)
+    orders = _table(spark, sf_dir, "orders")
+    keys = sorted(
+        r.o_custkey
+        for r in orders.filter(F.col("o_orderkey") <= 100)
+        .select("o_custkey").distinct().collect()
+    )
+    dom = eng.domain("customer_kv")
+    df = dom.multi_get_df([_key_bytes(k) for k in keys])
+    return (
+        _k_as_custkey(df.filter(F.col("value").isNotNull()))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q07_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 getCount (core.clj:212-216)."""
+    return _engine(spark, sf_dir).domain("customer_kv").count_df()
+
+
+def q08_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A13/A14 full ordered scan."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    ).orderBy("k")
+
+
+def q09_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 shard-annotated scan; shard ids cross-checked in SQL via the
+    same md5-mod math (Utils.java:57-60)."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("shard").alias("shard"),
+    ).orderBy("k")
+
+
+def q10_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 last-writer-wins upsert during build (JavaBerkDB.java:84-94)."""
+    dom = _engine(spark, sf_dir).domain("events_kv")
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    ).orderBy("k")
+
+
+def q11_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 incremental update: old ∪ new, new wins (DomainStore.java:156-180)."""
+    dom = _engine(spark, sf_dir).domain("events_incr")
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    ).orderBy("k")
+
+
+def q12_reshard_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 reshard preserves content (cascalog/keyval.clj:55-64)."""
+    dom = _engine(spark, sf_dir).domain("customer_r5")
+    return dom.scan().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct(F.col("key")).alias("dcnt"),
+    )
+
+
+def q13_version_pinned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A18 version-pinned read (ElephantInputFormat.java:28-35,
+    VersionedStore.java:69-76)."""
+    dom = _engine(spark, sf_dir).domain("customer_versioned")
+    return dom.scan(version=V1).select(
+        F.col("key").cast("string").cast("bigint").alias("c_custkey"),
+        F.col("value").cast("string").alias("c_name"),
+    ).orderBy("c_custkey")
+
+
+def q14_count_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15+A25: count of the hot-swapped current version."""
+    return _engine(spark, sf_dir).domain("customer_versioned").count_df()
+
+
+PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_point_get_hit": q01_point_get_hit,
+    "q02_point_get_miss": q02_point_get_miss,
+    "q03_multi_get_hits": q03_multi_get_hits,
+    "q04_multi_get_misses": q04_multi_get_misses,
+    "q05_direct_multi_get": q05_direct_multi_get,
+    "q06_multi_get_semijoin": q06_multi_get_semijoin,
+    "q07_count": q07_count,
+    "q08_full_scan": q08_full_scan,
+    "q09_shard_scan": q09_shard_scan,
+    "q10_lww_upsert": q10_lww_upsert,
+    "q11_incremental_update": q11_incremental_update,
+    "q12_reshard_invariance": q12_reshard_invariance,
+    "q13_version_pinned_scan": q13_version_pinned_scan,
+    "q14_count_after_update": q14_count_after_update,
+}
+
+
+def _in_list(values: list[int]) -> str:
+    return ", ".join(str(v) for v in values)
+
+
+PART_C_ORACLES: dict[str, str] = {
+    "q01_point_get_hit": "SELECT c_name FROM customer WHERE c_custkey = 42",
+    "q02_point_get_miss": (
+        "SELECT ((SELECT c_name FROM customer WHERE c_custkey = -1) IS NULL) AS is_miss"
+    ),
+    "q03_multi_get_hits": (
+        f"SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ({_in_list(MULTIGET_KEYS)}) "
+        "ORDER BY c_custkey"
+    ),
+    "q04_multi_get_misses": (
+        f"SELECT k.k AS probe_key, c.c_name FROM (VALUES {', '.join(f'(CAST({i} AS BIGINT))' for i in MISS_KEYS)}) k(k) "
+        "LEFT JOIN customer c ON c.c_custkey = k.k ORDER BY probe_key"
+    ),
+    "q05_direct_multi_get": (
+        f"SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ({_in_list(DIRECT_KEYS)}) "
+        "ORDER BY c_custkey"
+    ),
+    "q06_multi_get_semijoin": (
+        "SELECT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderkey <= 100) ORDER BY c_custkey"
+    ),
+    "q07_count": "SELECT COUNT(*) AS cnt FROM customer",
+    "q08_full_scan": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS k, c_name AS v FROM customer ORDER BY k"
+    ),
+    "q09_shard_scan": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS k, "
+        f"{duckdb_md5_mod_sql('CAST(c_custkey AS VARCHAR)', NUM_SHARDS)} AS shard "
+        "FROM customer ORDER BY k"
+    ),
+    "q10_lww_upsert": (
+        "SELECT CAST(user_id AS VARCHAR) AS k, event_type AS v FROM ("
+        "  SELECT user_id, event_type, ROW_NUMBER() OVER "
+        "    (PARTITION BY user_id ORDER BY event_id DESC) AS r FROM events"
+        ") WHERE r = 1 ORDER BY k"
+    ),
+    "q11_incremental_update": (
+        "WITH o AS (SELECT CAST(user_id AS VARCHAR) AS k, arg_max(event_type, event_id) AS v "
+        "           FROM events WHERE event_id % 2 = 0 GROUP BY user_id), "
+        "     n AS (SELECT CAST(user_id AS VARCHAR) AS k, arg_max(event_type, event_id) AS v "
+        "           FROM events WHERE event_id % 2 = 1 GROUP BY user_id) "
+        "SELECT COALESCE(n.k, o.k) AS k, COALESCE(n.v, o.v) AS v "
+        "FROM o FULL JOIN n ON o.k = n.k ORDER BY k"
+    ),
+    "q12_reshard_invariance": (
+        "SELECT COUNT(*) AS cnt, COUNT(DISTINCT c_custkey) AS dcnt FROM customer"
+    ),
+    "q13_version_pinned_scan": (
+        f"SELECT c_custkey, c_name FROM customer WHERE c_custkey <= {VERSION_SPLIT} "
+        "ORDER BY c_custkey"
+    ),
+    "q14_count_after_update": "SELECT COUNT(*) AS cnt FROM customer",
+}

@@ -1,0 +1,386 @@
+"""Extension operators as driver-checked queries (SURVEY §2 Part D):
+deduplication, text analysis, similarity search, multimodal plumbing over
+the `documents` / `embeddings` tables.
+
+Oracle design: every deterministic operator has an exact SQL twin — folds
+are written as identical left-to-right `list_reduce` chains so even the
+floating-point results are bit-equal; fuzzy/hash-based operators
+(MinHash-LSH, SimHash, hyperplane ANN) use engine-specific hashes and are
+declared rows-only (the driver records the weaker check; pytest
+additionally asserts their containment/consistency against the exact
+operators).
+
+Duplicate corpora are constructed deterministically from `documents`
+(the synthetic texts are all-distinct): exact dups = copies of docs 0..49
+under shifted ids; near-dups = docs 0..24 with the first 11 characters
+dropped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elephantdb_spark.functions.similarity import cosine_sim_col
+from elephantdb_spark.functions.text import (
+    DEFAULT_LANG_MARKERS,
+    DEFAULT_STOPWORDS,
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    avg_token_len_col,
+    fingerprint_rolling_col,
+    lang_id_col,
+    stopword_ratio_col,
+    token_count_col,
+)
+from elephantdb_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+from elephantdb_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_shingle_pairs,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
+from elephantdb_spark.operators.multimodal import attach_payload, extract_features
+from elephantdb_spark.parity import _table
+
+DUP_SHIFT = 100_000
+NEARDUP_SHIFT = 200_000
+DUP_MAX_ID = 50
+NEARDUP_MAX_ID = 25
+NEARDUP_DROP = 12  # substring(text, 12): drop the first 11 characters
+JACCARD_THRESHOLD = 0.5
+COSINE_NEARDUP_THRESHOLD = 0.4
+
+#: marker-word prefixes injected per metadata lang so the detector has
+#: something to detect on the synthetic same-vocabulary texts (4 repeats so
+#: injected markers dominate natural 'the'/'a' occurrences).
+_LANG_PREFIX = {
+    "de": "der die das und ist ",
+    "es": "el la los y es ",
+    "fr": "le la les et est ",
+    "en": "the a and of is ",
+}
+_PREFIX_REPEAT = 4
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < DUP_MAX_ID).select(
+        (F.col("doc_id") + DUP_SHIFT).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {DUP_SHIFT} AS doc_id, text FROM documents "
+    f"WHERE doc_id < {DUP_MAX_ID}"
+)
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    nd = docs.filter(F.col("doc_id") < NEARDUP_MAX_ID).select(
+        (F.col("doc_id") + NEARDUP_SHIFT).alias("doc_id"),
+        F.expr(f"substring(text, {NEARDUP_DROP})").alias("text"),
+    )
+    return docs.unionByName(nd)
+
+
+_NEARDUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {NEARDUP_SHIFT} AS doc_id, "
+    f"substr(text, {NEARDUP_DROP}) AS text FROM documents "
+    f"WHERE doc_id < {NEARDUP_MAX_ID}"
+)
+
+
+# ---------------------------------------------------------------------------
+# E1: exact dedup
+# ---------------------------------------------------------------------------
+
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return exact_dedup(corpus, ["text"], "doc_id").select(
+        F.md5(F.col("text")).alias("grp"), "keep_id", "n_dups"
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# E3: text analysis
+# ---------------------------------------------------------------------------
+
+def q21_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio_col(F.col("text")), 6).alias("stop_ratio"),
+        F.round(avg_token_len_col(F.col("text")), 6).alias("avg_tok_len"),
+    ).orderBy("doc_id")
+
+
+def _marked_text() -> F.Column:
+    prefix = None
+    for lang, p in _LANG_PREFIX.items():
+        clause = F.lit(p * _PREFIX_REPEAT)
+        prefix = (
+            F.when(F.col("lang") == lang, clause)
+            if prefix is None
+            else prefix.when(F.col("lang") == lang, clause)
+        )
+    return F.concat(prefix.otherwise(F.lit("")), F.col("text"))
+
+
+def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id_col(_marked_text()).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q24_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_rolling_col(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E2: near-dup / similarity
+# ---------------------------------------------------------------------------
+
+def q25_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = jaccard_shingle_pairs(
+        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD
+    )
+    return pairs.select(
+        "a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    top = brute_force_topk(
+        emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0]
+    )
+    return top.select(
+        F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim")
+    )
+
+
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim_col(F.col("va"), F.col("vb")).alias("sim_raw"))
+        .filter(F.col("sim_raw") >= COSINE_NEARDUP_THRESHOLD)
+        .select("a", "b", F.round(F.col("sim_raw"), 6).alias("sim"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q28_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    mm = attach_payload(docs, "doc_id", "text", "lang", "source")
+    return extract_features(mm).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Hash-based operators — rows-only for the driver (engine-specific hashes
+# are not SQL-replicable); pytest cross-checks them against the exact ops.
+# ---------------------------------------------------------------------------
+
+def q29_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_perm=32, bands=8,
+        shingle_len=3, threshold=JACCARD_THRESHOLD,
+    ).select("a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")).orderBy("a", "b")
+
+
+def q30_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return simhash_neardup_pairs(
+        corpus, "doc_id", "text", max_hamming=3, bands=4
+    ).orderBy("a", "b")
+
+
+def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_bits=8, max_hamming=2
+    ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q20_exact_dedup": q20_exact_dedup,
+    "q21_token_count": q21_token_count,
+    "q22_quality_score": q22_quality_score,
+    "q23_lang_id": q23_lang_id,
+    "q24_fingerprint": q24_fingerprint,
+    "q25_jaccard_neardup": q25_jaccard_neardup,
+    "q26_cosine_topk": q26_cosine_topk,
+    "q27_embedding_neardup": q27_embedding_neardup,
+    "q28_multimodal_features": q28_multimodal_features,
+    "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
+    "q30_simhash_neardup": q30_simhash_neardup,
+    "q31_ann_lsh_topk": q31_ann_lsh_topk,
+}
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_STOPLIST = ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
+
+_TOKEN_COUNT_EXPR = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    f"ELSE len({_TOKS}) END"
+)
+
+
+def _fold_sum(items: str) -> str:
+    """Strict left fold sum (bit-identical to Spark's F.aggregate)."""
+    return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {items}), (acc, x) -> acc + x)"
+
+
+def _fold_sum_double(items: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {items}), (acc, x) -> acc + x)"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return _fold_sum_double(
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+
+
+_FP_EXPR = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length(text)), "
+    "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), "
+    f"(acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD})"
+)
+
+_SHINGLES_EXPR = (
+    f"CASE WHEN len({_TOKS}) < 3 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE list_distinct(list_transform(generate_series(1, len({_TOKS}) - 2), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) END"
+)
+
+_MARKED_TEXT_SQL = (
+    "(CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN '{(p * _PREFIX_REPEAT)}'"
+        for lang, p in _LANG_PREFIX.items()
+    )
+    + " ELSE '' END) || text"
+)
+
+
+def _lang_id_sql(text_expr: str) -> str:
+    toks = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    scores = {
+        lang: (
+            f"len(list_filter({toks}, t -> list_contains("
+            f"[{', '.join(repr(w.lower()) for w in words)}], lower(t))))"
+        )
+        for lang, words in DEFAULT_LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in sorted(scores)
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+EXT_ORACLES: dict[str, str] = {
+    "q20_exact_dedup": (
+        f"WITH corpus AS ({_DUP_CORPUS_SQL}) "
+        "SELECT md5(text) AS grp, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS n_dups FROM corpus GROUP BY text ORDER BY grp"
+    ),
+    "q21_token_count": (
+        f"SELECT doc_id, CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q22_quality_score": (
+        "WITH t AS (SELECT doc_id, "
+        f"  CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n_tokens, "
+        f"  {_TOKS} AS toks FROM documents) "
+        "SELECT doc_id, n_tokens, "
+        "  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+        f"    CAST(len(list_filter(toks, t -> list_contains([{_STOPLIST}], lower(t)))) AS DOUBLE)"
+        "     / CAST(n_tokens AS DOUBLE) END, 6) AS stop_ratio, "
+        "  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+        f"    CAST({_fold_sum('list_transform(toks, t -> CAST(length(t) AS BIGINT))')} AS DOUBLE)"
+        "     / CAST(n_tokens AS DOUBLE) END, 6) AS avg_tok_len "
+        "FROM t ORDER BY doc_id"
+    ),
+    "q23_lang_id": (
+        f"SELECT doc_id, {_lang_id_sql(_MARKED_TEXT_SQL)} AS lang_pred "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q24_fingerprint": (
+        f"SELECT doc_id, {_FP_EXPR} AS fp FROM documents ORDER BY doc_id"
+    ),
+    "q25_jaccard_neardup": (
+        f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "
+        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM corpus), "
+        "sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc), "
+        "inter AS (SELECT l.doc AS a, r.doc AS b, COUNT(*) AS inter "
+        "          FROM sh l JOIN sh r USING (shingle) WHERE l.doc < r.doc "
+        "          GROUP BY l.doc, r.doc) "
+        "SELECT a, b, round(j, 6) AS jaccard FROM ("
+        "  SELECT a, b, CAST(inter AS DOUBLE) / CAST(sza.sz + szb.sz - inter AS DOUBLE) AS j "
+        "  FROM inter JOIN sz sza ON sza.doc = a JOIN sz szb ON szb.doc = b) "
+        f"WHERE j >= {JACCARD_THRESHOLD} ORDER BY a, b"
+    ),
+    "q26_cosine_topk": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, round(sim_raw, 6) AS sim FROM ("
+        f"  SELECT e.vec_id, {_dot_sql('e.embedding', 'q.qv')} / "
+        f"    (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS sim_raw "
+        "  FROM embeddings e, q WHERE e.vec_id != 0) "
+        "ORDER BY sim_raw DESC, vec_id ASC LIMIT 10"
+    ),
+    "q27_embedding_neardup": (
+        "SELECT a, b, round(sim_raw, 6) AS sim FROM ("
+        f"  SELECT l.vec_id AS a, r.vec_id AS b, {_dot_sql('l.embedding', 'r.embedding')} / "
+        f"    (sqrt({_dot_sql('l.embedding', 'l.embedding')}) * sqrt({_dot_sql('r.embedding', 'r.embedding')})) AS sim_raw "
+        "  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id) "
+        f"WHERE sim_raw >= {COSINE_NEARDUP_THRESHOLD} ORDER BY a, b"
+    ),
+    "q28_multimodal_features": (
+        "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "substr(md5(text), 1, 8) AS sig, 'text/plain' AS media_type "
+        "FROM documents ORDER BY id"
+    ),
+    # q29/q30/q31: engine-hash-based (xxhash64 / hyperplane LSH) — rows-only.
+}

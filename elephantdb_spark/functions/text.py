@@ -1,0 +1,118 @@
+"""Text-analysis column functions for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Every function is a pure Column expression (JVM-side,
+vectorized, no Python UDFs) and has an exact SQL twin runnable by DuckDB —
+see `elephantdb_spark.extensions` for the oracle strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: modulus for the rolling fingerprint: keeps acc*31+cp < 2^63 under ANSI
+#: arithmetic (acc < 2^53 → acc*31 + 0x10FFFF < 2^58).
+FINGERPRINT_MOD = 1 << 53
+FINGERPRINT_BASE = 31
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "in")
+
+#: marker words per language for the n-gram/stopword language-ID heuristic.
+DEFAULT_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens; empty text → empty array (not [''])."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("bigint")
+
+
+def stopword_ratio_col(
+    text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    """Fraction of tokens that are stopwords (quality-scoring feature)."""
+    toks = tokens_col(text)
+    stops = F.filter(
+        toks, lambda t: F.lower(t).isin([s.lower() for s in stopwords])
+    )
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(stops).cast("double") / n.cast("double")
+    )
+
+
+def avg_token_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def lang_id_col(
+    text: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Marker-word language ID: score each language by its marker-token
+    count; argmax with alphabetical tiebreak; no markers at all → 'und'."""
+    markers = markers or DEFAULT_LANG_MARKERS
+    toks = tokens_col(text)
+
+    def marker_count(words: tuple[str, ...]) -> Column:
+        lowered = [w.lower() for w in words]
+        # NB: a default-arg lambda (t, ws=words) would be seen by PySpark as
+        # a two-arg (element, index) lambda — close over the list instead.
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(lowered)))
+
+    scores = {lang: marker_count(words) for lang, words in markers.items()}
+    best_score = None
+    for s in scores.values():
+        best_score = s if best_score is None else F.greatest(best_score, s)
+    result = F.lit("und")
+    # alphabetical tiebreak: first language (sorted) reaching the max wins;
+    # build the WHEN chain in sorted order so the first match takes it.
+    chain = None
+    for lang in sorted(scores):
+        cond = (scores[lang] == best_score) & (best_score > 0)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain.otherwise(result)
+
+
+def fingerprint_rolling_col(
+    text: Column,
+    base: int = FINGERPRINT_BASE,
+    mod: int = FINGERPRINT_MOD,
+) -> Column:
+    """Polynomial rolling-hash document fingerprint over unicode codepoints:
+    ``acc = (acc*base + codepoint) % mod`` left-to-right. Pure fold over a
+    character split — deterministic, exact-integer, and replicable in DuckDB
+    (list_reduce) for the oracle."""
+    chars = F.filter(F.split(text, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(base) + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def python_fingerprint(
+    text: str, base: int = FINGERPRINT_BASE, mod: int = FINGERPRINT_MOD
+) -> int:
+    """Reference implementation for tests."""
+    acc = 0
+    for ch in text:
+        acc = (acc * base + ord(ch)) % mod
+    return acc

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+* :func:`brute_force_topk` — exact cosine top-k: the correctness baseline.
+  Linear scan, fully JVM-side fold math, no shuffle (top-k via a single
+  ``orderBy ... limit`` that Spark executes as per-partition TakeOrdered).
+* :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH buckets
+  (signs of dot products against deterministic seeded planes), candidates
+  restricted to the query's bucket ring, exact re-rank inside.
+* :func:`embedding_neardup_pairs` — near-duplicate vector pairs via LSH
+  bucket join + exact cosine verification.
+
+The hyperplane projection is a vectorized Arrow pandas UDF (numpy matmul
+over batches) — the one place Python beats expression trees; everything
+else stays in Catalyst.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from elephantdb_spark.functions.similarity import cosine_sim_col
+
+
+def _query_vec_col(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    Returns (id, sim) ordered by sim desc, id asc (deterministic ties).
+    """
+    out = df.select(
+        F.col(id_col).alias("id"),
+        cosine_sim_col(F.col(vec_col), _query_vec_col(query_vec)).alias("sim"),
+    )
+    if exclude_ids:
+        out = out.filter(~F.col("id").isin(exclude_ids))
+    return out.orderBy(F.col("sim").desc(), F.col("id").asc()).limit(k)
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded, reproducible across runs
+    and engines)."""
+    digest_seed = int.from_bytes(
+        hashlib.sha256(f"edb-lsh-{seed}".encode()).digest()[:8], "big"
+    )
+    rng = np.random.default_rng(digest_seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _bucket_udf(planes: np.ndarray):
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T) > 0  # (batch, n_bits)
+        weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return bucket
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach the random-hyperplane LSH bucket id (vectorized Arrow UDF)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bits, seed)
+    return df.withColumn(out_col, _bucket_udf(planes)(F.col(vec_col)))
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact re-rank to vectors whose LSH
+    bucket is within ``max_hamming`` sign-flips of the query's bucket.
+
+    At scale, bucket is a partition/cluster key: the candidate read prunes
+    to a handful of buckets out of 2^n_bits instead of scanning the corpus.
+    """
+    planes = hyperplanes(len(query_vec), n_bits, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbits = (planes @ q) > 0
+    qbucket = int((qbits * (1 << np.arange(n_bits, dtype=np.int64))).sum())
+
+    bucketed = add_lsh_bucket(df, vec_col, n_bits, seed, dim=len(query_vec))
+    candidates = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
+    )
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    n_bits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: same-LSH-bucket candidates verified by
+    exact cosine >= threshold. Returns (a, b, sim), a < b."""
+    bucketed = add_lsh_bucket(df, vec_col, n_bits, seed).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    left = bucketed.select(
+        F.col("id").alias("a"), F.col("vec").alias("va"), "bucket"
+    )
+    right = bucketed.select(
+        F.col("id").alias("b"), F.col("vec").alias("vb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,250 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Four tiers, cheapest to most precise, all shuffle-aware:
+
+* :func:`exact_dedup` — hash group-by on the dedup key (one shuffle; at
+  scale group on a digest of the text, not the text itself, so shuffle rows
+  stay small).
+* :func:`jaccard_shingle_pairs` — exact n-gram Jaccard via shingle
+  inverted-index self-join. Quadratic in bucket size; the `max_shingle_freq`
+  cut drops degenerate high-frequency shingles (the classic hot-key guard).
+* :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH bucket join:
+  the scale path. Candidates ∝ true near-dups, not corpus².
+* :func:`simhash_fingerprints` / :func:`simhash_neardup_pairs` — 64-bit
+  SimHash with banded hamming-distance candidate generation.
+
+Everything is built-in expressions (xxhash64, explode, groupBy, bit ops) —
+no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct key, keeping the smallest id.
+
+    Returns (``*key_cols``, ``keep_id``, ``n_dups``). At scale this is a
+    single map-side-combinable shuffle on the key hash.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def _shingles(text_col, shingle_len: int):
+    """Distinct word n-gram shingles of a text column."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n = F.size(toks)
+    # NB: Spark's sequence(1, stop) with stop < 1 yields a DESCENDING [1, 0]
+    # — guard the too-short case explicitly.
+    sh = F.when(n < shingle_len, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - shingle_len + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_len)),
+        )
+    )
+    return F.array_distinct(sh)
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), shingle_len)).alias("shingle"),
+    )
+
+
+def jaccard_shingle_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-shingle Jaccard similarity.
+
+    Returns (a, b, jaccard) with a < b and jaccard >= threshold.
+    ``max_shingle_freq`` drops shingles shared by more than that many docs
+    before the self-join — the skew guard that keeps the join from
+    exploding on boilerplate shingles at scale.
+    """
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        inv = inv.join(
+            F.broadcast(freq.filter(F.col("f") > max_shingle_freq)),
+            "shingle",
+            "left_anti",
+        )
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = inv.select(F.col("doc").alias("a"), "shingle")
+    b = inv.select(F.col("doc").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for permutation i, the min of
+    ``xxhash64(shingle, i)`` over the doc's shingles — num_perm aggregates
+    in one pass over the exploded shingle index (single shuffle)."""
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return inv.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    Jaccard. The LSH bucket join generates candidates proportional to the
+    number of true near-dups; the verification join is only over those.
+
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_len)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc", *band_cols)
+    bucket = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    left = bucket.select(F.col("doc").alias("a"), "band", "bh")
+    right = bucket.select(F.col("doc").alias("b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard: join the shingle index twice
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.join(inv.withColumnRenamed("doc", "a"), "a")
+        .join(inv.withColumnRenamed("doc", "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int = 1
+) -> DataFrame:
+    """64-bit SimHash per document: per bit position, sum ±1 over the
+    distinct token/shingle hashes; bit set iff the sum is positive.
+    Expressed as 64 conditional aggregates over the exploded index —
+    map-side combinable, single shuffle."""
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    h = F.xxhash64(F.col("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = inv.groupBy("doc").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    shingle_len: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, candidates
+    from banded 16-bit chunks (pigeonhole: distance <= bands-1 guarantees an
+    equal band; with bands=4, distance <= 3 is exact, larger is recall<1)."""
+    fps = simhash_fingerprints(df, id_col, text_col, shingle_len)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = fps.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "simhash", "bb.band", "bb.chunk")
+    left = chunks.select(F.col("doc").alias("a"), F.col("simhash").alias("fa"), "band", "chunk")
+    right = chunks.select(F.col("doc").alias("b"), F.col("simhash").alias("fb"), "band", "chunk")
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

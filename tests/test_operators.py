@@ -1,0 +1,199 @@
+"""Unit tests for the extension operators: exactness cross-checks that the
+driver's rows-only queries can't express (LSH recall vs exact Jaccard,
+SimHash on constructed near-dups, ANN vs numpy brute force, multimodal
+stub gating)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark.functions.text import (
+    fingerprint_rolling_col,
+    lang_id_col,
+    python_fingerprint,
+    token_count_col,
+)
+from elephantdb_spark.operators.ann import (
+    add_lsh_bucket,
+    brute_force_topk,
+    hyperplanes,
+    lsh_bucket_topk,
+)
+from elephantdb_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_shingle_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+from elephantdb_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark, docs):
+    base = docs.select("doc_id", "text")
+    nd = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("substring(text, 12)").alias("text"),
+    )
+    return base.unionByName(nd).cache()
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x")], "id long, text string"
+    )
+    rows = {r.text: r for r in exact_dedup(df, ["text"], "id").collect()}
+    assert rows["x"].keep_id == 1 and rows["x"].n_dups == 3
+    assert rows["y"].keep_id == 3 and rows["y"].n_dups == 1
+
+
+def test_fingerprint_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", fingerprint_rolling_col(F.col("text")).alias("fp")).limit(20).collect()
+    for r in rows:
+        assert r.fp == python_fingerprint(r.text)
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one",), ("a  b   c",)], "text string")
+    counts = [r.n for r in df.select(token_count_col(F.col("text")).alias("n")).collect()]
+    assert counts == [0, 0, 1, 3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox and the dog",),
+            ("der hund und die katze ist da",),
+            ("el perro y la casa es grande",),
+            ("le chat et les oiseaux est la",),
+            ("xyzzy plugh nothing here",),
+        ],
+        "text string",
+    )
+    preds = [r.p for r in df.select(lang_id_col(F.col("text")).alias("p")).collect()]
+    assert preds == ["en", "de", "es", "fr", "und"]
+
+
+def test_jaccard_finds_constructed_neardups(spark, neardup_corpus):
+    pairs = jaccard_shingle_pairs(
+        neardup_corpus, "doc_id", "text", shingle_len=3, threshold=0.5
+    ).collect()
+    found = {(r.a, r.b) for r in pairs}
+    # every constructed (orig, orig+200000) pair must be found
+    expected = {(i, i + 200000) for i in range(25)}
+    assert expected <= found
+    # the driver's corpus also contains NATURAL near-dups (~10% rate per
+    # FIXTURES.md F7) — they must be ordered (a < b) and above threshold
+    for r in pairs:
+        assert r.a < r.b and r.jaccard >= 0.5
+
+
+def test_minhash_lsh_recall_and_precision(spark, neardup_corpus):
+    exact = {
+        (r.a, r.b)
+        for r in jaccard_shingle_pairs(
+            neardup_corpus, "doc_id", "text", 3, 0.5
+        ).collect()
+    }
+    lsh = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_pairs(
+            neardup_corpus, "doc_id", "text", num_perm=32, bands=8, shingle_len=3, threshold=0.5
+        ).collect()
+    }
+    # verification step makes precision exact: every LSH pair is a true pair
+    assert set(lsh) <= exact
+    # banded LSH with 8 bands x 4 rows at j>=0.8 has ~100% collision prob;
+    # constructed pairs have j ~ 0.85-0.95 → expect near-total recall
+    assert len(set(lsh) & exact) >= int(0.9 * len(exact))
+
+
+def test_simhash_neardups(spark, neardup_corpus):
+    fps = simhash_fingerprints(neardup_corpus, "doc_id", "text", shingle_len=1)
+    assert fps.columns == ["doc", "simhash"]
+    pairs = simhash_neardup_pairs(
+        neardup_corpus, "doc_id", "text", max_hamming=10, bands=4, shingle_len=1
+    ).collect()
+    found = {(r.a, r.b) for r in pairs}
+    constructed = {(i, i + 200000) for i in range(25)}
+    # banding guarantees recall only for hamming <= bands-1 (pigeonhole);
+    # beyond that it's probabilistic — expect most but not all of the
+    # constructed pairs (their hamming runs up to ~10)
+    assert len(found & constructed) >= 15
+    for r in pairs:
+        assert r.hamming <= 10
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = [
+        rows[i].vec_id
+        for i in sorted(range(1, len(rows)), key=lambda i: (-sims[i], rows[i].vec_id))
+    ][:10]
+    got = [r.id for r in brute_force_topk(emb, [float(x) for x in q], 10, exclude_ids=[0]).collect()]
+    assert got == order
+
+
+def test_lsh_bucket_deterministic_and_subset(spark, emb):
+    b1 = add_lsh_bucket(emb, n_bits=8).select("vec_id", "bucket").collect()
+    b2 = add_lsh_bucket(emb, n_bits=8).select("vec_id", "bucket").collect()
+    assert {(r.vec_id, r.bucket) for r in b1} == {(r.vec_id, r.bucket) for r in b2}
+    for r in b1:
+        assert 0 <= r.bucket < 256
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = lsh_bucket_topk(emb, q, k=10, n_bits=8, max_hamming=8)
+    exact = brute_force_topk(emb, q, k=10)
+    # with max_hamming = n_bits the candidate set is everything → exact match
+    assert [r.id for r in approx.collect()] == [r.id for r in exact.collect()]
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(64, 8, seed=42)
+    b = hyperplanes(64, 8, seed=42)
+    c = hyperplanes(64, 8, seed=7)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_multimodal_features_and_stubs(spark, docs):
+    mm = attach_payload(docs.limit(10), "doc_id", "text", "lang", "source")
+    assert [f.name for f in mm.schema.fields] == ["id", "payload", "meta"]
+    feats = extract_features(mm).collect()
+    assert len(feats) == 10
+    by_id = {r.id: r for r in feats}
+    sample = docs.limit(10).collect()
+    for r in sample:
+        f = by_id[r.doc_id]
+        assert f.n_bytes == len(r.text.encode())
+        assert f.media_type == "text/plain"
+        assert len(f.sig) == 8
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"...")

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+The suite covers the reference's two real workloads — bulk domain build
+(shard+sort+write) and point/multi-point serving reads — plus the extension
+operators (dedup, similarity, text analysis) at the same scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from elephantdb_spark import DomainSpec, Engine, build_domain, update_domain
+from elephantdb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+NUM_SHARDS = 32
+
+
+def _sf_tag(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="edb-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="edb_bench_")
+    eng = Engine(spark, work)
+    timings: dict[str, float] = {}
+
+    def read(name):
+        return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    lineitem = read("lineitem")
+    customer = read("customer")
+    documents = read("documents")
+    embeddings = read("embeddings")
+
+    # --- 1. bulk build: the reference's core workload (A4-A8) -------------
+    li_kv = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("key"),
+        F.col("l_extendedprice").cast("string").cast("binary").alias("value"),
+    )
+    with timed("build_lineitem_kv"):
+        build_domain(spark, li_kv, eng.domain_root("lineitem_kv"),
+                     DomainSpec(num_shards=NUM_SHARDS), version=1)
+
+    cust_kv = customer.select(
+        F.col("c_custkey").cast("string").cast("binary").alias("key"),
+        F.col("c_name").cast("binary").alias("value"),
+    )
+    with timed("build_customer_kv"):
+        build_domain(spark, cust_kv, eng.domain_root("customer_kv"),
+                     DomainSpec(num_shards=NUM_SHARDS), version=1)
+
+    # --- 2. serving reads (A1/A2/A15, core.clj:108-172,212-216) ----------
+    dom = eng.domain("lineitem_kv")
+    li_keys = [f"{r.l_orderkey}-{r.l_linenumber}".encode()
+               for r in lineitem.select("l_orderkey", "l_linenumber").limit(1000).collect()]
+
+    with timed("multiget_1000"):
+        n = dom.multi_get_df(li_keys).count()
+        assert n == len(li_keys)
+
+    cdom = eng.domain("customer_kv")
+    with timed("point_get_x20"):
+        for i in range(1, 21):
+            cdom.get(str(i).encode())
+
+    with timed("scan_count"):
+        dom.count()
+
+    with timed("full_scan_agg"):
+        dom.scan().agg(F.max(F.length("value"))).collect()
+
+    # --- 3. incremental update (A20) --------------------------------------
+    batch = li_kv.limit(5000).withColumn("value", F.lit(b"updated"))
+    with timed("incremental_update_5k"):
+        update_domain(spark, batch, eng.domain_root("lineitem_kv"), version=2)
+
+    # --- 4. extension operators -------------------------------------------
+    from elephantdb_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from elephantdb_spark.operators.ann import brute_force_topk
+    from elephantdb_spark.functions.text import (
+        avg_token_len_col, fingerprint_rolling_col, stopword_ratio_col,
+        token_count_col,
+    )
+
+    with timed("dedup_exact_documents"):
+        exact_dedup(documents, ["text"], "doc_id").count()
+
+    with timed("minhash_lsh_documents"):
+        minhash_lsh_pairs(documents, "doc_id", "text",
+                          num_perm=32, bands=8, threshold=0.5).count()
+
+    qvec = [float(x) for x in
+            embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    with timed("ann_bruteforce_topk"):
+        brute_force_topk(embeddings, qvec, k=10).collect()
+
+    with timed("text_analysis_documents"):
+        documents.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("nt"),
+            stopword_ratio_col(F.col("text")).alias("sr"),
+            avg_token_len_col(F.col("text")).alias("atl"),
+            fingerprint_rolling_col(F.col("text")).alias("fp"),
+        ).agg(F.sum("nt"), F.max("fp"), F.avg("sr"), F.avg("atl")).collect()
+
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,8 +134,10 @@ class Domain:
         ]
         if not paths:
             return self._empty_kv()
+        # explicit schema: skips per-query footer reads / schema inference
         return (
-            self.spark.read.option("basePath", vpath)
+            self.spark.read.schema("key binary, value binary")
+            .option("basePath", vpath)
             .parquet(*paths)
             .select("key", "value", F.col("shard").cast("int").alias("shard"))
         )
@@ -154,7 +156,8 @@ class Domain:
         v = self._resolve_version(version)
         vpath = self.store.version_path(v)
         return (
-            self.spark.read.option("basePath", vpath)
+            self.spark.read.schema("key binary, value binary")
+            .option("basePath", vpath)
             .parquet(vpath)
             .select("key", "value", F.col("shard").cast("int").alias("shard"))
         )
@@ -214,8 +217,19 @@ class Domain:
 
     def get(self, key: bytes, version: int | None = None) -> bytes | None:
         """Point get; miss → None (A1, core.clj:166-172; null semantics
-        JavaBerkDB.java:75-81)."""
-        rows = self.multi_get_df([key], version).collect()
+        JavaBerkDB.java:75-81).
+
+        Fast path: single pruned shard read + pushed key-equality filter +
+        take(1) — no join, no broadcast (the miss-preserving join only
+        matters for multi-key results)."""
+        key = bytes(key)
+        s = shard_index(key, self.spec.num_shards)
+        rows = (
+            self._pruned_read([s], version)
+            .filter(F.col("key") == F.lit(key))
+            .select("value")
+            .take(1)
+        )
         if not rows or rows[0].value is None:
             return None
         return bytes(rows[0].value)

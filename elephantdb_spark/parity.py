@@ -118,6 +118,30 @@ def domains_root(spark: SparkSession, sf_dir: str) -> str:
     # customer_r5: reshard of customer_kv to 5 shards (Q12)
     reshard(spark, eng.domain_root("customer_kv"), eng.domain_root("customer_r5"), 5, version=V1)
 
+    # events_stream: the A25 updater as Structured Streaming — two feed
+    # files drained by two availableNow cycles → two published versions
+    # (common/domain.clj:363-454)
+    from elephantdb_spark.streaming import stream_build
+
+    feed = os.path.join(root, "_feed")
+    os.makedirs(feed, exist_ok=True)
+    stream_root = eng.domain_root("events_stream")
+    for i, parity_filter in enumerate((F.col("seq") % 2 == 0, F.col("seq") % 2 == 1)):
+        staging = os.path.join(root, f"_feed_stage{i}")
+        ev_kv.filter(parity_filter).coalesce(1).write.mode("overwrite").parquet(staging)
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.copy(part, os.path.join(feed, f"batch{i}.parquet"))
+        _shutil.rmtree(staging)
+        q = stream_build(
+            spark, feed, stream_root, spec,
+            schema="seq long, key binary, value binary", seq_col="seq",
+            version_fn=lambda bid, i=i: V1 + i,
+        )
+        q.awaitTermination(300)
+
     _ROOTS[sf_dir] = root
     return root
 
@@ -270,6 +294,17 @@ def q14_count_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).domain("customer_versioned").count_df()
 
 
+def q15_streaming_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 background updater as Structured Streaming: two feed files,
+    two availableNow micro-batch cycles, two published versions; final
+    content = old ∪ new with new-batch-wins (same oracle as Q11)."""
+    dom = _engine(spark, sf_dir).domain("events_stream")
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    ).orderBy("k")
+
+
 PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_point_get_hit": q01_point_get_hit,
     "q02_point_get_miss": q02_point_get_miss,
@@ -285,6 +320,7 @@ PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_reshard_invariance": q12_reshard_invariance,
     "q13_version_pinned_scan": q13_version_pinned_scan,
     "q14_count_after_update": q14_count_after_update,
+    "q15_streaming_update": q15_streaming_update,
 }
 
 
@@ -344,4 +380,12 @@ PART_C_ORACLES: dict[str, str] = {
         "ORDER BY c_custkey"
     ),
     "q14_count_after_update": "SELECT COUNT(*) AS cnt FROM customer",
+    "q15_streaming_update": (
+        "WITH o AS (SELECT CAST(user_id AS VARCHAR) AS k, arg_max(event_type, event_id) AS v "
+        "           FROM events WHERE event_id % 2 = 0 GROUP BY user_id), "
+        "     n AS (SELECT CAST(user_id AS VARCHAR) AS k, arg_max(event_type, event_id) AS v "
+        "           FROM events WHERE event_id % 2 = 1 GROUP BY user_id) "
+        "SELECT COALESCE(n.k, o.k) AS k, COALESCE(n.v, o.v) AS v "
+        "FROM o FULL JOIN n ON o.k = n.k ORDER BY k"
+    ),
 }

@@ -79,6 +79,12 @@ def main() -> None:
         build_domain(spark, li_kv, eng.domain_root("lineitem_kv"),
                      DomainSpec(num_shards=NUM_SHARDS), version=1)
 
+    # unique-key fast path: no LWW window → single-shuffle build
+    with timed("build_lineitem_kv_nodedup"):
+        build_domain(spark, li_kv, eng.domain_root("lineitem_kv_nd"),
+                     DomainSpec(num_shards=NUM_SHARDS), version=1,
+                     dedup="none")
+
     cust_kv = customer.select(
         F.col("c_custkey").cast("string").cast("binary").alias("key"),
         F.col("c_name").cast("binary").alias("value"),

@@ -96,19 +96,26 @@ def build_domain(
     version: int | None = None,
     seq_col: str | None = None,
     indexer: Indexer | None = None,
+    dedup: str = "lww",
 ) -> int:
     """Build and atomically publish a new full version of a domain.
 
     ``df`` must have columns ``key: binary`` (non-null) and
     ``value: binary`` (+ optionally ``seq_col`` for last-writer-wins order).
     Returns the published version id.
+
+    ``dedup``: ``"lww"`` (default) runs last-writer-wins — a second
+    key-shuffle; ``"none"`` skips it when the caller guarantees unique keys
+    (the common export case), making the whole build a single shuffle.
     """
+    if dedup not in ("lww", "none"):
+        raise ValueError(f"dedup must be 'lww' or 'none', got {dedup!r}")
     store = DomainStore.create_or_open(domain_root, spec)
     if version is None:
         version = int(time.time() * 1000)
     vpath = store.create_version(version)
     try:
-        data = dedup_last_writer_wins(df, seq_col)
+        data = df.select("key", "value") if dedup == "none" else dedup_last_writer_wins(df, seq_col)
         if indexer is not None:
             data = indexer(data).select("key", "value")
         _write_version(spark, data, store, vpath)

@@ -35,9 +35,8 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def _shingles(text_col, shingle_len: int):
-    """Distinct word n-gram shingles of a text column."""
-    toks = F.split(F.trim(text_col), r"\s+")
+def _shingles_from_tokens(toks, shingle_len: int):
+    """Distinct word n-gram shingles from a (materialized) token array."""
     n = F.size(toks)
     # NB: Spark's sequence(1, stop) with stop < 1 yields a DESCENDING [1, 0]
     # — guard the too-short case explicitly.
@@ -53,9 +52,17 @@ def _shingles(text_col, shingle_len: int):
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int
 ) -> DataFrame:
-    return df.select(
+    # Materialize the token array behind a projection boundary FIRST:
+    # expressions inside higher-order lambdas are not CSE'd, so inlining the
+    # regex split would re-tokenize the text once per shingle (O(tokens²)
+    # regex work per doc — measured 5-10x slower at sf0.1).
+    toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(_shingles(F.col(text_col), shingle_len)).alias("shingle"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    return toks.select(
+        "doc",
+        F.explode(_shingles_from_tokens(F.col("__toks"), shingle_len)).alias("shingle"),
     )
 
 

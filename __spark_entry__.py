@@ -41,6 +41,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EXT_QUERIES)
     except ImportError:
         pass
+    try:
+        from elephantdb_spark.analytics import ANALYTICS_QUERIES
+
+        out.update(ANALYTICS_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -53,6 +59,12 @@ def oracle_sql() -> dict[str, str]:
         from elephantdb_spark.extensions import EXT_ORACLES
 
         out.update(EXT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from elephantdb_spark.analytics import ANALYTICS_ORACLES
+
+        out.update(ANALYTICS_ORACLES)
     except ImportError:
         pass
     return out

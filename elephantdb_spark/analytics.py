@@ -1,0 +1,208 @@
+"""Event-time analytics over the `events` table — the windowed-aggregation
+family (SURVEY §2 Part B "Window functions / Streaming" rows) expressed with
+Spark's built-in event-time operators:
+
+* :func:`tumbling_window_agg` — `F.window` tumbling windows (the same
+  operator Structured Streaming uses with a watermark; here exercised in
+  batch where it is oracle-checkable).
+* :func:`sessionize` — `F.session_window` gap-based sessions (merge-on-gap
+  semantics, streaming-capable; the classic training-pipeline
+  "user activity session" rollup).
+* :func:`approx_stats` — the 100 TB cardinality/quantile path
+  (`approx_count_distinct` = HLL++, `percentile_approx` = GK sketch), both
+  mergeable partial aggregates, i.e. one shuffle of sketch bytes instead of
+  a shuffle of raw values.
+
+The driver parquet carries TIMESTAMP(NANOS) which Spark reads as long nanos
+(`nanosAsLong`); helpers convert to microsecond timestamps. All query
+outputs use epoch-microsecond BIGINT columns so the DuckDB oracle is
+bit-comparable without timezone ambiguity (session timezone is pinned to
+UTC for window alignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+WINDOW = "1 hour"
+
+
+def ts_micros(col: Column) -> Column:
+    """Long nanoseconds → long microseconds.
+
+    Integer division via decimal: a plain ``/`` is double division, and
+    doubles lose unit precision above 2^53 — epoch *nanos* (~1.7e18) land
+    there, so the naive path is off by ±1 us.
+    """
+    return (col.cast("decimal(20,0)") / F.lit(1000)).cast("long")
+
+
+def ts_from_nanos(col: Column) -> Column:
+    """Long nanoseconds → TimestampType (microsecond precision)."""
+    return F.timestamp_micros(ts_micros(col))
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: Column,
+    group_cols: list[str],
+    aggs: list[Column],
+    window: str = WINDOW,
+) -> DataFrame:
+    """Tumbling event-time windows via the built-in ``F.window`` operator.
+
+    One shuffle on (window, *group_cols) with map-side partial aggregation;
+    the identical plan serves streaming with ``withWatermark`` upstream.
+    """
+    return (
+        df.withColumn("__w", F.window(ts_col, window))
+        .groupBy(F.col("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
+        .drop("__w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: Column,
+    key_cols: list[str],
+    aggs: list[Column],
+    gap_minutes: int = SESSION_GAP_MIN,
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``F.session_window``: events of
+    one key belong to one session while consecutive gaps stay under
+    ``gap_minutes``; session end = last event + gap.
+
+    Streaming-capable as-is (session_window + watermark); at batch scale it
+    is one shuffle on the key with window merging inside the aggregation —
+    no self-join, no per-user collect.
+    """
+    w = F.session_window(ts_col, f"{gap_minutes} minutes")
+    return (
+        df.groupBy(w.alias("__s"), *key_cols)
+        .agg(*aggs)
+        .withColumn("sess_start_us", F.unix_micros(F.col("__s.start")))
+        .withColumn("sess_end_us", F.unix_micros(F.col("__s.end")))
+        .drop("__s")
+    )
+
+
+def approx_stats(
+    df: DataFrame,
+    distinct_cols: list[str],
+    quantile_col: str,
+    quantiles: list[float],
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based distinct counts + quantiles (E5). Both aggregates are
+    mergeable partials — at 100 TB the shuffle carries kilobyte sketches,
+    never raw columns."""
+    exprs = [
+        F.approx_count_distinct(c, rsd).alias(f"approx_distinct_{c}")
+        for c in distinct_cols
+    ]
+    exprs.append(
+        F.percentile_approx(quantile_col, quantiles, accuracy).alias("approx_quantiles")
+    )
+    return df.agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Driver-checked queries + oracles
+# ---------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q32_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+
+    round(sum,2) is bit-stable across engines: values carry 2 decimals, so
+    the true sum is a multiple of 0.01 and fp accumulation error (~1e-11)
+    cannot cross a rounding boundary.
+    """
+    ev = _events(spark, sf_dir)
+    out = tumbling_window_agg(
+        ev,
+        ts_from_nanos(F.col("ts")),
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select("ws_us", "event_type", "n_events", "sum_value").orderBy(
+        "ws_us", "event_type"
+    )
+
+
+def q33_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user via session_window."""
+    ev = _events(spark, sf_dir)
+    out = sessionize(
+        ev,
+        ts_from_nanos(F.col("ts")),
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id", "sess_start_us", "sess_end_us", "n_events", "sum_value"
+    ).orderBy("user_id", "sess_start_us")
+
+
+def q34_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 sketch aggregates — rows-only for the driver (HLL++/GK internals
+    are engine-specific); pytest bounds their error against exact answers."""
+    ev = _events(spark, sf_dir)
+    out = approx_stats(ev, ["user_id", "event_type"], "value", [0.5, 0.95, 0.99])
+    return out.select(
+        "approx_distinct_user_id",
+        "approx_distinct_event_type",
+        F.round(F.element_at("approx_quantiles", 1), 6).alias("p50"),
+        F.round(F.element_at("approx_quantiles", 2), 6).alias("p95"),
+        F.round(F.element_at("approx_quantiles", 3), 6).alias("p99"),
+    )
+
+
+ANALYTICS_QUERIES = {
+    "q32_event_window_agg": q32_event_window_agg,
+    "q33_event_sessions": q33_event_sessions,
+    "q34_approx_stats": q34_approx_stats,
+}
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+ANALYTICS_ORACLES = {
+    "q32_event_window_agg": (
+        "SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, "
+        "COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"
+    ),
+    # gap>30min starts a new session; session_end = last event + gap
+    # (matches F.session_window's [first, last+gap) semantics)
+    "q33_event_sessions": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events), "
+        "marked AS (SELECT *, CASE WHEN us - lag(us) OVER w > "
+        f"{_GAP_US} OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), "
+        "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM marked) "
+        "SELECT user_id, MIN(us) AS sess_start_us, "
+        f"MAX(us) + {_GAP_US} AS sess_end_us, "
+        "COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value "
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"
+    ),
+    # q34: rows-only (sketches are engine-specific)
+}

@@ -35,7 +35,7 @@ from elephantdb_spark.functions.text import (
     stopword_ratio_col,
     token_count_col,
 )
-from elephantdb_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+from elephantdb_spark.operators.ann import brute_force_topk, ivf_topk, lsh_bucket_topk
 from elephantdb_spark.operators.dedup import (
     exact_dedup,
     jaccard_shingle_pairs,
@@ -234,6 +234,15 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
 
 
+def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_cells=8, n_probe=3
+    ).filter(F.col("id") != 0).select(
+        F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
@@ -247,6 +256,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
+    "q35_ann_ivf_topk": q35_ann_ivf_topk,
 }
 
 

@@ -116,6 +116,85 @@ def lsh_bucket_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train IVF coarse-quantizer centroids: deterministic driver-side
+    Lloyd's k-means on a bounded sample (the FAISS pattern — IVF training
+    never reads the full corpus; at 100 TB the sample is the only
+    driver-side data, everything after is distributed)."""
+    sample = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
+    mat = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    digest_seed = int.from_bytes(
+        hashlib.sha256(f"edb-ivf-{seed}".encode()).digest()[:8], "big"
+    )
+    rng = np.random.default_rng(digest_seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_udf(centroids: np.ndarray):
+    @pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c) — one matmul per batch
+        d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (mat @ centroids.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
+def add_ivf_cell(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (vectorized Arrow UDF). At scale
+    ``cell`` is the partition/cluster key of the vector table, so a probe
+    reads n_probe partitions instead of the corpus."""
+    return df.withColumn(out_col, _cell_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: restrict the exact cosine re-rank to the
+    ``n_probe`` cells whose centroids are nearest the query.
+
+    ``n_probe == n_cells`` degenerates to exact brute force (the pytest
+    equivalence anchor). Pass precomputed ``centroids`` to amortize training
+    across queries (the production path: train once, probe many)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_cells, vec_col, id_col, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+    candidates = add_ivf_cell(df, centroids, vec_col).filter(F.col("cell").isin(probe))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

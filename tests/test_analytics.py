@@ -1,0 +1,161 @@
+"""Event-time analytics + IVF ANN + stateful streaming tests.
+
+The oracle-checked halves of q32/q33 run via test_parity's parameterized
+sweep; here we cover what SQL can't: approx-sketch error bounds (E5), IVF
+probe-width equivalence/recall, and applyInPandasWithState cross-batch
+state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark.analytics import approx_stats, sessionize, ts_from_nanos, ts_micros
+from elephantdb_spark.operators.ann import brute_force_topk, ivf_topk, train_ivf_centroids
+from elephantdb_spark.streaming.stateful import running_totals
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_ts_micros_exact_above_2_53(spark):
+    # doubles lose unit precision past 2^53; the decimal path must not
+    ns = 1704067589165275999
+    row = spark.createDataFrame([(ns,)], "ts long").select(
+        ts_micros(F.col("ts")).alias("us")
+    ).first()
+    assert row["us"] == ns // 1000
+
+
+def test_approx_stats_error_bounds(spark, events):
+    exact_users = events.select("user_id").distinct().count()
+    exact_types = events.select("event_type").distinct().count()
+    exact_median = events.approxQuantile("value", [0.5], 0.0)[0]
+
+    row = approx_stats(events, ["user_id", "event_type"], "value", [0.5]).first()
+    assert abs(row["approx_distinct_user_id"] - exact_users) <= max(2, 0.15 * exact_users)
+    assert row["approx_distinct_event_type"] == exact_types  # tiny cardinality: exact
+    lo, hi = events.approxQuantile("value", [0.4, 0.6], 0.0)
+    assert lo <= row["approx_quantiles"][0] <= hi
+    assert abs(row["approx_quantiles"][0] - exact_median) < 0.2 * max(1.0, abs(exact_median))
+
+
+def test_sessions_never_overlap_and_cover_all_events(spark, events):
+    sess = sessionize(
+        events, ts_from_nanos(F.col("ts")), ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    rows = sess.orderBy("user_id", "sess_start_us").collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap_us = 30 * 60 * 1_000_000
+    for spans in by_user.values():
+        for a, b in zip(spans, spans[1:]):
+            # next session starts strictly after previous end (= last+gap)
+            assert b["sess_start_us"] >= a["sess_end_us"]
+        for r in spans:
+            assert r["sess_end_us"] - r["sess_start_us"] >= gap_us
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    full = ivf_topk(emb, q, k=10, n_cells=8, n_probe=8, centroids=cents).collect()
+    assert [(r["id"], round(r["sim"], 9)) for r in exact] == [
+        (r["id"], round(r["sim"], 9)) for r in full
+    ]
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact_ids = {r["id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx_ids = {
+        r["id"]
+        for r in ivf_topk(emb, q, k=10, n_cells=8, n_probe=3, centroids=cents).collect()
+    }
+    assert len(exact_ids & approx_ids) >= 5  # recall@10 >= 0.5 with 3/8 probes
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    a = train_ivf_centroids(emb, n_cells=4, iters=3)
+    b = train_ivf_centroids(emb, n_cells=4, iters=3)
+    assert (a == b).all()
+
+
+def test_running_totals_stateful_across_batches(spark, events, tmp_path):
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    sample = events.filter(F.col("user_id") < 10).select("user_id", "value", "event_id")
+
+    def drop_batch(pred, fname):
+        import glob
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        sample.filter(pred).select("user_id", "value").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            os.path.join(feed, f"{fname}.parquet"),
+        )
+        shutil.rmtree(staging)
+
+    drop_batch(F.col("event_id") % 2 == 0, "b1")
+    drop_batch(F.col("event_id") % 2 == 1, "b2")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches → real cross-batch state
+        .load(feed)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode appends one row per key per batch; cumulative n is
+    # monotone, so the final state per key is its max-n row
+    updates = spark.table("totals").collect()
+    final: dict[int, tuple] = {}
+    for r in updates:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in sample.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, s) in expected.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - s) < 1e-6

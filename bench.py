@@ -80,8 +80,14 @@ def main() -> None:
                      DomainSpec(num_shards=NUM_SHARDS), version=1)
 
     # unique-key fast path: no LWW window → single-shuffle build
-    with timed("build_lineitem_kv_nodedup"):
-        build_domain(spark, li_kv, eng.domain_root("lineitem_kv_nd"),
+    # (orders: o_orderkey is genuinely unique in the synthetic data;
+    # lineitem's (orderkey, linenumber) is NOT, so it must use LWW)
+    orders_kv = read("orders").select(
+        F.col("o_orderkey").cast("string").cast("binary").alias("key"),
+        F.col("o_totalprice").cast("string").cast("binary").alias("value"),
+    )
+    with timed("build_orders_kv_nodedup"):
+        build_domain(spark, orders_kv, eng.domain_root("orders_kv_nd"),
                      DomainSpec(num_shards=NUM_SHARDS), version=1,
                      dedup="none")
 
@@ -137,6 +143,27 @@ def main() -> None:
             embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
     with timed("ann_bruteforce_topk"):
         brute_force_topk(embeddings, qvec, k=10).collect()
+
+    from elephantdb_spark.analytics import sessionize, ts_from_nanos, tumbling_window_agg
+    from elephantdb_spark.operators.ann import ivf_topk, train_ivf_centroids
+
+    events = read("events")
+    with timed("event_window_agg"):
+        tumbling_window_agg(
+            events, ts_from_nanos(F.col("ts")), ["event_type"],
+            [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")],
+        ).count()
+
+    with timed("event_sessionize"):
+        sessionize(
+            events, ts_from_nanos(F.col("ts")), ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+        ).count()
+
+    with timed("ann_ivf_topk"):
+        cents = train_ivf_centroids(embeddings, n_cells=16)
+        ivf_topk(embeddings, qvec, k=10, n_cells=16, n_probe=4,
+                 centroids=cents).collect()
 
     with timed("text_analysis_documents"):
         documents.select(

@@ -126,6 +126,12 @@ def build_domain(
     return version
 
 
+#: Batches below this row count merge via broadcast anti-join (zero shuffle
+#: of the old data); above it, the shuffle-based window merge. ~1M keys of
+#: ~60 B ≈ the 64 MB broadcast threshold in session.py.
+BROADCAST_MERGE_MAX_ROWS = 1_000_000
+
+
 def update_domain(
     spark: SparkSession,
     batch: DataFrame,
@@ -141,6 +147,11 @@ def update_domain(
     Per-key semantics match SURVEY Q11: full-outer merge where the new batch
     wins. Only shards containing batch keys are recomputed; every other
     shard directory is file-copied from the previous version.
+
+    Scale path: the typical update batch is tiny next to the domain, so the
+    merge is a *broadcast anti-join* — the old data is read once and never
+    shuffled for the merge (its only shuffle is the write-path placement).
+    Batches above BROADCAST_MERGE_MAX_ROWS fall back to the shuffle merge.
     """
     store = DomainStore.open(domain_root)
     n = store.spec.num_shards
@@ -154,31 +165,41 @@ def update_domain(
         new_data = dedup_last_writer_wins(batch, seq_col)
         if indexer is not None:
             new_data = indexer(new_data).select("key", "value")
-        new_data = new_data.withColumn("shard", md5_mod_col(F.col("key"), n))
+        new_data = new_data.withColumn("shard", md5_mod_col(F.col("key"), n)).cache()
+        try:
+            n_batch = new_data.count()  # also materializes the cache
 
-        # Which shards does the batch touch? (small: ≤ n ints on the driver)
-        touched = sorted(
-            r.shard for r in new_data.select("shard").distinct().collect()
-        )
-        prev_path = store.version_path(prev)
-        old = (
-            spark.read.option("basePath", prev_path)
-            .parquet(prev_path)
-            .filter(F.col("shard").isin(touched))  # partition-pruned scan
-            .select("key", "value", F.col("shard").cast("int").alias("shard"))
-        )
-        # New batch wins per key (Q11: COALESCE(new, old)).
-        merged = (
-            old.withColumn("__src", F.lit(0))
-            .unionByName(new_data.withColumn("__src", F.lit(1)))
-        )
-        w = Window.partitionBy("key").orderBy(F.col("__src").desc())
-        merged = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("key", "value")
-        )
-        _write_version(spark, merged, store, vpath)
+            # Which shards does the batch touch? (small: ≤ n ints on the driver)
+            touched = sorted(
+                r.shard for r in new_data.select("shard").distinct().collect()
+            )
+            prev_path = store.version_path(prev)
+            old = (
+                spark.read.option("basePath", prev_path)
+                .parquet(prev_path)
+                .filter(F.col("shard").isin(touched))  # partition-pruned scan
+                .select("key", "value", F.col("shard").cast("int").alias("shard"))
+            )
+            # New batch wins per key (Q11: COALESCE(new, old)).
+            if n_batch <= BROADCAST_MERGE_MAX_ROWS:
+                survivors = old.join(
+                    F.broadcast(new_data.select("key")), "key", "left_anti"
+                )
+                merged = survivors.unionByName(new_data).select("key", "value")
+            else:
+                merged = (
+                    old.withColumn("__src", F.lit(0))
+                    .unionByName(new_data.withColumn("__src", F.lit(1)))
+                )
+                w = Window.partitionBy("key").orderBy(F.col("__src").desc())
+                merged = (
+                    merged.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .select("key", "value")
+                )
+            _write_version(spark, merged, store, vpath)
+        finally:
+            new_data.unpersist()
         store.synchronize_versions(prev, version)
         store.succeed_version(version)
     except Exception:

@@ -148,6 +148,19 @@ class Domain:
             rows, StructType([StructField("key", BinaryType(), False)])
         )
 
+    @staticmethod
+    def _key_in_filter(keys: list[bytes]):
+        """key-membership predicate. Large key sets go through one SQL
+        `IN (X'..', ...)` expression — a single Py4J call — instead of
+        `Column.isin`, which converts every literal in its own JVM round
+        trip (~1 ms each, so ~1 s of pure driver overhead at 1000 keys).
+        Both compile to the same InSet + pushed Parquet filter."""
+        if len(keys) <= 32:
+            return F.col("key").isin([bytes(k) for k in keys])
+        return F.expr(
+            "key IN (" + ",".join("X'%s'" % bytes(k).hex() for k in keys) + ")"
+        )
+
     # -- reads ----------------------------------------------------------------
     def scan(self, version: int | None = None) -> DataFrame:
         """Full scan of all shards (A11/A14, ElephantInputFormat.java:165-184;
@@ -179,7 +192,7 @@ class Domain:
         # miss-preserving left join.
         matched = (
             self._pruned_read(shards, version)
-            .filter(F.col("key").isin(key_lits))
+            .filter(self._key_in_filter(key_lits))
             .drop("shard")
         )
         keys_df = self._keys_df(keys)
@@ -207,7 +220,7 @@ class Domain:
             return self.spark.createDataFrame([], KV_SCHEMA)
         matched = (
             self._pruned_read(sorted(owned), version)
-            .filter(F.col("key").isin([bytes(k) for k in keys]))
+            .filter(self._key_in_filter(keys))
             .drop("shard")
         )
         keys_df = self._keys_df(keys)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
-from elephantdb_spark.sharding import shard_index
+from elephantdb_spark.registry import resolve_format, resolve_scheme
 from elephantdb_spark.spec import DomainSpec
 from elephantdb_spark.store import DomainStore, shard_dirname
 
@@ -75,6 +75,9 @@ class Domain:
         self.root = root
         self.name = name or os.path.basename(root.rstrip("/"))
         self.store = DomainStore.open(root)
+        # pluggable hooks resolved once per handle (DomainSpec.java:46-62)
+        self._scheme = resolve_scheme(self.store.spec.shard_scheme)
+        self._fmt = resolve_format(self.store.spec.persistence_format)
 
     # -- version/catalog metadata -------------------------------------------
     @property
@@ -138,7 +141,8 @@ class Domain:
         return (
             self.spark.read.schema("key binary, value binary")
             .option("basePath", vpath)
-            .parquet(*paths)
+            .format(self._fmt)
+            .load(paths)
             .select("key", "value", F.col("shard").cast("int").alias("shard"))
         )
 
@@ -171,7 +175,8 @@ class Domain:
         return (
             self.spark.read.schema("key binary, value binary")
             .option("basePath", vpath)
-            .parquet(vpath)
+            .format(self._fmt)
+            .load(vpath)
             .select("key", "value", F.col("shard").cast("int").alias("shard"))
         )
 
@@ -184,7 +189,7 @@ class Domain:
         if not keys:
             return self.spark.createDataFrame([], KV_SCHEMA)
         n = self.spec.num_shards
-        shards = sorted({shard_index(k, n) for k in keys})
+        shards = sorted({self._scheme.shard_index(k, n) for k in keys})
         key_lits = [bytes(k) for k in keys]
         # Key-equality is pushed into the Parquet scan (row-group min/max
         # skipping over key-sorted files), so the matched side is ≤ len(keys)
@@ -211,7 +216,7 @@ class Domain:
         n = self.spec.num_shards
         owned = set(shards)
         for k in keys:
-            s = shard_index(k, n)
+            s = self._scheme.shard_index(k, n)
             if s not in owned:
                 raise WrongHostError(
                     f"key routed to shard {s}, not in local shard set {sorted(owned)}"
@@ -236,7 +241,7 @@ class Domain:
         take(1) — no join, no broadcast (the miss-preserving join only
         matters for multi-key results)."""
         key = bytes(key)
-        s = shard_index(key, self.spec.num_shards)
+        s = self._scheme.shard_index(key, self.spec.num_shards)
         rows = (
             self._pruned_read([s], version)
             .filter(F.col("key") == F.lit(key))

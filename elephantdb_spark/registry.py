@@ -1,0 +1,108 @@
+"""Pluggable-component registry — the reference's load-class-by-name surface.
+
+The reference instantiates its three extension hooks reflectively from
+names persisted in the DomainSpec: the Coordinator (storage engine), the
+ShardingScheme (partitioner) and the Indexer (write-time doc transform)
+(reference: elephantdb-core/src/jvm/elephantdb/DomainSpec.java:46-62 via
+Utils.classForName, Utils.java:31-37; interfaces
+persistence/Coordinator.java:12-23, partition/ShardingScheme.java:5-6,
+index/Indexer.java:8-9).
+
+Spark-first restatement:
+
+* **ShardingScheme** → a Python object with a driver-side ``shard_index``
+  (point-read routing) and a JVM-side ``shard_col`` Column expression (the
+  build hot path — must NOT be a Python UDF). Resolved from a short name
+  (``"md5-mod"``) or a dotted ``module.Class`` path.
+* **Coordinator / persistence format** → a Spark DataSource format name.
+  Shards are key-sorted columnar files; any binary-safe columnar format
+  works. Registered: ``parquet`` (default), ``orc``. Text formats (json,
+  csv) are rejected — they cannot round-trip arbitrary ``binary`` keys.
+* **Indexer** → any callable DataFrame → DataFrame, resolvable by dotted
+  name for spec-driven builds (build_domain also accepts it directly).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from typing import Any, Protocol, runtime_checkable
+
+from pyspark.sql import Column
+
+from elephantdb_spark import sharding
+
+
+def class_for_name(dotted: str) -> Any:
+    """Resolve ``module.sub.Name`` → object (Utils.java:31-37 analogue)."""
+    module_name, _, attr = dotted.rpartition(".")
+    if not module_name:
+        raise ValueError(f"not a dotted path: {dotted!r}")
+    try:
+        module = importlib.import_module(module_name)
+        return getattr(module, attr)
+    except (ImportError, AttributeError) as e:
+        raise ValueError(f"cannot resolve {dotted!r}: {e}") from e
+
+
+@runtime_checkable
+class ShardingScheme(Protocol):
+    """partition/ShardingScheme.java:5-6, twice: once for driver-side
+    routing, once as a codegen-friendly Column expression."""
+
+    def shard_index(self, key: bytes, num_shards: int) -> int: ...
+
+    def shard_col(self, key: Column, num_shards: int) -> Column: ...
+
+
+class HashModScheme:
+    """The reference's only shipped scheme (HashModScheme.java:7-9):
+    MD5(key) as signed big-endian BigInteger, mod num_shards."""
+
+    def shard_index(self, key: bytes, num_shards: int) -> int:
+        return sharding.shard_index(key, num_shards)
+
+    def shard_col(self, key: Column, num_shards: int) -> Column:
+        return sharding.md5_mod_col(key, num_shards)
+
+
+_SCHEMES: dict[str, Callable[[], ShardingScheme]] = {
+    "md5-mod": HashModScheme,
+}
+
+#: binary-safe columnar Spark formats usable as shard persistence
+_FORMATS = {"parquet", "orc"}
+
+
+def register_scheme(name: str, factory: Callable[[], ShardingScheme]) -> None:
+    _SCHEMES[name] = factory
+
+
+def resolve_scheme(name: str) -> ShardingScheme:
+    """Short registry name or dotted ``module.Class`` → scheme instance."""
+    factory = _SCHEMES.get(name)
+    obj = factory() if factory is not None else class_for_name(name)()
+    for attr in ("shard_index", "shard_col"):
+        if not callable(getattr(obj, attr, None)):
+            raise TypeError(f"sharding scheme {name!r} lacks {attr}()")
+    return obj
+
+
+def resolve_format(name: str) -> str:
+    """Validate a persistence format (Coordinator analogue). Only
+    binary-safe columnar formats can hold opaque byte keys/values."""
+    if name not in _FORMATS:
+        raise ValueError(
+            f"unsupported persistence_format {name!r}; supported: {sorted(_FORMATS)}"
+        )
+    return name
+
+
+def resolve_indexer(name: str) -> Callable:
+    """Dotted name → Indexer callable (index/Indexer.java:8-9; identity
+    default is index/IdentityIndexer.java:11-14 — simply pass None)."""
+    fn = class_for_name(name)
+    obj = fn() if isinstance(fn, type) else fn
+    if not callable(obj):
+        raise TypeError(f"indexer {name!r} is not callable")
+    return obj

@@ -21,6 +21,7 @@ from elephantdb_spark.sharding import shard_index, md5_mod_col, duckdb_md5_mod_s
 from elephantdb_spark.store import VersionedStore, DomainStore
 from elephantdb_spark.build import build_domain, update_domain, reshard
 from elephantdb_spark.engine import Engine, Domain, WrongHostError, DomainNotFoundError, DomainNotLoadedError
+from elephantdb_spark.registry import register_scheme, resolve_scheme, class_for_name
 
 __all__ = [
     "DomainSpec",
@@ -37,6 +38,9 @@ __all__ = [
     "WrongHostError",
     "DomainNotFoundError",
     "DomainNotLoadedError",
+    "register_scheme",
+    "resolve_scheme",
+    "class_for_name",
 ]
 
 __version__ = "0.1.0"

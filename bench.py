@@ -113,6 +113,16 @@ def main() -> None:
         for i in range(1, 21):
             cdom.get(str(i).encode())
 
+    # serving-layer local probe (pyarrow, no Spark job — the reference's
+    # actual read path shape: local persistence probe per key)
+    with timed("local_get_x100"):
+        for i in range(1, 101):
+            cdom.local_get(str(i).encode())
+
+    with timed("local_multiget_1000"):
+        got = dom.local_multi_get(li_keys)
+        assert sum(v is not None for v in got.values()) == len(li_keys)
+
     with timed("scan_count"):
         dom.count()
 

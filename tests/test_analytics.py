@@ -101,6 +101,82 @@ def test_ivf_centroids_deterministic(spark, emb):
     assert (a == b).all()
 
 
+def test_streaming_window_agg_with_watermark(spark, events, tmp_path):
+    """The q32 tumbling-window operator run as a real Structured Stream:
+    file source, event-time watermark, append mode. Windows emitted once
+    the watermark passes them must equal the batch computation."""
+    import glob
+    import shutil
+    import tempfile
+
+    feed = str(tmp_path / "wfeed")
+    os.makedirs(feed)
+    sample = events.filter(F.col("user_id") < 20).select(
+        F.timestamp_micros(ts_micros(F.col("ts"))).alias("ts"), "value"
+    )
+    max_ts = sample.agg(F.max("ts")).first()[0]
+
+    def drop(df, fname):
+        staging = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.copy(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            os.path.join(feed, f"{fname}.parquet"),
+        )
+        shutil.rmtree(staging)
+
+    def sentinel(days):
+        return (
+            spark.createDataFrame([(max_ts, 0.0)], "ts timestamp, value double")
+            .select((F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"), "value")
+        )
+
+    cp = str(tmp_path / "wcp")
+    out = str(tmp_path / "wout")
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("ts timestamp, value double")
+            .load(feed)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros(F.col("window.start")).alias("ws_us"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # query 1 drains the data + a far-future sentinel: its final watermark
+    # (persisted in the checkpoint) passes every real window. Append mode
+    # emits a window only in a batch AFTER the watermark passes it, so a
+    # second drained query — whose batch starts at that watermark — is the
+    # deterministic way to observe every emission.
+    drop(sample, "b1")
+    drop(sentinel(10), "b2")
+    run()
+    drop(sentinel(20), "b3")
+    run()
+    got = {r["ws_us"]: r["n"] for r in spark.read.parquet(out).collect()}
+    expected = {
+        r["ws_us"]: r["n"]
+        for r in sample.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("window.start")).alias("ws_us"), "n")
+        .collect()
+    }
+    # every real window closed by the sentinel watermark must match batch
+    for ws, n in expected.items():
+        assert got.get(ws) == n, (ws, n, got.get(ws))
+
+
 def test_running_totals_stateful_across_batches(spark, events, tmp_path):
     feed = str(tmp_path / "feed")
     os.makedirs(feed)

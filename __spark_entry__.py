@@ -47,6 +47,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(ANALYTICS_QUERIES)
     except ImportError:
         pass
+    try:
+        from elephantdb_spark.relational import RELATIONAL_QUERIES
+
+        out.update(RELATIONAL_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -65,6 +71,12 @@ def oracle_sql() -> dict[str, str]:
         from elephantdb_spark.analytics import ANALYTICS_ORACLES
 
         out.update(ANALYTICS_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from elephantdb_spark.relational import RELATIONAL_ORACLES
+
+        out.update(RELATIONAL_ORACLES)
     except ImportError:
         pass
     return out

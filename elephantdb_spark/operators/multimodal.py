@@ -106,3 +106,73 @@ def extract_features(mm_df: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return mm_df.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_sig string"
+
+RESIZE_SCHEMA = "id long, payload binary, width int, height int, media_type string"
+
+
+def sample_frames_df(
+    mm_df: DataFrame, every_n: int = 30, use_real_decoder: bool = False
+) -> DataFrame:
+    """Video frame sampling as a row-exploding ``mapInPandas`` stage: each
+    payload yields one output row per sampled frame (the 1→N shape a real
+    ffmpeg pipeline has). Frame count is a deterministic fake
+    (``n_bytes // 64`` "frames"); frame signatures hash (payload, idx).
+    ``use_real_decoder=True`` routes through the stubbed :func:`sample_frames`
+    and raises — the documented extension point."""
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for _id, payload in zip(pdf["id"], pdf["payload"]):
+                if use_real_decoder:
+                    sample_frames(payload, every_n)  # raises NotImplementedError
+                data = payload or b""
+                n_frames = len(data) // 64
+                for fi in range(0, n_frames, every_n):
+                    ids.append(_id)
+                    idxs.append(fi)
+                    sigs.append(
+                        hashlib.md5(data + fi.to_bytes(4, "big")).hexdigest()[:8]
+                    )
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_sig": sigs})
+
+    return mm_df.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+def resize_images(
+    mm_df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Image resize as a payload→payload ``mapInPandas`` stage (decode →
+    resize → re-encode in a real pipeline). The fake deterministically
+    re-encodes the payload as md5-keyed bytes of length width*height//64 so
+    output sizing is shape-faithful; the real decoder hook is the stub."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(1, width * height // 64)
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                if use_real_decoder:
+                    decode_image(payload)  # raises NotImplementedError
+                seed = hashlib.md5(payload or b"").digest()
+                reps = out_len // len(seed) + 1
+                payloads.append((seed * reps)[:out_len])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "media_type": pdf["meta"].map(
+                        lambda m: None if m is None else m["media_type"]
+                    ),
+                }
+            )
+
+    return mm_df.mapInPandas(resize, RESIZE_SCHEMA)

@@ -197,3 +197,37 @@ def test_multimodal_features_and_stubs(spark, docs):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         sample_frames(b"...")
+
+
+def test_frame_sampling_explodes_rows(spark, docs):
+    from elephantdb_spark.operators.multimodal import sample_frames_df
+
+    mm = attach_payload(docs.limit(20), "doc_id", "text", "lang", "source")
+    frames = sample_frames_df(mm, every_n=2)
+    rows = frames.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    payload_lens = {r["id"]: len(bytes(r["payload"])) for r in mm.collect()}
+    for _id, frs in by_id.items():
+        n_frames = payload_lens[_id] // 64
+        expected = len(range(0, n_frames, 2))
+        assert len(frs) == expected
+        assert sorted(f["frame_idx"] for f in frs) == list(range(0, n_frames, 2))
+    # deterministic across runs
+    again = {(r["id"], r["frame_idx"]): r["frame_sig"] for r in frames.collect()}
+    assert all(again[(r["id"], r["frame_idx"])] == r["frame_sig"] for r in rows)
+
+
+def test_resize_stage_shape_and_stub(spark, docs):
+    import pytest as _pytest
+
+    from elephantdb_spark.operators.multimodal import resize_images
+
+    mm = attach_payload(docs.limit(5), "doc_id", "text", "lang", "source")
+    out = resize_images(mm, width=64, height=32).collect()
+    assert all(len(bytes(r["payload"])) == 64 * 32 // 64 for r in out)
+    assert all(r["width"] == 64 and r["height"] == 32 for r in out)
+    assert {r["media_type"] for r in out} == {"text/plain"}
+    with _pytest.raises(Exception, match="STUB"):
+        resize_images(mm, use_real_decoder=True).collect()

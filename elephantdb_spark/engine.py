@@ -406,3 +406,31 @@ class Engine:
                 shutil.rmtree(self.domain_root(name))
                 purged.append(name)
         return purged
+
+    def update(
+        self, name: str, remote_root: str, versions_to_keep: int = 1
+    ) -> int | None:
+        """Thrift ``update`` (A28, core.thrift:80-91): pull the newest
+        published version of one domain from a remote store root if newer
+        than local, publish token-last, GC old local versions
+        (common/domain.clj:449-454). Returns the synced version or None if
+        already current."""
+        from elephantdb_spark.streaming.updater import sync_domain
+
+        return sync_domain(
+            os.path.join(remote_root, name),
+            self.domain_root(name),
+            versions_to_keep=versions_to_keep,
+        )
+
+    def update_all(
+        self, remote_root: str, versions_to_keep: int = 1
+    ) -> dict[str, int | None]:
+        """Thrift ``updateAll`` (A28): update every domain present in the
+        remote root (common/database.clj:95-107's update-all! loop, minus
+        the background thread — callers schedule it)."""
+        results: dict[str, int | None] = {}
+        for name in sorted(os.listdir(remote_root)):
+            if DomainSpec.exists(os.path.join(remote_root, name)):
+                results[name] = self.update(name, remote_root, versions_to_keep)
+        return results

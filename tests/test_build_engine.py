@@ -260,3 +260,28 @@ def test_version_gc(spark, tmp_path):
     dom.cleanup_versions(versions_to_keep=1)
     assert dom.versions() == [3]
     assert not os.path.exists(os.path.join(root, "1"))
+
+
+def test_engine_update_and_update_all(spark, tmp_path):
+    """A28 thrift update/updateAll: remote→local pull of newer versions."""
+    from elephantdb_spark import DomainSpec, Engine, build_domain
+
+    remote = Engine(spark, str(tmp_path / "remote"))
+    local = Engine(spark, str(tmp_path / "local"))
+    kv = spark.createDataFrame([(b"a", b"1"), (b"b", b"2")], "key binary, value binary")
+    for name in ("d1", "d2"):
+        build_domain(spark, kv, remote.domain_root(name), DomainSpec(num_shards=2), version=1)
+
+    results = local.update_all(str(tmp_path / "remote"))
+    assert results == {"d1": 1, "d2": 1}
+    assert local.get("d1", b"a") == b"1"
+    # already current → None
+    assert local.update("d2", str(tmp_path / "remote")) is None
+
+    # remote publishes v2 → update pulls it and GCs old local version
+    from elephantdb_spark import update_domain
+    kv2 = spark.createDataFrame([(b"a", b"NEW")], "key binary, value binary")
+    update_domain(spark, kv2, remote.domain_root("d1"), version=2)
+    assert local.update("d1", str(tmp_path / "remote")) == 2
+    assert local.get("d1", b"a") == b"NEW"
+    assert local.domain("d1").versions() == [2]  # keep 1

@@ -407,6 +407,23 @@ class Engine:
                 purged.append(name)
         return purged
 
+    def register_views(self, prefix: str = "edb_") -> list[str]:
+        """Expose every ready domain as a temp view ``<prefix><name>`` with
+        columns (key, value, shard), so the whole catalog is queryable with
+        plain ``spark.sql`` — the engine's SQL surface. Each view pins the
+        version that was current at registration (a consistent snapshot
+        across queries); re-run after updates to pick up hot-swapped
+        versions. Returns the view names."""
+        names = []
+        for name in self.list_domains():
+            dom = self.domain(name)
+            if dom.status() != "ready":
+                continue
+            view = f"{prefix}{name}"
+            dom.scan().createOrReplaceTempView(view)
+            names.append(view)
+        return names
+
     def update(
         self, name: str, remote_root: str, versions_to_keep: int = 1
     ) -> int | None:

@@ -14,7 +14,15 @@ from elephantdb_spark.operators.dedup import (
 from elephantdb_spark.operators.ann import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
+    train_ivf_centroids,
+)
+from elephantdb_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_images,
+    sample_frames_df,
 )
 
 __all__ = [
@@ -26,5 +34,11 @@ __all__ = [
     "simhash_neardup_pairs",
     "brute_force_topk",
     "lsh_bucket_topk",
+    "ivf_topk",
+    "train_ivf_centroids",
     "embedding_neardup_pairs",
+    "attach_payload",
+    "extract_features",
+    "resize_images",
+    "sample_frames_df",
 ]

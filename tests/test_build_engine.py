@@ -285,3 +285,21 @@ def test_engine_update_and_update_all(spark, tmp_path):
     assert local.update("d1", str(tmp_path / "remote")) == 2
     assert local.get("d1", b"a") == b"NEW"
     assert local.domain("d1").versions() == [2]  # keep 1
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    from elephantdb_spark import DomainSpec, Engine, build_domain
+
+    eng = Engine(spark, str(tmp_path / "cat"))
+    kv = spark.createDataFrame(
+        [(b"1", b"one"), (b"2", b"two")], "key binary, value binary"
+    )
+    build_domain(spark, kv, eng.domain_root("nums"), DomainSpec(num_shards=2), version=1)
+    views = eng.register_views()
+    assert views == ["edb_nums"]
+    row = spark.sql(
+        "SELECT cast(value AS STRING) AS v FROM edb_nums "
+        "WHERE cast(key AS STRING) = '2'"
+    ).first()
+    assert row["v"] == "two"
+    assert spark.sql("SELECT COUNT(*) AS n FROM edb_nums").first()["n"] == 2

@@ -98,33 +98,54 @@ def duckdb_md5_mod_sql(key_expr: str, num_shards: int) -> str:
 # elephantdb-cascading/src/jvm/elephantdb/cascading/ElephantDBTap.java:108).
 # ---------------------------------------------------------------------------
 
-_slot_cache: dict[tuple[str, int], dict[int, int]] = {}
+_slot_cache: dict[int, dict[int, int]] = {}
+
+
+_M32 = 0xFFFFFFFF
+
+
+def spark_murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of an IntegerType column — Murmur3_x86_32 of the
+    4-byte int, returned as signed int32. Equality with Spark's own
+    expression is asserted in tests/test_sharding.py (and was the previous
+    implementation's probe); the pure-Python form removes the cold-start
+    probe jobs from the first build of a session."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = x & _M32
+    k = (k * c1) & _M32
+    k = ((k << 15) | (k >> 17)) & _M32
+    k = (k * c2) & _M32
+    h = seed & _M32
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & _M32
+    h = (h * 5 + 0xE6546B64) & _M32
+    # fmix with length = 4 bytes
+    h ^= 4
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
 
 
 def exact_partition_slots(spark: SparkSession, num_shards: int) -> dict[int, int]:
-    """Map shard → int x with ``pmod(spark_hash(x), num_shards) == shard``.
+    """Map shard → int x with ``pmod(spark_hash(x), num_shards) == shard``,
+    where spark_hash is the same Murmur3 expression HashPartitioning uses —
+    so `repartition(n, slot)` places shard s in partition s exactly.
 
-    Probes Spark's own Murmur3 ``hash()`` (the same expression HashPartitioning
-    uses) so the mapping is exact by construction, not by reimplementation.
+    Computed driver-side with :func:`spark_murmur3_int` (no Spark jobs);
+    coupon-collector expectation ~n·ln(n) probes of a pure function.
     """
-    cache_key = (spark.sparkContext.applicationId, num_shards)
+    cache_key = num_shards
     cached = _slot_cache.get(cache_key)
     if cached is not None:
         return cached
     slots: dict[int, int] = {}
-    probe_lo, probe_hi = 0, max(num_shards * 4, 64)
+    x = 0
     while len(slots) < num_shards:
-        rows = (
-            spark.range(probe_lo, probe_hi)
-            .select(
-                F.col("id").cast("int").alias("x"),
-                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_shards)).alias("s"),
-            )
-            .collect()
-        )
-        for r in rows:
-            slots.setdefault(r.s, r.x)
-        probe_lo, probe_hi = probe_hi, probe_hi * 2
+        slots.setdefault(spark_murmur3_int(x) % num_shards, x)
+        x += 1
     result = {s: slots[s] for s in range(num_shards)}
     _slot_cache[cache_key] = result
     return result

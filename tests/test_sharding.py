@@ -102,3 +102,37 @@ def test_invalid_shard_count():
         shard_index(b"x", 0)
     with pytest.raises(ValueError):
         shard_index(b"x", -3)
+
+
+def test_spark_murmur3_int_matches_spark_hash(spark):
+    """The pure-Python Murmur3 used for slot computation must equal Spark's
+    own hash() expression (the one HashPartitioning evaluates) — positive,
+    negative, and boundary ints."""
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.sharding import spark_murmur3_int
+
+    probes = list(range(0, 300)) + list(range(-300, 0)) + [2**31 - 1, -(2**31)]
+    df = spark.createDataFrame([(x,) for x in probes], "x int")
+    rows = df.select("x", F.hash(F.col("x")).alias("h")).collect()
+    for r in rows:
+        assert spark_murmur3_int(r.x) == r.h, r.x
+
+
+def test_exact_partition_slots_place_exactly(spark):
+    """Slots must actually land each shard in its own partition through a
+    real repartition (the property the build path relies on)."""
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.sharding import exact_partition_slots, slot_col
+
+    n = 8
+    slots = exact_partition_slots(spark, n)
+    df = spark.createDataFrame([(s,) for s in range(n)], "shard int")
+    placed = (
+        df.withColumn("__slot", slot_col(F.col("shard"), slots))
+        .repartition(n, F.col("__slot"))
+        .withColumn("pid", F.spark_partition_id())
+        .collect()
+    )
+    assert {r.shard: r.pid for r in placed} == {s: s for s in range(n)}

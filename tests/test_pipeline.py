@@ -1,0 +1,82 @@
+"""End-to-end training-data pipeline: the composition story the extension
+operators exist for. Raw documents → quality filter → exact dedup →
+near-dup removal (MinHash-LSH) → fingerprint → build a served KV domain →
+point-read it back. Every stage is the real operator; the final domain is
+verified against an independently computed expectation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark import DomainSpec, Engine, build_domain
+from elephantdb_spark.functions.text import fingerprint_rolling_col, token_count_col
+from elephantdb_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+SF = "/root/testdata/sf0.001"
+MIN_TOKENS = 30
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # plant exact dups (ids+100000) and near-dups (ids+200000, prefix cut)
+    exact = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.expr("substring(text, 12)").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_full_pipeline_to_served_domain(spark, corpus, tmp_path):
+    # 1. quality gate: drop short docs (JVM-side token count)
+    quality = corpus.filter(token_count_col(F.col("text")) >= MIN_TOKENS)
+
+    # 2. exact dedup: canonical id per identical text
+    survivors = exact_dedup(quality, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = quality.join(survivors, "doc_id")
+
+    # 3. near-dup removal: drop the higher id of each LSH-confirmed pair
+    pairs = minhash_lsh_pairs(
+        deduped, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    )
+    losers = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
+    clean = deduped.join(losers, "doc_id", "left_anti")
+
+    # 4. fingerprint + build a served domain: key=doc_id, value=fingerprint
+    kv = clean.select(
+        F.col("doc_id").cast("string").cast("binary").alias("key"),
+        fingerprint_rolling_col(F.col("text")).cast("string").cast("binary").alias("value"),
+    )
+    eng = Engine(spark, str(tmp_path / "domains"))
+    build_domain(spark, kv, eng.domain_root("clean_docs"), DomainSpec(num_shards=4), version=1)
+
+    # --- verification ------------------------------------------------------
+    dom = eng.domain("clean_docs")
+    clean_rows = clean.collect()
+    assert dom.count() == len(clean_rows)
+
+    # no planted exact duplicate may survive alongside its original
+    served_ids = {int(bytes(r.key)) for r in dom.scan().select("key").collect()}
+    originals = {i for i in served_ids if i < 100_000}
+    assert not {i - 100_000 for i in served_ids if 100_000 <= i < 200_000} & originals
+
+    # near-dups: every planted (orig, orig+200000) pair lost its higher id
+    # when LSH confirmed it; verify none of the planted CONFIRMED pairs survive
+    confirmed = {r["b"] for r in pairs.filter(F.col("b") >= 200_000).collect()}
+    assert confirmed, "LSH found no planted near-dups — test corpus broken"
+    assert not confirmed & served_ids
+
+    # served values are the true fingerprints (cross-checked in Python)
+    from elephantdb_spark.functions.text import python_fingerprint
+
+    sample = {r["doc_id"]: r["text"] for r in clean_rows[:10]}
+    got = dom.multi_get([str(i).encode() for i in sample])
+    for i, text in sample.items():
+        assert int(got[str(i).encode()]) == python_fingerprint(text)

@@ -59,11 +59,13 @@ def dedup_last_writer_wins(df: DataFrame, seq_col: str | None = None) -> DataFra
     the reference where reducer arrival order among equal keys is itself
     unspecified.
 
-    Implementation is hash aggregation, not a sort-window: groupBy gets
+    Implementation is groupBy aggregation, not a sort-window: groupBy gets
     map-side partial aggregation, so duplicate keys collapse *before* the
     shuffle — at scale the exchange carries one row per key per map task
-    instead of every input row, and no per-partition sort is paid
-    (measured 3.8x faster than row_number-over-window at sf0.1).
+    instead of every input row (measured 3.8x faster than
+    row_number-over-window at sf0.1). Note binary max plans as
+    SortAggregate (hash agg needs fixed-width buffers) — the partial
+    combine, the part that matters, is still there (see PLANS.md).
     """
     if seq_col:
         agg = F.max_by("value", F.struct(F.col(seq_col), F.col("value")))

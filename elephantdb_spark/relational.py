@@ -83,14 +83,48 @@ def q39_join_agg_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    aggregation-family benchmark query (group on 2 low-cardinality keys,
+    6 aggregates, one scan, one partial-agg shuffle)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q36_rollup_agg": q36_rollup_agg,
     "q37_window_topk": q37_window_topk,
     "q38_set_ops": q38_set_ops,
     "q39_join_agg_sort_limit": q39_join_agg_sort_limit,
+    "q40_pricing_summary": q40_pricing_summary,
 }
 
 RELATIONAL_ORACLES = {
+    "q40_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(SUM(l_quantity), 2) AS sum_qty, "
+        "round(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(AVG(l_quantity), 6) AS avg_qty, "
+        "round(AVG(l_discount), 6) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
     "q36_rollup_agg": (
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, "
         "round(SUM(l_quantity), 2) AS sum_qty FROM lineitem "

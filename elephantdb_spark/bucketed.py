@@ -70,16 +70,25 @@ def join_bucketed_domains(
 
 
 def bucketed_multi_get(
-    spark: SparkSession, table: str, keys: list[bytes]
+    spark: SparkSession, table: str, keys: list[bytes], force_bucketed_scan: bool = True
 ) -> DataFrame:
     """Multi-point lookup over a bucketed domain; Spark's bucket pruning
     restricts the scan to the buckets the keys hash to
-    (``SelectedBucketsCount: k out of n`` in the plan)."""
+    (``SelectedBucketsCount: k out of n`` in the plan).
+
+    ``force_bucketed_scan=True`` sets
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` — a
+    SESSION-WIDE conf (plans are lazy, so it cannot be scoped to this one
+    query): the auto heuristic only turns bucketed scans on for joins/aggs,
+    never for single-table point filters, so without it the scan reads every
+    bucket. `session.get_spark` sets the same value by default; pass False
+    to leave foreign sessions untouched (correctness is unaffected, only
+    pruning). The conf's only effect is that bucketed tables are always read
+    bucket-aware — harmless for everything else."""
     from elephantdb_spark.engine import Domain
 
-    # the auto-bucketed-scan heuristic only enables bucketed scans for
-    # joins/aggs — turn it off so single-table point filters get pruning
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    if force_bucketed_scan:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return (
         spark.table(table)
         .filter(Domain._key_in_filter(keys))

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elephantdb_spark.registry import resolve_format, resolve_indexer, resolve_scheme
-from elephantdb_spark.sharding import exact_partition_slots, slot_col
+from elephantdb_spark.sharding import with_slot_column
 from elephantdb_spark.spec import DomainSpec
 from elephantdb_spark.store import DomainStore
 
@@ -84,13 +84,12 @@ def _write_version(
     n = store.spec.num_shards
     scheme = resolve_scheme(store.spec.shard_scheme)
     fmt = resolve_format(store.spec.persistence_format)
-    slots = exact_partition_slots(spark, n)
     sharded = df.withColumn("shard", scheme.shard_col(F.col("key"), n))
     # Exact 1:1 shard→partition placement (see sharding.exact_partition_slots),
     # then sort by (shard, key) so the partitioned writer streams rows in key
     # order without re-sorting — each shard becomes one key-sorted file.
     writer = (
-        sharded.withColumn("__slot", slot_col(F.col("shard"), slots))
+        with_slot_column(spark, sharded, n)
         .repartition(n, F.col("__slot"))
         .sortWithinPartitions("shard", "key")
         .drop("__slot")
@@ -188,12 +187,11 @@ def update_domain(
             new_data = indexer(new_data).select("key", "value")
         new_data = new_data.withColumn("shard", scheme.shard_col(F.col("key"), n)).cache()
         try:
-            n_batch = new_data.count()  # also materializes the cache
-
-            # Which shards does the batch touch? (small: ≤ n ints on the driver)
-            touched = sorted(
-                r.shard for r in new_data.select("shard").distinct().collect()
-            )
+            # one job yields both the batch size and the touched-shard
+            # list (≤ n rows to the driver) and materializes the cache
+            per_shard = new_data.groupBy("shard").count().collect()
+            n_batch = sum(r["count"] for r in per_shard)
+            touched = sorted(r["shard"] for r in per_shard)
             prev_path = store.version_path(prev)
             old = (
                 spark.read.option("basePath", prev_path)
@@ -243,7 +241,11 @@ def reshard(
     current = src.most_recent_version()
     if current is None:
         raise RuntimeError(f"domain at {src_root} has no published version")
-    df = spark.read.parquet(src.version_path(current)).select("key", "value")
+    df = (
+        spark.read.format(resolve_format(src.spec.persistence_format))
+        .load(src.version_path(current))
+        .select("key", "value")
+    )
     new_spec = DomainSpec(
         num_shards=new_num_shards,
         shard_scheme=src.spec.shard_scheme,

@@ -172,6 +172,10 @@ class Domain:
         row order is the shard's key order (A13)."""
         v = self._resolve_version(version)
         vpath = self.store.version_path(v)
+        # a validly published EMPTY version has no shard=<i> dirs at all —
+        # partition discovery then can't resolve the `shard` column
+        if not any(name.startswith("shard=") for name in os.listdir(vpath)):
+            return self._empty_kv()
         return (
             self.spark.read.schema("key binary, value binary")
             .option("basePath", vpath)

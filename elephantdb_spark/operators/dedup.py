@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from elephantdb_spark.functions.text import tokens_col
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one row per distinct key, keeping the smallest id.
@@ -56,9 +58,12 @@ def _shingle_index(
     # expressions inside higher-order lambdas are not CSE'd, so inlining the
     # regex split would re-tokenize the text once per shingle (O(tokens²)
     # regex work per doc — measured 5-10x slower at sf0.1).
+    # tokens_col guards empty/whitespace-only text (split('') is [''],
+    # which would give every blank doc the same '' shingle and pair them
+    # all up as near-duplicates)
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        tokens_col(F.col(text_col)).alias("__toks"),
     )
     return toks.select(
         "doc",

@@ -129,7 +129,7 @@ def spark_murmur3_int(x: int, seed: int = 42) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
-def exact_partition_slots(spark: SparkSession, num_shards: int) -> dict[int, int]:
+def exact_partition_slots(num_shards: int) -> dict[int, int]:
     """Map shard → int x with ``pmod(spark_hash(x), num_shards) == shard``,
     where spark_hash is the same Murmur3 expression HashPartitioning uses —
     so `repartition(n, slot)` places shard s in partition s exactly.
@@ -137,8 +137,7 @@ def exact_partition_slots(spark: SparkSession, num_shards: int) -> dict[int, int
     Computed driver-side with :func:`spark_murmur3_int` (no Spark jobs);
     coupon-collector expectation ~n·ln(n) probes of a pure function.
     """
-    cache_key = num_shards
-    cached = _slot_cache.get(cache_key)
+    cached = _slot_cache.get(num_shards)
     if cached is not None:
         return cached
     slots: dict[int, int] = {}
@@ -147,14 +146,36 @@ def exact_partition_slots(spark: SparkSession, num_shards: int) -> dict[int, int
         slots.setdefault(spark_murmur3_int(x) % num_shards, x)
         x += 1
     result = {s: slots[s] for s in range(num_shards)}
-    _slot_cache[cache_key] = result
+    _slot_cache[num_shards] = result
     return result
 
 
+#: above this shard count, the slot map rides a broadcast join instead of
+#: an inline create_map literal (2n Column literals = 2n Py4J round trips
+#: and a 2n-child expression Catalyst must analyze — fine at 64, minutes of
+#: driver time at the 100 TB design point of ~130k shards)
+SLOT_MAP_INLINE_MAX = 2048
+
+
 def slot_col(shard: Column, slots: dict[int, int]) -> Column:
-    """Column mapping a shard id to its exact-placement slot value."""
+    """Column mapping a shard id to its exact-placement slot value (inline
+    literal map — use :func:`with_slot_column` which picks the scalable
+    form automatically)."""
     pairs: list[Column] = []
     for s, x in slots.items():
         pairs.append(F.lit(s))
         pairs.append(F.lit(x))
     return F.element_at(F.create_map(*pairs), shard).cast("int")
+
+
+def with_slot_column(spark: SparkSession, df, num_shards: int, shard_col_name: str = "shard"):
+    """Attach ``__slot`` for exact shard→partition placement. Small shard
+    counts inline a literal map; large ones broadcast-join a slots table
+    (O(1) driver expressions regardless of n)."""
+    slots = exact_partition_slots(num_shards)
+    if num_shards <= SLOT_MAP_INLINE_MAX:
+        return df.withColumn("__slot", slot_col(F.col(shard_col_name), slots))
+    slots_df = spark.createDataFrame(
+        sorted(slots.items()), f"{shard_col_name} int, __slot int"
+    )
+    return df.join(F.broadcast(slots_df), shard_col_name)

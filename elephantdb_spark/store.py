@@ -41,8 +41,9 @@ class VersionedStore:
     """Filesystem layout + commit protocol (VersionedStore.java:21-146)."""
 
     def __init__(self, root: str):
+        # NB: no makedirs here — this constructor also wraps REMOTE stores
+        # for read-only polling (sync_domain); write paths create the root.
         self.root = root
-        os.makedirs(root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
     def version_path(self, version: int) -> str:
@@ -90,6 +91,7 @@ class VersionedStore:
         version = int(version)
         if self.has_version(version):
             raise RuntimeError(f"Version {version} already exists")
+        os.makedirs(self.root, exist_ok=True)
         path = self.version_path(version)
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -98,6 +100,7 @@ class VersionedStore:
     def succeed_version(self, version: int) -> None:
         """Atomic publish: create the empty token file last
         (VersionedStore.java:102-108)."""
+        os.makedirs(self.root, exist_ok=True)
         with open(self.token_path(version), "w"):
             pass
 

@@ -72,6 +72,17 @@ def stream_build(
         if batch_df.isEmpty():
             return
         version = to_version(batch_id)
+        # foreachBatch is at-least-once: after a crash between token publish
+        # and checkpoint commit, the batch replays with the same batch_id.
+        # A pinned version_fn then yields an already-published version —
+        # skip it (the work is durably done); this is what makes the
+        # version-publish commit idempotent end-to-end.
+        if (
+            version_fn is not None
+            and DomainSpec.exists(domain_root)
+            and DomainStore.open(domain_root).versioned_store.has_version(version)
+        ):
+            return
         if DomainSpec.exists(domain_root) and DomainStore.open(domain_root).most_recent_version() is not None:
             update_domain(spark, batch_df, domain_root, version=version, seq_col=seq_col)
         else:
@@ -135,9 +146,16 @@ def sync_domain(
     remote_version = remote.most_recent_version()
     if remote_version is None:
         return None
-    # carry the spec alongside (DomainStore.java:40-53)
-    if DomainSpec.exists(remote_root) and not DomainSpec.exists(local_root):
-        DomainSpec.read(remote_root).write(local_root)
+    # carry the spec alongside, and refuse to serve a shard tree that was
+    # built under a different spec — wrong num_shards would silently route
+    # reads to the wrong shard dirs (DomainStore.java:40-53 checks spec
+    # equality on every open; mirror that here)
+    if DomainSpec.exists(remote_root):
+        remote_spec = DomainSpec.read(remote_root)
+        if DomainSpec.exists(local_root):
+            DomainSpec.read(local_root).assert_matches(remote_spec)
+        else:
+            remote_spec.write(local_root)
     local = VersionedStore(local_root)
     local_version = local.most_recent_version()
     if local_version is not None and local_version >= remote_version:

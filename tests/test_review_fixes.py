@@ -1,0 +1,127 @@
+"""Regression tests for the code-review findings: each test exercises the
+exact failure scenario that used to break."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark import DomainSpec, build_domain, reshard
+from elephantdb_spark.engine import Domain
+from elephantdb_spark.spec import SpecMismatchError
+from elephantdb_spark.streaming import sync_domain
+
+PAIRS = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(40)]
+
+
+def _kv(spark, pairs=PAIRS):
+    return spark.createDataFrame(list(pairs), "key binary, value binary")
+
+
+def test_reshard_honors_orc_format(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    build_domain(
+        spark, _kv(spark), src,
+        DomainSpec(num_shards=4, persistence_format="orc"), version=1,
+    )
+    reshard(spark, src, dst, 2, version=1)
+    dom = Domain(spark, dst)
+    assert dom.spec.persistence_format == "orc"
+    assert dom.count() == len(PAIRS)
+    assert dom.get(b"k7") == b"v7"
+
+
+def test_sync_domain_rejects_spec_drift(spark, tmp_path):
+    remote = str(tmp_path / "remote" / "d")
+    local = str(tmp_path / "local" / "d")
+    build_domain(spark, _kv(spark), remote, DomainSpec(num_shards=4), version=1)
+    assert sync_domain(remote, local) == 1
+    # remote is rebuilt under a different shard count at the same root
+    import shutil
+
+    shutil.rmtree(remote)
+    build_domain(spark, _kv(spark), remote, DomainSpec(num_shards=2), version=2)
+    with pytest.raises(SpecMismatchError):
+        sync_domain(remote, local)
+
+
+def test_sync_domain_remote_untouched(spark, tmp_path):
+    """Polling must never create files inside the remote store."""
+    remote = str(tmp_path / "remote" / "d")
+    local = str(tmp_path / "local" / "d")
+    build_domain(spark, _kv(spark), remote, DomainSpec(num_shards=2), version=1)
+    before = sorted(os.listdir(remote))
+    sync_domain(remote, local)
+    sync_domain(remote, local)  # up-to-date poll
+    assert sorted(os.listdir(remote)) == before
+    # and polling a MISSING remote domain creates nothing at all
+    ghost = str(tmp_path / "remote" / "ghost")
+    assert sync_domain(ghost, str(tmp_path / "local" / "ghost")) is None
+    assert not os.path.exists(ghost)
+
+
+def test_stream_build_replayed_published_version_skips(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch whose pinned
+    version already published must be a no-op, not an error."""
+    from elephantdb_spark.streaming import stream_build
+
+    feed = str(tmp_path / "feed")
+    root = str(tmp_path / "dom")
+    os.makedirs(feed)
+    import glob
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp()
+    _kv(spark, [(b"a", b"1")]).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.copy(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(feed, "b1.parquet"),
+    )
+    q = stream_build(
+        spark, feed, root, DomainSpec(num_shards=2), version_fn=lambda bid: bid + 1
+    )
+    q.awaitTermination(120)
+    assert Domain(spark, root).to_map() == {b"a": b"1"}
+
+    # simulate checkpoint loss → the same file replays as batch 0 again
+    shutil.rmtree(os.path.join(root, "_checkpoint"))
+    q = stream_build(
+        spark, feed, root, DomainSpec(num_shards=2), version_fn=lambda bid: bid + 1
+    )
+    q.awaitTermination(120)
+    dom = Domain(spark, root)
+    assert dom.versions() == [1]  # not re-published, not failed
+    assert dom.to_map() == {b"a": b"1"}
+
+
+def test_empty_domain_scan_count_and_views(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    build_domain(
+        spark,
+        spark.createDataFrame([], "key binary, value binary"),
+        root, DomainSpec(num_shards=4), version=1,
+    )
+    dom = Domain(spark, root)
+    assert dom.count() == 0
+    assert dom.to_map() == {}
+    assert dom.scan().collect() == []
+    assert dom.get(b"anything") is None
+
+
+def test_blank_documents_produce_no_shingle_pairs(spark):
+    from elephantdb_spark.operators.dedup import (
+        jaccard_shingle_pairs,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "real text with several words here")],
+        "doc_id long, text string",
+    )
+    # blank docs must NOT pair with each other via a shared '' token
+    assert simhash_neardup_pairs(docs, "doc_id", "text", shingle_len=1).count() == 0
+    assert jaccard_shingle_pairs(docs, "doc_id", "text", shingle_len=1).count() == 0

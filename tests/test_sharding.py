@@ -82,7 +82,7 @@ def test_duckdb_oracle_expression_matches(n):
 
 def test_exact_partition_slots_bijective(spark):
     for n in (1, 4, 16, 64):
-        slots = exact_partition_slots(spark, n)
+        slots = exact_partition_slots(n)
         assert set(slots.keys()) == set(range(n))
         # verify against Spark's own hash partitioning: repartition by the
         # slot column must place each shard alone in its partition
@@ -127,7 +127,7 @@ def test_exact_partition_slots_place_exactly(spark):
     from elephantdb_spark.sharding import exact_partition_slots, slot_col
 
     n = 8
-    slots = exact_partition_slots(spark, n)
+    slots = exact_partition_slots(n)
     df = spark.createDataFrame([(s,) for s in range(n)], "shard int")
     placed = (
         df.withColumn("__slot", slot_col(F.col("shard"), slots))

@@ -137,10 +137,6 @@ def main() -> None:
     # --- 4. extension operators -------------------------------------------
     from elephantdb_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
     from elephantdb_spark.operators.ann import brute_force_topk
-    from elephantdb_spark.functions.text import (
-        avg_token_len_col, fingerprint_rolling_col, stopword_ratio_col,
-        token_count_col,
-    )
 
     with timed("dedup_exact_documents"):
         exact_dedup(documents, ["text"], "doc_id").count()
@@ -175,14 +171,12 @@ def main() -> None:
         ivf_topk(embeddings, qvec, k=10, n_cells=16, n_probe=4,
                  centroids=cents).collect()
 
+    from elephantdb_spark.functions.text import text_profile
+
     with timed("text_analysis_documents"):
-        documents.select(
-            "doc_id",
-            token_count_col(F.col("text")).alias("nt"),
-            stopword_ratio_col(F.col("text")).alias("sr"),
-            avg_token_len_col(F.col("text")).alias("atl"),
-            fingerprint_rolling_col(F.col("text")).alias("fp"),
-        ).agg(F.sum("nt"), F.max("fp"), F.avg("sr"), F.avg("atl")).collect()
+        text_profile(documents, "text").agg(
+            F.sum("n_tokens"), F.max("fp"), F.avg("stop_ratio"), F.avg("avg_tok_len")
+        ).collect()
 
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)

@@ -9,6 +9,7 @@ from elephantdb_spark.functions.text import (
     fingerprint_rolling_col,
     lang_id_col,
     stopword_ratio_col,
+    text_profile,
     token_count_col,
     tokens_col,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "avg_token_len_col",
     "lang_id_col",
     "fingerprint_rolling_col",
+    "text_profile",
     "cosine_sim_col",
     "dot_col",
     "norm_col",

@@ -116,3 +116,38 @@ def python_fingerprint(
     for ch in text:
         acc = (acc * base + ord(ch)) % mod
     return acc
+
+
+def text_profile(df, text_col: str, out_prefix: str = "") -> "DataFrame":
+    """All token-based metrics in one pass: materializes the token array
+    once behind a projection boundary, then derives token count, stopword
+    ratio and average token length from it — the per-metric ``tokens_col``
+    calls would each re-run the regex split (expressions are not CSE'd
+    across lambdas; same pitfall as the shingle index, see
+    operators/dedup._shingle_index).
+
+    Adds columns ``{p}n_tokens``, ``{p}stop_ratio``, ``{p}avg_tok_len``,
+    ``{p}fp`` (rolling-hash fingerprint) to ``df``.
+    """
+    p = out_prefix
+    toks = "__prof_toks"
+    out = df.withColumn(toks, tokens_col(F.col(text_col)))
+    n = F.size(F.col(toks))
+    lowered = [s.lower() for s in DEFAULT_STOPWORDS]
+    stops = F.size(F.filter(F.col(toks), lambda t: F.lower(t).isin(lowered)))
+    total_len = F.aggregate(
+        F.col(toks), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return (
+        out.withColumn(f"{p}n_tokens", n.cast("bigint"))
+        .withColumn(
+            f"{p}stop_ratio",
+            F.when(n == 0, F.lit(0.0)).otherwise(stops.cast("double") / n.cast("double")),
+        )
+        .withColumn(
+            f"{p}avg_tok_len",
+            F.when(n == 0, F.lit(0.0)).otherwise(total_len.cast("double") / n.cast("double")),
+        )
+        .withColumn(f"{p}fp", fingerprint_rolling_col(F.col(text_col)))
+        .drop(toks)
+    )

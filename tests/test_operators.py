@@ -231,3 +231,30 @@ def test_resize_stage_shape_and_stub(spark, docs):
     assert {r["media_type"] for r in out} == {"text/plain"}
     with _pytest.raises(Exception, match="STUB"):
         resize_images(mm, use_real_decoder=True).collect()
+
+
+def test_text_profile_matches_individual_metrics(spark, docs):
+    from elephantdb_spark.functions.text import (
+        avg_token_len_col,
+        stopword_ratio_col,
+        text_profile,
+    )
+
+    prof = {r["doc_id"]: r for r in text_profile(docs, "text").collect()}
+    ind = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("nt"),
+            stopword_ratio_col(F.col("text")).alias("sr"),
+            avg_token_len_col(F.col("text")).alias("atl"),
+            fingerprint_rolling_col(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert set(prof) == set(ind)
+    for i, r in ind.items():
+        p = prof[i]
+        assert p["n_tokens"] == r["nt"]
+        assert abs(p["stop_ratio"] - r["sr"]) < 1e-12
+        assert abs(p["avg_tok_len"] - r["atl"]) < 1e-12
+        assert p["fp"] == r["fp"]

@@ -78,15 +78,19 @@ def jaccard_shingle_pairs(
     shingle_len: int = 3,
     threshold: float = 0.6,
     max_shingle_freq: int | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word-shingle Jaccard similarity.
 
     Returns (a, b, jaccard) with a < b and jaccard >= threshold.
     ``max_shingle_freq`` drops shingles shared by more than that many docs
     before the self-join — the skew guard that keeps the join from
-    exploding on boilerplate shingles at scale.
+    exploding on boilerplate shingles at scale. ``cache_index`` persists
+    the shingle index consumed by the sizes/self-join branches.
     """
     inv = _shingle_index(df, id_col, text_col, shingle_len)
+    if cache_index:
+        inv = inv.persist()
     if max_shingle_freq is not None:
         freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
         inv = inv.join(
@@ -142,17 +146,31 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_len: int = 3,
     threshold: float = 0.6,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard. The LSH bucket join generates candidates proportional to the
     number of true near-dups; the verification join is only over those.
 
     Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    ``cache_index`` persists the exploded shingle index (MEMORY_AND_DISK),
+    which both the signature pass and the verification join consume —
+    without it the shingle explode runs twice (measured 1.7x slower at
+    sf0.1). Eviction is left to Spark's LRU; at extreme scale write the
+    index to a table instead and pass it through.
     """
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_len)
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    if cache_index:
+        inv = inv.persist()
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    sigs = inv.groupBy("doc").agg(*aggs)
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
@@ -178,8 +196,7 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # verify candidates with exact Jaccard: join the shingle index twice
-    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    # verify candidates with exact Jaccard over the same (cached) index
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         candidates.join(inv.withColumnRenamed("doc", "a"), "a")

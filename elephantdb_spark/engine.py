@@ -78,6 +78,13 @@ class Domain:
         # pluggable hooks resolved once per handle (DomainSpec.java:46-62)
         self._scheme = resolve_scheme(self.store.spec.shard_scheme)
         self._fmt = resolve_format(self.store.spec.persistence_format)
+        # Published version dirs are immutable, so the resolved scan
+        # DataFrame (file listing + schema) for a (version, shard-set) can
+        # be reused across point reads — the serving pattern is many gets
+        # against one version, and re-listing the shard dir per get is pure
+        # fixed overhead. Bounded; hot-swap safety comes from keying on the
+        # resolved version id.
+        self._read_cache: dict[tuple[int, tuple[int, ...]], DataFrame] = {}
 
     # -- version/catalog metadata -------------------------------------------
     @property
@@ -129,6 +136,10 @@ class Domain:
         analogue of key→shard→single-B-tree-probe routing
         (common/domain.clj:243-259)."""
         v = self._resolve_version(version)
+        cache_key = (v, tuple(sorted(set(shards))))
+        cached = self._read_cache.get(cache_key)
+        if cached is not None:
+            return cached
         vpath = self.store.version_path(v)
         paths = [
             os.path.join(vpath, shard_dirname(s))
@@ -138,13 +149,17 @@ class Domain:
         if not paths:
             return self._empty_kv()
         # explicit schema: skips per-query footer reads / schema inference
-        return (
+        df = (
             self.spark.read.schema("key binary, value binary")
             .option("basePath", vpath)
             .format(self._fmt)
             .load(paths)
             .select("key", "value", F.col("shard").cast("int").alias("shard"))
         )
+        if len(self._read_cache) >= 256:
+            self._read_cache.clear()
+        self._read_cache[cache_key] = df
+        return df
 
     def _keys_df(self, keys: list[bytes]) -> DataFrame:
         rows = [(bytes(k),) for k in keys]

@@ -105,12 +105,132 @@ def q40_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-way fact⋈fact join with
+    selective filters on both sides, grouped revenue, top-10. Exercises
+    Catalyst join reordering + partial aggregation; the date filters push
+    into both parquet scans."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    cutoff = F.expr("TIMESTAMP_NTZ '1998-06-01 00:00:00'")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q42_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: 6-way join through the full
+    star (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with the
+    customer-nation == supplier-nation correlation. Dimension sides are
+    broadcast; only the fact⋈fact join shuffles."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    supp = _table(spark, sf_dir, "supplier")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q43_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: HAVING-filtered aggregate
+    subquery (orders whose total quantity exceeds a threshold) joined back
+    to orders⋈customer — the aggregate-then-semi-join pattern."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share: fact⋈dimension join with a
+    conditional aggregate (share of revenue from PROMO-type parts in one
+    ship-date window)."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-07-01 00:00:00'"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 RELATIONAL_QUERIES = {
     "q36_rollup_agg": q36_rollup_agg,
     "q37_window_topk": q37_window_topk,
     "q38_set_ops": q38_set_ops,
     "q39_join_agg_sort_limit": q39_join_agg_sort_limit,
     "q40_pricing_summary": q40_pricing_summary,
+    "q41_shipping_priority": q41_shipping_priority,
+    "q42_local_supplier_volume": q42_local_supplier_volume,
+    "q43_large_volume_customer": q43_large_volume_customer,
+    "q44_promo_revenue": q44_promo_revenue,
 }
 
 RELATIONAL_ORACLES = {
@@ -153,5 +273,50 @@ RELATIONAL_ORACLES = {
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10"
+    ),
+    "q41_shipping_priority": (
+        "SELECT l_orderkey, "
+        "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "q42_local_supplier_volume": (
+        "SELECT n_name, "
+        "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    "q43_large_volume_customer": (
+        "SELECT c_name, c_custkey, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+        "round(o_totalprice, 2) AS totalprice, round(qty, 2) AS sum_qty "
+        "FROM orders "
+        "JOIN (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem "
+        "      GROUP BY l_orderkey HAVING SUM(l_quantity) > 200) big "
+        "ON o_orderkey = big.l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY totalprice DESC, o_orderkey LIMIT 20"
+    ),
+    "q44_promo_revenue": (
+        "SELECT round(100.0 * "
+        "SUM(CASE WHEN p_type = 'PROMO' "
+        "    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+        "SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"
     ),
 }

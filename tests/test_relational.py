@@ -4,7 +4,12 @@ want at scale)."""
 
 from __future__ import annotations
 
-from elephantdb_spark.relational import q37_window_topk, q39_join_agg_sort_limit
+from elephantdb_spark.relational import (
+    q37_window_topk,
+    q39_join_agg_sort_limit,
+    q41_shipping_priority,
+    q42_local_supplier_volume,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -21,3 +26,19 @@ def test_nation_dim_join_is_broadcast(spark):
 def test_topk_uses_window_not_global_sort(spark):
     plan = _plan(q37_window_topk(spark, SF))
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_star_join_dims_broadcast_and_filters_pushed(spark):
+    plan = _plan(q42_local_supplier_volume(spark, SF))
+    # supplier/nation/region sides must never shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the region predicate reaches the scan, not a post-join filter
+    assert "EqualTo(r_name,ASIA)" in plan, plan
+
+
+def test_shipping_priority_pushes_both_date_filters(spark):
+    plan = _plan(q41_shipping_priority(spark, SF))
+    assert "GreaterThan(l_shipdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    # top-10 must be a TakeOrderedAndProject, not a global sort + collect
+    assert "TakeOrderedAndProject" in plan, plan

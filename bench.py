@@ -69,6 +69,20 @@ def main() -> None:
     documents = read("documents")
     embeddings = read("embeddings")
 
+    # Untimed warmup: one tiny end-to-end build + read compiles the codegen
+    # paths, starts the shuffle service, and loads the parquet committer
+    # classes, so the timed entries measure steady-state operator cost
+    # rather than first-query JVM initialization (~4 s of pure warmup
+    # otherwise lands on whichever entry runs first).
+    warm_kv = customer.limit(1000).select(
+        F.col("c_custkey").cast("string").cast("binary").alias("key"),
+        F.col("c_name").cast("binary").alias("value"),
+    )
+    build_domain(spark, warm_kv, eng.domain_root("warmup_kv"),
+                 DomainSpec(num_shards=4), version=1)
+    eng.domain("warmup_kv").get(b"1")
+    customer.groupBy("c_mktsegment").count().collect()
+
     # --- 1. bulk build: the reference's core workload (A4-A8) -------------
     li_kv = lineitem.select(
         F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))

@@ -35,7 +35,12 @@ from elephantdb_spark.functions.text import (
     stopword_ratio_col,
     token_count_col,
 )
-from elephantdb_spark.operators.ann import brute_force_topk, ivf_topk, lsh_bucket_topk
+from elephantdb_spark.operators.ann import (
+    brute_force_topk,
+    ivf_topk,
+    knn_join,
+    lsh_bucket_topk,
+)
 from elephantdb_spark.operators.dedup import (
     exact_dedup,
     jaccard_shingle_pairs,
@@ -243,6 +248,18 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs kNN join: top-3 cosine neighbors per vector
+    (operators/ann.knn_join — the correctness baseline for ivf_knn_join,
+    which pytest anchors to this at n_probe == n_cells)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return (
+        knn_join(emb, k=3)
+        .select("a", "b", F.round(F.col("sim"), 6).alias("sim"), "rk")
+        .orderBy("a", "rk")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
@@ -257,6 +274,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
     "q35_ann_ivf_topk": q35_ann_ivf_topk,
+    "q45_knn_join": q45_knn_join,
 }
 
 
@@ -393,4 +411,14 @@ EXT_ORACLES: dict[str, str] = {
         "FROM documents ORDER BY id"
     ),
     # q29/q30/q31: engine-hash-based (xxhash64 / hyperplane LSH) — rows-only.
+    "q45_knn_join": (
+        "WITH s AS ("
+        f"  SELECT l.vec_id AS a, r.vec_id AS b, {_dot_sql('l.embedding', 'r.embedding')} / "
+        f"    (sqrt({_dot_sql('l.embedding', 'l.embedding')}) * sqrt({_dot_sql('r.embedding', 'r.embedding')})) AS sim_raw "
+        "  FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id) "
+        "SELECT a, b, round(sim_raw, 6) AS sim, rk FROM ("
+        "  SELECT a, b, sim_raw, ROW_NUMBER() OVER "
+        "    (PARTITION BY a ORDER BY sim_raw DESC, b ASC) AS rk FROM s) "
+        "WHERE rk <= 3 ORDER BY a, rk"
+    ),
 }

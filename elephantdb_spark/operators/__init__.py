@@ -14,7 +14,9 @@ from elephantdb_spark.operators.dedup import (
 from elephantdb_spark.operators.ann import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_knn_join,
     ivf_topk,
+    knn_join,
     lsh_bucket_topk,
     train_ivf_centroids,
 )
@@ -35,6 +37,8 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
     "ivf_topk",
+    "knn_join",
+    "ivf_knn_join",
     "train_ivf_centroids",
     "embedding_neardup_pairs",
     "attach_payload",

@@ -20,7 +20,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -224,4 +224,92 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
         .distinct()
+    )
+
+
+def _probe_cells_udf(centroids: np.ndarray, n_probe: int):
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (mat @ centroids.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe_cells
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs k-nearest-neighbors: for every vector, its top-k
+    neighbors by cosine similarity. Returns (a, b, sim, rk) with rk 1..k,
+    ties broken by ascending neighbor id.
+
+    This is the O(N^2) correctness baseline (Spark plans the self-join as a
+    broadcast nested loop when one side fits); use :func:`ivf_knn_join` for
+    corpora where N^2 scoring is off the table.
+    """
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    scored = (
+        left.join(right, F.col("a") != F.col("b"))
+        .select("a", "b", cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a", "b", "sim", "rk")
+    )
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-bucketed approximate kNN join: score each vector only against
+    vectors whose home cell is among its ``n_probe`` nearest cells.
+
+    The N^2 cross join becomes an equi-join on ``cell`` — candidates per
+    query drop from N to ~(n_probe/n_cells)·N, and the join shuffles on a
+    partition-count-sized key. ``n_probe == n_cells`` degenerates to the
+    exact :func:`knn_join` (the pytest equivalence anchor); recall at lower
+    n_probe follows the usual IVF tradeoff.
+
+    At 100 TB: write the vector table clustered by ``cell`` (repartition +
+    sortWithinPartitions on cell at ingest) so the data side of this join is
+    already co-located and only the probe side shuffles.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_cells, vec_col, id_col, seed=seed)
+    data = add_ivf_cell(df, centroids, vec_col).select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    probes = (
+        df.withColumn("__cells", _probe_cells_udf(centroids, n_probe)(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("va"),
+            F.explode("__cells").alias("cell"),
+        )
+    )
+    scored = (
+        probes.join(data, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a", "b", "sim", "rk")
     )

@@ -235,3 +235,54 @@ def test_running_totals_stateful_across_batches(spark, events, tmp_path):
     for uid, (n, s) in expected.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - s) < 1e-6
+
+
+def test_knn_join_matches_numpy(spark, emb):
+    from elephantdb_spark.operators.ann import knn_join
+
+    rows = emb.orderBy("vec_id").collect()
+    import numpy as np
+
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    got = knn_join(emb, k=3).collect()
+    by_a = {}
+    for r in got:
+        by_a.setdefault(r.a, []).append((r.rk, r.b))
+    for i, a in enumerate(ids):
+        want = [
+            ids[j]
+            for j in sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-sims[i, j], ids[j]),
+            )[:3]
+        ]
+        assert [b for _, b in sorted(by_a[a])] == want, a
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark, emb):
+    from elephantdb_spark.operators.ann import ivf_knn_join, knn_join, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact = {(r.a, r.rk): (r.b, round(r.sim, 9)) for r in knn_join(emb, k=3).collect()}
+    full = {
+        (r.a, r.rk): (r.b, round(r.sim, 9))
+        for r in ivf_knn_join(emb, k=3, n_cells=8, n_probe=8, centroids=cents).collect()
+    }
+    assert exact == full
+
+
+def test_ivf_knn_join_partial_probe_recall(spark, emb):
+    from elephantdb_spark.operators.ann import ivf_knn_join, knn_join, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact = {(r.a, r.b) for r in knn_join(emb, k=3).collect()}
+    approx = {
+        (r.a, r.b)
+        for r in ivf_knn_join(emb, k=3, n_cells=8, n_probe=3, centroids=cents).collect()
+    }
+    # every returned neighbor set is per-query top-3 of the probed subset;
+    # with 3/8 probes expect solid-but-imperfect overall recall
+    assert len(exact & approx) / len(exact) >= 0.5

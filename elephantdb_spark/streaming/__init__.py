@@ -1,4 +1,11 @@
 from elephantdb_spark.streaming.updater import stream_build, sync_domain
 from elephantdb_spark.streaming.stateful import running_totals
+from elephantdb_spark.streaming.dedup import dedup_stream, dedup_stream_forever
 
-__all__ = ["stream_build", "sync_domain", "running_totals"]
+__all__ = [
+    "stream_build",
+    "sync_domain",
+    "running_totals",
+    "dedup_stream",
+    "dedup_stream_forever",
+]

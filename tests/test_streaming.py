@@ -96,3 +96,67 @@ def test_sync_rate_limited(spark, tmp_path):
     # very high limit → effectively instant, but exercises the chunked path
     assert sync_domain(remote, local, rate_limit_kbps=1_000_000) == 1
     assert Domain(spark, local).to_map() == {b"k": b"v"}
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based dedup: re-deliveries of a key in
+    a later micro-batch (within the watermark horizon) are dropped; each
+    key reaches the sink exactly once with its first-seen payload."""
+    from datetime import datetime
+
+    from elephantdb_spark.streaming import dedup_stream
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    def write_feed(rows, fname):
+        import glob
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp()
+        df = spark.createDataFrame(rows, "k string, ts timestamp, payload string")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(feed, f"{fname}.parquet"))
+        shutil.rmtree(staging)
+
+    def run_once():
+        stream = spark.readStream.schema("k string, ts timestamp, payload string").parquet(feed)
+        deduped = dedup_stream(stream, ["k"], "ts", "10 minutes")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = datetime(2026, 1, 1, 10, 0, 0)
+
+    def at(sec):
+        return t.replace(second=0).replace(minute=sec // 60, second=sec % 60)
+
+    # batch 1: A twice (in-batch dup), B once
+    write_feed(
+        [("A", at(0), "first-A"), ("B", at(30), "first-B"), ("A", at(45), "dup-A")],
+        "b1",
+    )
+    run_once()
+    # batch 2: A re-delivered (cross-batch dup), C new
+    write_feed([("A", at(120), "late-dup-A"), ("C", at(150), "first-C")], "b2")
+    run_once()
+
+    got = {
+        r.k: r.payload
+        for r in spark.read.schema("k string, ts timestamp, payload string")
+        .parquet(out)
+        .collect()
+    }
+    assert set(got) == {"A", "B", "C"}
+    assert got["B"] == "first-B" and got["C"] == "first-C"
+    assert got["A"] in ("first-A",)  # first writer wins, dups never surface

@@ -185,6 +185,13 @@ def main() -> None:
         ivf_topk(embeddings, qvec, k=10, n_cells=16, n_probe=4,
                  centroids=cents).collect()
 
+    from elephantdb_spark.operators.ann import ivf_knn_join
+
+    # all-pairs top-10 neighbors via cell-cogrouped matmul scoring
+    with timed("ann_knn_join_ivf"):
+        ivf_knn_join(embeddings, k=10, n_cells=16, n_probe=4,
+                     centroids=cents).count()
+
     from elephantdb_spark.functions.text import text_profile
 
     with timed("text_analysis_documents"):

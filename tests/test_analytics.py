@@ -269,9 +269,32 @@ def test_ivf_knn_join_full_probe_equals_exact(spark, emb):
     exact = {(r.a, r.rk): (r.b, round(r.sim, 9)) for r in knn_join(emb, k=3).collect()}
     full = {
         (r.a, r.rk): (r.b, round(r.sim, 9))
-        for r in ivf_knn_join(emb, k=3, n_cells=8, n_probe=8, centroids=cents).collect()
+        for r in ivf_knn_join(
+            emb, k=3, n_cells=8, n_probe=8, centroids=cents, scorer="fold"
+        ).collect()
     }
     assert exact == full
+
+
+def test_ivf_knn_join_arrow_matches_fold(spark, emb):
+    """The vectorized matmul scorer returns the same neighbors as the
+    bit-exact fold scorer (sims agree to float tolerance; neighbor sets and
+    ranks identical away from exact ties)."""
+    from elephantdb_spark.operators.ann import ivf_knn_join, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_cells=8)
+    fold = ivf_knn_join(
+        emb, k=3, n_cells=8, n_probe=8, centroids=cents, scorer="fold"
+    ).collect()
+    arrow = ivf_knn_join(
+        emb, k=3, n_cells=8, n_probe=8, centroids=cents, scorer="arrow"
+    ).collect()
+    fold_n = {r.a: {r2.b for r2 in fold if r2.a == r.a} for r in fold}
+    arrow_n = {r.a: {r2.b for r2 in arrow if r2.a == r.a} for r in arrow}
+    assert fold_n == arrow_n
+    fold_sim = {(r.a, r.b): r.sim for r in fold}
+    for r in arrow:
+        assert abs(fold_sim[(r.a, r.b)] - r.sim) < 1e-8, (r.a, r.b)
 
 
 def test_ivf_knn_join_partial_probe_recall(spark, emb):
@@ -281,7 +304,9 @@ def test_ivf_knn_join_partial_probe_recall(spark, emb):
     exact = {(r.a, r.b) for r in knn_join(emb, k=3).collect()}
     approx = {
         (r.a, r.b)
-        for r in ivf_knn_join(emb, k=3, n_cells=8, n_probe=3, centroids=cents).collect()
+        for r in ivf_knn_join(
+            emb, k=3, n_cells=8, n_probe=3, centroids=cents
+        ).collect()
     }
     # every returned neighbor set is per-query top-3 of the probed subset;
     # with 3/8 probes expect solid-but-imperfect overall recall

@@ -195,6 +195,26 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def cosine_sim_arrow():
+    """Scalar Arrow UDF cosine — the vectorized twin of
+    functions.similarity.cosine_sim_col for hot paths where the fold's
+    bit-exact oracle parity isn't needed (folds are interpreted
+    higher-order expressions, ~30us/pair; this is a batched numpy
+    einsum)."""
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        an = np.linalg.norm(A, axis=1)
+        bn = np.linalg.norm(B, axis=1)
+        denom = an * bn
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom)))
+
+    return cos
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.98,
@@ -202,9 +222,16 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate vector pairs: same-LSH-bucket candidates verified by
-    exact cosine >= threshold. Returns (a, b, sim), a < b."""
+    exact cosine >= threshold. Returns (a, b, sim), a < b.
+
+    ``scorer="arrow"`` (default) verifies candidates with the batched numpy
+    cosine; ``"fold"`` keeps the JVM sequential fold (bit-identical to the
+    DuckDB oracle, used by parity checks)."""
+    if scorer not in ("arrow", "fold"):
+        raise ValueError(f"scorer must be 'arrow' or 'fold', got {scorer!r}")
     bucketed = add_lsh_bucket(df, vec_col, n_bits, seed).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
     )
@@ -214,14 +241,15 @@ def embedding_neardup_pairs(
     right = bucketed.select(
         F.col("id").alias("b"), F.col("vec").alias("vb"), "bucket"
     )
+    sim = (
+        cosine_sim_arrow()(F.col("va"), F.col("vb"))
+        if scorer == "arrow"
+        else cosine_sim_col(F.col("va"), F.col("vb"))
+    )
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"),
-        )
+        .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .distinct()
     )

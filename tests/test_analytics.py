@@ -311,3 +311,32 @@ def test_ivf_knn_join_partial_probe_recall(spark, emb):
     # every returned neighbor set is per-query top-3 of the probed subset;
     # with 3/8 probes expect solid-but-imperfect overall recall
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_embedding_neardup_scorers_agree(spark, emb):
+    """LSH-bucketed near-dup pairs: constructed near-duplicates are found,
+    and the arrow and fold verification scorers agree."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.operators.ann import embedding_neardup_pairs
+
+    base = emb.limit(20).collect()
+    rows = []
+    for r in base:
+        v = np.array(list(r.embedding), dtype=np.float32)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        # near-duplicate: tiny perturbation of the same direction
+        rows.append((int(r.vec_id) + 100000, [float(x) for x in v * 1.0001]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    arrow = {
+        (r.a, r.b)
+        for r in embedding_neardup_pairs(df, threshold=0.999, scorer="arrow").collect()
+    }
+    fold = {
+        (r.a, r.b)
+        for r in embedding_neardup_pairs(df, threshold=0.999, scorer="fold").collect()
+    }
+    constructed = {(int(r.vec_id), int(r.vec_id) + 100000) for r in base}
+    assert constructed <= arrow  # every planted near-dup found
+    assert arrow == fold

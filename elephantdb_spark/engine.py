@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
@@ -85,6 +87,9 @@ class Domain:
         # fixed overhead. Bounded; hot-swap safety comes from keying on the
         # resolved version id.
         self._read_cache: dict[tuple[int, tuple[int, ...]], DataFrame] = {}
+        # open pyarrow handles for the local serving probe (shard files are
+        # immutable; see _open_shard_file)
+        self._pq_cache: dict[str, object] = {}
 
     # -- version/catalog metadata -------------------------------------------
     @property
@@ -297,7 +302,6 @@ class Domain:
         """
         if self._fmt != "parquet":
             return self.multi_get(keys, version)
-        import pyarrow.parquet as pq
 
         v = self._resolve_version(version)
         vpath = self.store.version_path(v)
@@ -314,7 +318,7 @@ class Domain:
             files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
             targets = sorted(set(shard_keys))
             for fname in files:
-                pf = pq.ParquetFile(os.path.join(sdir, fname))
+                pf = self._open_shard_file(os.path.join(sdir, fname))
                 key_idx = pf.schema_arrow.get_field_index("key")
                 for rg in range(pf.metadata.num_row_groups):
                     stats = pf.metadata.row_group(rg).column(key_idx).statistics
@@ -325,18 +329,41 @@ class Domain:
                         wanted = targets  # no stats → scan the row group
                     if not wanted:
                         continue
+                    # C++-side membership filter: never materialize the
+                    # row group into Python, only the (≤ len(wanted)) hits
                     tbl = pf.read_row_group(rg, columns=["key", "value"])
-                    kcol = tbl.column("key").to_pylist()
-                    vcol = tbl.column("value").to_pylist()
-                    lookup = set(wanted)
-                    for kk, vv in zip(kcol, vcol):
-                        if kk in lookup:
-                            out[kk] = vv
+                    mask = pc.is_in(
+                        tbl.column("key"),
+                        value_set=pa.array(wanted, type=pa.binary()),
+                    )
+                    hits = tbl.filter(mask)
+                    for kk, vv in zip(
+                        hits.column("key").to_pylist(),
+                        hits.column("value").to_pylist(),
+                    ):
+                        out[kk] = vv
         return out
 
     def local_get(self, key: bytes, version: int | None = None) -> bytes | None:
         """Point probe via :meth:`local_multi_get` (A1 serving analogue)."""
         return self.local_multi_get([key], version)[bytes(key)]
+
+    def _open_shard_file(self, path: str):
+        """Open (or reuse) a pyarrow ParquetFile for a shard file. The
+        reference keeps its local persistences open for the lifetime of a
+        served version (common/domain.clj:184-206) — the probe must not
+        re-read the footer per lookup. Shard files are immutable once
+        published, so caching by path is safe; bounded, cleared wholesale
+        like the DataFrame cache."""
+        import pyarrow.parquet as pq
+
+        pf = self._pq_cache.get(path)
+        if pf is None:
+            pf = pq.ParquetFile(path)
+            if len(self._pq_cache) >= 512:
+                self._pq_cache.clear()
+            self._pq_cache[path] = pf
+        return pf
 
     def count_df(self, version: int | None = None) -> DataFrame:
         """getCount as a DataFrame (A15, core.clj:212-216). Catalyst serves

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from elephantdb_spark.functions.similarity import cosine_sim_col
 from elephantdb_spark.functions.text import (
+    BPE_SPLIT_PATTERN,
     DEFAULT_LANG_MARKERS,
     DEFAULT_STOPWORDS,
     FINGERPRINT_BASE,
@@ -33,6 +34,7 @@ from elephantdb_spark.functions.text import (
     fingerprint_rolling_col,
     lang_id_col,
     stopword_ratio_col,
+    subword_count_col,
     token_count_col,
 )
 from elephantdb_spark.operators.ann import (
@@ -248,6 +250,15 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword pre-token count per document
+    (functions/text.subword_count_col) — the LLM token-budget estimate."""
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", subword_count_col(F.col("text")).alias("n_subwords")
+    ).orderBy("doc_id")
+
+
 def q45_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs kNN join: top-3 cosine neighbors per vector
     (operators/ann.knn_join — the correctness baseline for ivf_knn_join,
@@ -275,6 +286,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
     "q35_ann_ivf_topk": q35_ann_ivf_topk,
     "q45_knn_join": q45_knn_join,
+    "q46_subword_count": q46_subword_count,
 }
 
 
@@ -411,6 +423,11 @@ EXT_ORACLES: dict[str, str] = {
         "FROM documents ORDER BY id"
     ),
     # q29/q30/q31: engine-hash-based (xxhash64 / hyperplane LSH) — rows-only.
+    "q46_subword_count": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+        + BPE_SPLIT_PATTERN.replace("'", "''")
+        + "')) AS BIGINT) AS n_subwords FROM documents ORDER BY doc_id"
+    ),
     "q45_knn_join": (
         "WITH s AS ("
         f"  SELECT l.vec_id AS a, r.vec_id AS b, {_dot_sql('l.embedding', 'r.embedding')} / "

@@ -38,6 +38,24 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("bigint")
 
 
+#: BPE-style pre-tokenizer split (the GPT-2 pattern family): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+#: Restricted to constructs Java regex and RE2 (DuckDB) treat identically —
+#: no lookahead, ASCII classes — so the SQL oracle matches token-for-token.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def subword_tokens_col(text: Column) -> Column:
+    """BPE-ish subword pre-tokens (the unit an LLM tokenizer would merge
+    from). A closer token-budget estimate than whitespace words for
+    training-data accounting."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def subword_count_col(text: Column) -> Column:
+    return F.size(subword_tokens_col(text)).cast("bigint")
+
+
 def stopword_ratio_col(
     text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> Column:

@@ -258,3 +258,19 @@ def test_text_profile_matches_individual_metrics(spark, docs):
         assert abs(p["stop_ratio"] - r["sr"]) < 1e-12
         assert abs(p["avg_tok_len"] - r["atl"]) < 1e-12
         assert p["fp"] == r["fp"]
+
+
+def test_subword_tokens_bpe_ish(spark):
+    from elephantdb_spark.functions.text import subword_count_col, subword_tokens_col
+
+    rows = spark.createDataFrame(
+        [("don't stop believin' 42x!",), ("",), ("  spaced   out  ",)],
+        "text string",
+    ).select(
+        subword_tokens_col(F.col("text")).alias("toks"),
+        subword_count_col(F.col("text")).alias("n"),
+    ).collect()
+    assert rows[0].toks == ["don", "'t", " stop", " believin", "'", " 42", "x", "!"]
+    assert rows[0].n == 8
+    assert rows[1].toks == [] and rows[1].n == 0
+    assert rows[2].toks == [" spaced", " out"] and rows[2].n == 2

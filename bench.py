@@ -80,7 +80,11 @@ def main() -> None:
     )
     build_domain(spark, warm_kv, eng.domain_root("warmup_kv"),
                  DomainSpec(num_shards=4), version=1)
-    eng.domain("warmup_kv").get(b"1")
+    wdom = eng.domain("warmup_kv")
+    wdom.get(b"1")
+    # >32 keys exercises the SQL IN-expression + broadcast-left-join shape
+    # the timed multiget compiles
+    wdom.multi_get([str(i).encode() for i in range(40)])
     customer.groupBy("c_mktsegment").count().collect()
 
     # --- 1. bulk build: the reference's core workload (A4-A8) -------------

@@ -111,6 +111,58 @@ def approx_stats(
     return df.agg(*exprs)
 
 
+def multi_grain_rollup(
+    df: DataFrame,
+    ts_col: Column,
+    group_cols: list[str],
+    value_col: str,
+    grains: list[str] = ("1 hour", "1 day"),
+) -> dict[str, DataFrame]:
+    """Hypertable-style continuous-aggregate rollup at several time
+    granularities (fine → coarse). Returns ``{grain: DataFrame}`` with
+    columns ``(ws_us, *group_cols, n_events, sum_value)``.
+
+    The finest grain aggregates the raw events (one shuffle). Every
+    coarser grain re-aggregates the previous grain's partials — count and
+    sum are mergeable, so daily == sum of its hours by construction. At
+    100 TB the raw table is scanned ONCE no matter how many grains are
+    materialized, and each coarsening shuffles only rollup rows (orders of
+    magnitude smaller than events). Persist each level as a domain /
+    table for a serving-side query-picks-the-grain pattern.
+
+    ``grains`` must run fine → coarse with each grain an exact multiple of
+    the previous (1 hour → 1 day, not 90 minutes).
+    """
+    if not grains:
+        raise ValueError("grains must be non-empty")
+    out: dict[str, DataFrame] = {}
+    fine = (
+        df.withColumn("__w", F.window(ts_col, grains[0]))
+        .groupBy(F.col("__w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
+        .drop("__w")
+    )
+    out[grains[0]] = fine
+    prev = fine
+    for grain in grains[1:]:
+        prev = (
+            prev.withColumn("__w", F.window(F.timestamp_micros(F.col("ws_us")), grain))
+            .groupBy(F.col("__w"), *group_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
+            .drop("__w")
+        )
+        out[grain] = prev
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-checked queries + oracles
 # ---------------------------------------------------------------------------
@@ -176,10 +228,26 @@ def q34_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type rollup computed by MERGING the hourly rollup's
+    partials (multi_grain_rollup) — the oracle aggregates raw events
+    directly, so a hash match proves the coarsening is lossless."""
+    ev = _events(spark, sf_dir)
+    daily = multi_grain_rollup(
+        ev, ts_from_nanos(F.col("ts")), ["event_type"], "value",
+        grains=["1 hour", "1 day"],
+    )["1 day"]
+    return daily.select(
+        "ws_us", "event_type", "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("ws_us", "event_type")
+
+
 ANALYTICS_QUERIES = {
     "q32_event_window_agg": q32_event_window_agg,
     "q33_event_sessions": q33_event_sessions,
     "q34_approx_stats": q34_approx_stats,
+    "q47_daily_rollup_from_hourly": q47_daily_rollup_from_hourly,
 }
 
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
@@ -205,4 +273,11 @@ ANALYTICS_ORACLES = {
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us"
     ),
     # q34: rows-only (sketches are engine-specific)
+    # q47's oracle aggregates RAW events at day grain — the engine path
+    # merges hourly partials, so the hash match proves lossless coarsening
+    "q47_daily_rollup_from_hourly": (
+        "SELECT epoch_us(date_trunc('day', ts)) AS ws_us, event_type, "
+        "COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"
+    ),
 }

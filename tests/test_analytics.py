@@ -340,3 +340,35 @@ def test_embedding_neardup_scorers_agree(spark, emb):
     constructed = {(int(r.vec_id), int(r.vec_id) + 100000) for r in base}
     assert constructed <= arrow  # every planted near-dup found
     assert arrow == fold
+
+
+def test_multi_grain_rollup_merge_consistency(spark, events):
+    """Coarse grains derived from fine partials equal direct aggregation
+    of raw events at that grain — and the raw table is scanned only for
+    the finest grain."""
+    from elephantdb_spark.analytics import multi_grain_rollup, ts_from_nanos
+
+    grains = multi_grain_rollup(
+        events, ts_from_nanos(F.col("ts")), ["event_type"], "value",
+        grains=["1 hour", "6 hours", "1 day"],
+    )
+    direct_daily = (
+        events.withColumn("__w", F.window(ts_from_nanos(F.col("ts")), "1 day"))
+        .groupBy("__w", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.unix_micros(F.col("__w.start")).alias("ws_us"), "event_type",
+                "n_events", "sum_value")
+    )
+    merged = {
+        (r.ws_us, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in grains["1 day"].collect()
+    }
+    direct = {
+        (r.ws_us, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in direct_daily.collect()
+    }
+    assert merged == direct
+    # total row conservation at every grain
+    total = events.count()
+    for g, df in grains.items():
+        assert df.agg(F.sum("n_events")).first()[0] == total, g

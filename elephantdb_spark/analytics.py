@@ -243,11 +243,44 @@ def q47_daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ws_us", "event_type")
 
 
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest order of the same
+    customer at-or-before the event time (operators/temporal.asof_join —
+    union + carry-forward window, one shuffle, no pair blow-up). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    import os
+
+    from elephantdb_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", ts_micros(F.col("ts")).alias("ts_us")
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts_us", right_ts="od_us",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.round("o_totalprice", 2).alias("last_order_price"),
+    ).orderBy("event_id")
+
+
 ANALYTICS_QUERIES = {
     "q32_event_window_agg": q32_event_window_agg,
     "q33_event_sessions": q33_event_sessions,
     "q34_approx_stats": q34_approx_stats,
     "q47_daily_rollup_from_hourly": q47_daily_rollup_from_hourly,
+    "q48_asof_join": q48_asof_join,
 }
 
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
@@ -279,5 +312,18 @@ ANALYTICS_ORACLES = {
         "SELECT epoch_us(date_trunc('day', ts)) AS ws_us, event_type, "
         "COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"
+    ),
+    "q48_asof_join": (
+        "WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od_us, "
+        "  o_orderkey, o_totalprice FROM orders "
+        "  QUALIFY row_number() OVER (PARTITION BY o_custkey, "
+        "    epoch_us(o_orderdate) ORDER BY o_orderkey DESC) = 1), "
+        "e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) "
+        "SELECT e.event_id, e.user_id, e.ts_us, "
+        "o.o_orderkey AS last_order_key, "
+        "round(o.o_totalprice, 2) AS last_order_price "
+        "FROM e ASOF LEFT JOIN o "
+        "ON e.user_id = o.o_custkey AND e.ts_us >= o.od_us "
+        "ORDER BY event_id"
     ),
 }

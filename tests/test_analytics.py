@@ -372,3 +372,33 @@ def test_multi_grain_rollup_merge_consistency(spark, events):
     total = events.count()
     for g, df in grains.items():
         assert df.agg(F.sum("n_events")).first()[0] == total, g
+
+
+def test_asof_join_edge_cases(spark):
+    from elephantdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3"), (3, 7, "e4")],
+        "k long, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, 100, 1.0),     # equal ts → inclusive match for e1
+            (1, 15, 101, None),    # null value field must not splice older price
+            (2, 60, 200, 3.0),     # after e3 → e3 gets no match
+            (2, 50, 201, 4.0),
+            (2, 50, 202, 5.0),     # tie on (k,ts): max rk wins
+        ],
+        "k long, ts long, rk long, price double",
+    )
+    got = {
+        r.name: (r.rk, r.price)
+        for r in asof_join(
+            left, right, "k", "k", "ts", "ts", ["rk", "price"], tie_break="rk"
+        ).collect()
+    }
+    assert got["e0"] == (None, None)        # nothing at-or-before 5
+    assert got["e1"] == (100, 1.0)          # inclusive equality
+    assert got["e2"] == (101, None)         # latest row wins even w/ null field
+    assert got["e3"] == (202, 5.0)          # tie-break by rk desc, inclusive
+    assert got["e4"] == (None, None)        # key with no right rows

@@ -275,12 +275,36 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.range_join — grid-bucketed
+    equi-join, no nested loop): every event matched to the gap-session
+    interval that contains it. Each event belongs to exactly one session
+    by construction, so the result has one row per event."""
+    from elephantdb_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    points = ev.select("event_id", "user_id", ts_micros(F.col("ts")).alias("ts_us"))
+    sessions = sessionize(
+        ev, ts_from_nanos(F.col("ts")), ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).select("user_id", "sess_start_us", "sess_end_us")
+    joined = range_join(
+        points, sessions,
+        point_key="user_id", interval_key="user_id",
+        point_ts="ts_us", start_col="sess_start_us", end_col="sess_end_us",
+        bucket_width=3_600_000_000,  # 1 h in microseconds
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us", "sess_start_us", "sess_end_us"
+    ).orderBy("event_id")
+
+
 ANALYTICS_QUERIES = {
     "q32_event_window_agg": q32_event_window_agg,
     "q33_event_sessions": q33_event_sessions,
     "q34_approx_stats": q34_approx_stats,
     "q47_daily_rollup_from_hourly": q47_daily_rollup_from_hourly,
     "q48_asof_join": q48_asof_join,
+    "q49_range_join": q49_range_join,
 }
 
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
@@ -312,6 +336,24 @@ ANALYTICS_ORACLES = {
         "SELECT epoch_us(date_trunc('day', ts)) AS ws_us, event_type, "
         "COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"
+    ),
+    # q49: recompute the session intervals (same CTE as q33) and join each
+    # event into its containing interval with a plain BETWEEN predicate —
+    # the engine side proves the bucketed equi-join computes the same set
+    "q49_range_join": (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events), "
+        "marked AS (SELECT *, CASE WHEN us - lag(us) OVER w > "
+        f"{_GAP_US} OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), "
+        "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM marked), "
+        "ivl AS (SELECT user_id, MIN(us) AS sess_start_us, "
+        f"MAX(us) + {_GAP_US} AS sess_end_us FROM sess GROUP BY user_id, sid) "
+        "SELECT e.event_id, e.user_id, e.us AS ts_us, "
+        "i.sess_start_us, i.sess_end_us "
+        "FROM e JOIN ivl i ON e.user_id = i.user_id "
+        "AND e.us >= i.sess_start_us AND e.us < i.sess_end_us "
+        "ORDER BY event_id"
     ),
     "q48_asof_join": (
         "WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od_us, "

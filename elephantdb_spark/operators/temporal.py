@@ -83,3 +83,65 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"__c.{v}").alias(v) for v in value_cols]
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-containment (range) join: each ``points`` row matched to
+    the ``intervals`` rows of the same key with ``start <= ts < end``.
+
+    Spark plans a raw inequality join as a broadcast nested loop (or worse,
+    a cartesian product) — O(points x intervals) comparisons. This is the
+    grid-bucket form: explode every interval into the fixed-width time
+    buckets it overlaps, equi-join points on (key, bucket), then apply the
+    exact containment predicate. Comparisons drop to points x
+    intervals-per-bucket, and the join shuffles hash-partitioned like any
+    equi-join (AQE skew splitting applies).
+
+    ``bucket_width`` is in the timestamp's own unit; pick it near the
+    median interval length (too small explodes the interval side, too
+    large packs many intervals per bucket). Zero/negative-length intervals
+    are dropped. Output: all point columns + all interval columns (minus
+    the key); points contained by no interval are absent (inner-join
+    semantics — union an anti-join for left semantics).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    b = F.lit(bucket_width)
+    ivl_cols = [c for c in intervals.columns if c != interval_key]
+    exploded = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / b),
+                    # end is exclusive: an interval ending exactly on a
+                    # bucket boundary does not reach into that bucket
+                    F.floor((F.col(end_col) - 1) / b),
+                )
+            ),
+        )
+        .select(F.col(interval_key).alias("__ik"), "__bucket", *ivl_cols)
+    )
+    tagged = points.withColumn("__bucket", F.floor(F.col(point_ts) / b))
+    contained = (F.col(start_col) <= F.col(point_ts)) & (
+        F.col(point_ts) < F.col(end_col)
+    )
+    return (
+        tagged.join(
+            exploded,
+            (tagged[point_key] == exploded["__ik"])
+            & (tagged["__bucket"] == exploded["__bucket"]),
+        )
+        .filter(contained)
+        .drop("__bucket", "__ik")
+    )

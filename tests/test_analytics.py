@@ -402,3 +402,35 @@ def test_asof_join_edge_cases(spark):
     assert got["e2"] == (101, None)         # latest row wins even w/ null field
     assert got["e3"] == (202, 5.0)          # tie-break by rk desc, inclusive
     assert got["e4"] == (None, None)        # key with no right rows
+
+
+def test_range_join_edge_cases(spark):
+    from elephantdb_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 10, "p10"), (1, 19, "p19"), (1, 20, "p20"), (1, 100, "p100"),
+         (2, 15, "p2_15")],
+        "k long, ts long, name string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 10, 20, "A"),    # [10,20): start-inclusive, end-exclusive
+            (1, 15, 205, "B"),   # spans many buckets (width 10)
+            (1, 30, 30, "Z"),    # degenerate — dropped
+            (2, 0, 16, "C"),
+        ],
+        "k long, s long, e long, ivl string",
+    )
+    got = {
+        (r.name, r.ivl)
+        for r in range_join(
+            points, intervals, "k", "k", "ts", "s", "e", bucket_width=10
+        ).collect()
+    }
+    assert got == {
+        ("p10", "A"),            # ts == start matches
+        ("p19", "A"), ("p19", "B"),
+        ("p20", "B"),            # ts == A's end does NOT match A
+        ("p100", "B"),           # deep inside the long interval
+        ("p2_15", "C"),
+    }

@@ -26,6 +26,7 @@ from elephantdb_spark.operators.multimodal import (
     resize_images,
     sample_frames_df,
 )
+from elephantdb_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
     "exact_dedup",
@@ -45,4 +46,6 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames_df",
+    "asof_join",
+    "range_join",
 ]

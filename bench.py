@@ -74,10 +74,9 @@ def main() -> None:
     # classes, so the timed entries measure steady-state operator cost
     # rather than first-query JVM initialization (~4 s of pure warmup
     # otherwise lands on whichever entry runs first).
-    warm_kv = customer.limit(1000).select(
-        F.col("c_custkey").cast("string").cast("binary").alias("key"),
-        F.col("c_name").cast("binary").alias("value"),
-    )
+    from elephantdb_spark.sources import kv_from_columns
+
+    warm_kv = kv_from_columns(customer.limit(1000), "c_custkey", "c_name")
     build_domain(spark, warm_kv, eng.domain_root("warmup_kv"),
                  DomainSpec(num_shards=4), version=1)
     wdom = eng.domain("warmup_kv")

@@ -111,6 +111,27 @@ def approx_stats(
     return df.agg(*exprs)
 
 
+_GRAIN_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _grain_seconds(grain: str) -> int:
+    """Parse a window duration like '6 hours' to seconds (the subset of
+    CalendarInterval syntax F.window accepts for fixed-length windows)."""
+    parts = grain.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _GRAIN_UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported grain {grain!r}: use '<N> "
+            f"{'|'.join(sorted(set(_GRAIN_UNIT_SECONDS)))}'"
+        )
+    return int(parts[0]) * _GRAIN_UNIT_SECONDS[parts[1]]
+
+
 def multi_grain_rollup(
     df: DataFrame,
     ts_col: Column,
@@ -131,10 +152,20 @@ def multi_grain_rollup(
     table for a serving-side query-picks-the-grain pattern.
 
     ``grains`` must run fine → coarse with each grain an exact multiple of
-    the previous (1 hour → 1 day, not 90 minutes).
+    the previous (1 hour → 1 day, not 7 minutes → 1 hour) — otherwise a
+    fine window straddling a coarse boundary would be assigned wholly to
+    the window containing its start and the coarse totals would be
+    silently wrong. Validated up front.
     """
     if not grains:
         raise ValueError("grains must be non-empty")
+    secs = [_grain_seconds(g) for g in grains]
+    for (ga, sa), (gb, sb) in zip(zip(grains, secs), zip(grains[1:], secs[1:])):
+        if sb < sa or sb % sa != 0:
+            raise ValueError(
+                f"grain {gb!r} must be an exact multiple of {ga!r} "
+                f"({sb}s vs {sa}s)"
+            )
     out: dict[str, DataFrame] = {}
     fine = (
         df.withColumn("__w", F.window(ts_col, grains[0]))

@@ -84,7 +84,15 @@ def _write_version(
     n = store.spec.num_shards
     scheme = resolve_scheme(store.spec.shard_scheme)
     fmt = resolve_format(store.spec.persistence_format)
-    sharded = df.withColumn("shard", scheme.shard_col(F.col("key"), n))
+    # NULL keys have no shard and would land in a hive default partition
+    # dir unreachable by any read — reject loudly instead. The check rides
+    # inside the shard expression (which is always consumed) so the
+    # optimizer cannot prune it.
+    shard_expr = F.when(
+        F.col("key").isNull(),
+        F.raise_error(F.lit("domain build: key must not be NULL")),
+    ).otherwise(scheme.shard_col(F.col("key"), n))
+    sharded = df.withColumn("shard", shard_expr)
     # Exact 1:1 shard→partition placement (see sharding.exact_partition_slots),
     # then sort by (shard, key) so the partitioned writer streams rows in key
     # order without re-sorting — each shard becomes one key-sorted file.

@@ -31,8 +31,6 @@ from __future__ import annotations
 
 import os
 
-import pyarrow as pa
-import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
@@ -302,6 +300,10 @@ class Domain:
         """
         if self._fmt != "parquet":
             return self.multi_get(keys, version)
+        # lazy: pyarrow is only required by the local probe path, not by
+        # importing the package
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         v = self._resolve_version(version)
         vpath = self.store.version_path(v)
@@ -396,15 +398,26 @@ class Engine:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # memoized read handles so the per-handle caches (resolved scan
+        # DataFrames, open parquet footers) actually hit across
+        # Engine.get/local_get calls — the serving pattern. Hot-swap safe:
+        # a Domain re-resolves the current version from disk per read, so
+        # newly published versions are visible through a cached handle.
+        self._domains: dict[str, Domain] = {}
 
     def domain_root(self, name: str) -> str:
         return os.path.join(self.root, name)
 
     def domain(self, name: str) -> Domain:
+        cached = self._domains.get(name)
+        if cached is not None:
+            return cached
         root = self.domain_root(name)
         if not DomainSpec.exists(root):
             raise DomainNotFoundError(name)
-        return Domain(self.spark, root, name)
+        dom = Domain(self.spark, root, name)
+        self._domains[name] = dom
+        return dom
 
     def list_domains(self) -> list[str]:
         """getDomains (A28, core.thrift:80-91)."""
@@ -450,6 +463,7 @@ class Engine:
         for name in self.list_domains():
             if name not in keep:
                 shutil.rmtree(self.domain_root(name))
+                self._domains.pop(name, None)
                 purged.append(name)
         return purged
 

@@ -41,8 +41,12 @@ def token_count_col(text: Column) -> Column:
 #: BPE-style pre-tokenizer split (the GPT-2 pattern family): contraction
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
 #: Restricted to constructs Java regex and RE2 (DuckDB) treat identically —
-#: no lookahead, ASCII classes — so the SQL oracle matches token-for-token.
-BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+#: no lookahead, ASCII classes, and an EXPLICIT whitespace class (Java's
+#: \s includes \x0b, RE2's does not — the one place the engines disagree)
+#: — so the SQL oracle matches token-for-token.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\x0b\x0c]+"
+)
 
 
 def subword_tokens_col(text: Column) -> Column:

@@ -301,9 +301,8 @@ def _cell_knn_cogroup(k: int):
 
     def score(probes: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
         if probes.empty or members.empty:
-            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                {"a": "int64", "b": "int64", "sim": "float64"}
-            )
+            # empty object-dtype columns convert to any Arrow type
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
         P = np.vstack(probes["va"].to_numpy()).astype(np.float64)
         D = np.vstack(members["vb"].to_numpy()).astype(np.float64)
         pn = np.linalg.norm(P, axis=1)
@@ -379,11 +378,12 @@ def ivf_knn_join(
         )
     )
     if scorer == "arrow":
+        id_type = dict(df.dtypes)[id_col]
         scored = (
             probes.groupBy("cell")
             .cogroup(data.groupBy("cell"))
             .applyInPandas(
-                _cell_knn_cogroup(k), schema="a long, b long, sim double"
+                _cell_knn_cogroup(k), schema=f"a {id_type}, b {id_type}, sim double"
             )
         )
     else:

@@ -45,7 +45,12 @@ def asof_join(
     tb = tie_break or value_cols[0]
     dedup_w = Window.partitionBy(right_key, right_ts).orderBy(F.col(tb).desc())
     right_one = (
-        right.select(right_key, right_ts, *value_cols)
+        # SQL equality/inequality never matches NULL: a right row with a
+        # NULL key or NULL ts can match no left row — drop them up front
+        # (otherwise a NULL-ts row sorts first and its struct would be
+        # carried into every left row of the key)
+        right.filter(F.col(right_key).isNotNull() & F.col(right_ts).isNotNull())
+        .select(right_key, right_ts, *value_cols)
         .withColumn("__rn", F.row_number().over(dedup_w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")

@@ -33,10 +33,16 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange nodes (broadcast exchanges excluded) —
     the quantity to minimize; every one is a full materialization of its
     input across the cluster."""
-    # shuffles print as "Exchange hashpartitioning/rangepartitioning/
-    # SinglePartition/RoundRobinPartitioning(...)"; broadcast distribution
-    # prints as "BroadcastExchange" — exclude via lookbehind
-    return len(re.findall(r"(?<!Broadcast)Exchange ", plan_str(df)))
+    # count tree nodes whose name is exactly "Exchange" — line-based
+    # because "BroadcastExchange" must not count and a "ReusedExchange
+    # [...], Exchange hashpartitioning(...)" line EMBEDS the description
+    # of the node it reuses (substring matching would double-count it)
+    count = 0
+    for line in plan_str(df).splitlines():
+        node = line.lstrip(" :+-*")
+        if node.startswith("Exchange "):
+            count += 1
+    return count
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -71,9 +71,16 @@ def kv_from_columns(
     if len(keys) == 1:
         key = encode_utf8(keys[0])
     else:
-        key = F.concat_ws(key_sep, *[F.col(k).cast("string") for k in keys]).cast(
-            "binary"
-        )
+        # concat, NOT concat_ws: concat_ws silently skips NULL components,
+        # so ("a-b", NULL) and ("a", "b") would collide on key b"a-b" and
+        # LWW dedup would silently drop a row. With concat, any NULL
+        # component yields a NULL key, which the build rejects loudly.
+        parts: list = []
+        for i, k in enumerate(keys):
+            if i:
+                parts.append(F.lit(key_sep))
+            parts.append(F.col(k).cast("string"))
+        key = F.concat(*parts).cast("binary")
     if len(vals) == 1:
         dtype = dict(df.dtypes).get(vals[0])
         value = encode_binary(vals[0]) if dtype == "binary" else encode_utf8(vals[0])

@@ -125,3 +125,95 @@ def test_blank_documents_produce_no_shingle_pairs(spark):
     # blank docs must NOT pair with each other via a shared '' token
     assert simhash_neardup_pairs(docs, "doc_id", "text", shingle_len=1).count() == 0
     assert jaccard_shingle_pairs(docs, "doc_id", "text", shingle_len=1).count() == 0
+
+
+# ---- second review round (session 2) --------------------------------------
+
+
+def test_composite_null_key_does_not_collide(spark, tmp_path):
+    """concat_ws silently skips NULLs: ("a-b", NULL) would collide with
+    ("a", "b"). Now a NULL component yields a NULL key, and the build
+    rejects NULL keys loudly instead of hiding the row in a hive default
+    partition."""
+    from elephantdb_spark import DomainSpec, build_domain
+    from elephantdb_spark.sources import kv_from_columns
+
+    df = spark.createDataFrame(
+        [("a-b", None, "v1"), ("a", "b", "v2")], "x string, y string, v string"
+    )
+    kv = kv_from_columns(df, ["x", "y"], "v")
+    rows = {(None if r.key is None else bytes(r.key)): bytes(r.value) for r in kv.collect()}
+    assert rows == {None: b"v1", b"a-b": b"v2"}
+
+    import pytest
+
+    with pytest.raises(Exception, match="key must not be NULL"):
+        build_domain(spark, kv, str(tmp_path / "nullkey"),
+                     DomainSpec(num_shards=2), version=1)
+
+
+def test_count_exchanges_ignores_reused_and_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.plans import count_exchanges, plan_str
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").count()
+    doubled = agg.union(agg)
+    plan = plan_str(doubled)
+    n = count_exchanges(doubled)
+    if "ReusedExchange" in plan:
+        # the reused line embeds the original Exchange description — it
+        # must not double-count
+        assert n == 1, plan
+    else:
+        assert n == 2, plan
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    bcast = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert count_exchanges(bcast) == 0
+
+
+def test_asof_join_ignores_null_right_rows(spark):
+    from elephantdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10, "e")], "k long, ts long, name string")
+    right = spark.createDataFrame(
+        [(1, None, 99, 9.9), (None, 5, 98, 8.8)],
+        "k long, ts long, rk long, price double",
+    )
+    row = asof_join(left, right, "k", "k", "ts", "ts", ["rk", "price"]).first()
+    assert row.rk is None and row.price is None  # NULL never matches (SQL)
+
+
+def test_multi_grain_rollup_rejects_non_multiples(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.analytics import multi_grain_rollup
+
+    df = spark.createDataFrame([(1, 1.0)], "ts long, value double")
+    with pytest.raises(ValueError, match="exact multiple"):
+        multi_grain_rollup(df, F.timestamp_micros(F.col("ts")), [], "value",
+                           grains=["7 minutes", "1 hour"])
+    with pytest.raises(ValueError, match="unsupported grain"):
+        multi_grain_rollup(df, F.timestamp_micros(F.col("ts")), [], "value",
+                           grains=["1 fortnight"])
+
+
+def test_ivf_knn_join_string_ids(spark):
+    """The arrow scorer's output schema follows the id column's type."""
+    import numpy as np
+
+    from elephantdb_spark.operators.ann import ivf_knn_join, knn_join
+
+    rng = np.random.default_rng(7)
+    rows = [(f"doc{i:03d}", [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    exact = {(r.a, r.rk): r.b for r in knn_join(df, k=2).collect()}
+    arrow = {
+        (r.a, r.rk): r.b
+        for r in ivf_knn_join(df, k=2, n_cells=4, n_probe=4, scorer="arrow").collect()
+    }
+    assert exact == arrow

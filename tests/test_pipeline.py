@@ -80,3 +80,45 @@ def test_full_pipeline_to_served_domain(spark, corpus, tmp_path):
     got = dom.multi_get([str(i).encode() for i in sample])
     for i, text in sample.items():
         assert int(got[str(i).encode()]) == python_fingerprint(text)
+
+
+def test_clean_corpus_matches_hand_rolled(spark, corpus):
+    """The packaged pipeline reproduces the hand-rolled stage composition
+    above on the same planted corpus."""
+    from elephantdb_spark.pipeline import clean_corpus
+
+    # hand-rolled (mirrors test_full_pipeline_to_served_domain's stages,
+    # same detector parameters)
+    quality = corpus.filter(token_count_col(F.col("text")) >= MIN_TOKENS)
+    survivors = exact_dedup(quality, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = quality.join(survivors, "doc_id")
+    pairs = minhash_lsh_pairs(
+        deduped, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    )
+    losers = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
+    expected = {r.doc_id for r in deduped.join(losers, "doc_id", "left_anti").collect()}
+
+    got = {
+        r.doc_id
+        for r in clean_corpus(
+            corpus, min_tokens=MIN_TOKENS, neardup="minhash",
+            num_perm=32, bands=8, neardup_threshold=0.5,
+        ).collect()
+    }
+    assert got == expected
+    # planted exact dups (ids+100000) must all be gone
+    assert not {i for i in got if 100_000 <= i < 200_000}
+
+
+def test_clean_corpus_stage_toggles(spark, corpus):
+    from elephantdb_spark.pipeline import clean_corpus
+
+    everything = clean_corpus(corpus, min_tokens=None, drop_exact_dups=False,
+                              neardup=None)
+    assert everything.count() == corpus.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown neardup"):
+        clean_corpus(corpus, neardup="bogus")

@@ -124,10 +124,15 @@ def _grain_seconds(grain: str) -> int:
     """Parse a window duration like '6 hours' to seconds (the subset of
     CalendarInterval syntax F.window accepts for fixed-length windows)."""
     parts = grain.strip().split()
-    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _GRAIN_UNIT_SECONDS:
+    if (
+        len(parts) != 2
+        or not parts[0].isdigit()
+        or int(parts[0]) <= 0
+        or parts[1] not in _GRAIN_UNIT_SECONDS
+    ):
         raise ValueError(
             f"unsupported grain {grain!r}: use '<N> "
-            f"{'|'.join(sorted(set(_GRAIN_UNIT_SECONDS)))}'"
+            f"{'|'.join(sorted(set(_GRAIN_UNIT_SECONDS)))}' with N >= 1"
         )
     return int(parts[0]) * _GRAIN_UNIT_SECONDS[parts[1]]
 
@@ -138,18 +143,22 @@ def multi_grain_rollup(
     group_cols: list[str],
     value_col: str,
     grains: list[str] = ("1 hour", "1 day"),
+    persist_levels: bool = False,
 ) -> dict[str, DataFrame]:
     """Hypertable-style continuous-aggregate rollup at several time
     granularities (fine → coarse). Returns ``{grain: DataFrame}`` with
     columns ``(ws_us, *group_cols, n_events, sum_value)``.
 
-    The finest grain aggregates the raw events (one shuffle). Every
-    coarser grain re-aggregates the previous grain's partials — count and
-    sum are mergeable, so daily == sum of its hours by construction. At
-    100 TB the raw table is scanned ONCE no matter how many grains are
-    materialized, and each coarsening shuffles only rollup rows (orders of
-    magnitude smaller than events). Persist each level as a domain /
-    table for a serving-side query-picks-the-grain pattern.
+    The finest grain aggregates the raw events (one shuffle); every
+    coarser grain's PLAN re-aggregates the previous grain's partials —
+    count and sum are mergeable, so daily == sum of its hours by
+    construction, and each coarsening shuffles only rollup rows. The
+    plans are lazy: materializing each returned level independently would
+    re-execute the raw scan per level. To actually scan raw once across
+    all levels, either set ``persist_levels=True`` (persists every level
+    but the coarsest; call ``.unpersist()`` on the returned handles when
+    done) or — the production pattern — write each level out fine→coarse
+    and build the next level from the written table.
 
     ``grains`` must run fine → coarse with each grain an exact multiple of
     the previous (1 hour → 1 day, not 7 minutes → 1 hour) — otherwise a
@@ -177,6 +186,8 @@ def multi_grain_rollup(
         .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
         .drop("__w")
     )
+    if persist_levels and len(grains) > 1:
+        fine = fine.persist()
     out[grains[0]] = fine
     prev = fine
     for grain in grains[1:]:
@@ -190,6 +201,8 @@ def multi_grain_rollup(
             .withColumn("ws_us", F.unix_micros(F.col("__w.start")))
             .drop("__w")
         )
+        if persist_levels and grain != grains[-1]:
+            prev = prev.persist()
         out[grain] = prev
     return out
 

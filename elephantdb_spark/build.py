@@ -74,6 +74,18 @@ def dedup_last_writer_wins(df: DataFrame, seq_col: str | None = None) -> DataFra
     return df.groupBy("key").agg(agg.alias("value")).select("key", "value")
 
 
+def _guarded_shard_expr(scheme, num_shards: int):
+    """Shard column with a NULL-key rejection built in: NULL keys have no
+    shard and would land in a hive default partition dir unreachable by
+    any read — raise loudly instead. The check rides inside the shard
+    expression (which is always consumed) so the optimizer cannot prune
+    it. Used by both the build and the incremental-update paths."""
+    return F.when(
+        F.col("key").isNull(),
+        F.raise_error(F.lit("domain build: key must not be NULL")),
+    ).otherwise(scheme.shard_col(F.col("key"), num_shards))
+
+
 def _write_version(
     spark: SparkSession,
     df: DataFrame,
@@ -84,15 +96,7 @@ def _write_version(
     n = store.spec.num_shards
     scheme = resolve_scheme(store.spec.shard_scheme)
     fmt = resolve_format(store.spec.persistence_format)
-    # NULL keys have no shard and would land in a hive default partition
-    # dir unreachable by any read — reject loudly instead. The check rides
-    # inside the shard expression (which is always consumed) so the
-    # optimizer cannot prune it.
-    shard_expr = F.when(
-        F.col("key").isNull(),
-        F.raise_error(F.lit("domain build: key must not be NULL")),
-    ).otherwise(scheme.shard_col(F.col("key"), n))
-    sharded = df.withColumn("shard", shard_expr)
+    sharded = df.withColumn("shard", _guarded_shard_expr(scheme, n))
     # Exact 1:1 shard→partition placement (see sharding.exact_partition_slots),
     # then sort by (shard, key) so the partitioned writer streams rows in key
     # order without re-sorting — each shard becomes one key-sorted file.
@@ -193,7 +197,7 @@ def update_domain(
         new_data = dedup_last_writer_wins(batch, seq_col)
         if indexer is not None:
             new_data = indexer(new_data).select("key", "value")
-        new_data = new_data.withColumn("shard", scheme.shard_col(F.col("key"), n)).cache()
+        new_data = new_data.withColumn("shard", _guarded_shard_expr(scheme, n)).cache()
         try:
             # one job yields both the batch size and the touched-shard
             # list (≤ n rows to the driver) and materializes the cache

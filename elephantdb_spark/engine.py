@@ -88,6 +88,9 @@ class Domain:
         # open pyarrow handles for the local serving probe (shard files are
         # immutable; see _open_shard_file)
         self._pq_cache: dict[str, object] = {}
+        # published-version snapshot — when it changes, caches drop (see
+        # _resolve_version)
+        self._seen_versions: tuple[int, ...] = ()
 
     # -- version/catalog metadata -------------------------------------------
     @property
@@ -119,16 +122,25 @@ class Domain:
 
     # -- internals -----------------------------------------------------------
     def _resolve_version(self, version: int | None = None) -> int:
+        # every resolution observes the live published-version set; when it
+        # changes (new version published, old versions GC'd) both caches
+        # are dropped wholesale — cached DataFrames for deleted version
+        # dirs would fail, and cached parquet handles would keep deleted
+        # shard files' disk blocks allocated for the handle's lifetime
+        versions = tuple(self.store.all_versions())
+        if versions != self._seen_versions:
+            self._seen_versions = versions
+            self._read_cache.clear()
+            self._pq_cache.clear()
         if version is not None:
-            if not self.store.versioned_store.has_version(version):
+            if int(version) not in versions:
                 raise DomainNotLoadedError(
                     f"domain {self.name}: version {version} not published"
                 )
             return int(version)
-        v = self.current_version()
-        if v is None:
+        if not versions:
             raise DomainNotLoadedError(f"domain {self.name} has no published version")
-        return v
+        return versions[0]
 
     def _empty_kv(self, with_shard: bool = True) -> DataFrame:
         schema = KV_SHARD_SCHEMA if with_shard else KV_SCHEMA

@@ -42,6 +42,14 @@ def asof_join(
     the greatest ``tie_break`` column wins (required for determinism if
     such ties exist; default keeps the greatest first value col).
     """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns — "
+            "rename one side before joining"
+        )
     tb = tie_break or value_cols[0]
     dedup_w = Window.partitionBy(right_key, right_ts).orderBy(F.col(tb).desc())
     right_one = (

@@ -6,9 +6,10 @@ domain.
 Every stage is the already-tested operator; this module only owns the
 composition and the keep-policy (smallest id survives each duplicate
 group). Stages toggle off with ``None``/``False`` so callers pay only for
-what they use; the whole pipeline is lazy — one optimized plan, no
-intermediate materialization unless ``cache_intermediate`` is set (useful
-when the near-dup stage would otherwise recompute the quality gate).
+what they use; the whole pipeline is lazy — one optimized plan. The
+near-dup detectors internally persist their shingle index (see
+operators/dedup); callers who will materialize the result several times
+should persist their own input upstream, keeping the unpersist handle.
 """
 
 from __future__ import annotations
@@ -37,7 +38,6 @@ def clean_corpus(
     bands: int = 16,
     shingle_len: int = 3,
     max_hamming: int = 3,
-    cache_intermediate: bool = False,
 ) -> DataFrame:
     """Quality-gate, dedup, and near-dup-clean a document corpus.
 
@@ -61,8 +61,6 @@ def clean_corpus(
     out = docs
     if min_tokens is not None:
         out = out.filter(token_count_col(F.col(text_col)) >= min_tokens)
-    if cache_intermediate:
-        out = out.persist()
     if drop_exact_dups:
         survivors = exact_dedup(out, [text_col], id_col).select(
             F.col("keep_id").alias(id_col)
@@ -81,7 +79,8 @@ def clean_corpus(
         )
     elif neardup == "simhash":
         pairs = simhash_neardup_pairs(
-            out, id_col, text_col, max_hamming=max_hamming
+            out, id_col, text_col,
+            max_hamming=max_hamming, shingle_len=shingle_len,
         )
     else:
         pairs = None

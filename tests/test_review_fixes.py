@@ -217,3 +217,68 @@ def test_ivf_knn_join_string_ids(spark):
         for r in ivf_knn_join(df, k=2, n_cells=4, n_probe=4, scorer="arrow").collect()
     }
     assert exact == arrow
+
+
+# ---- third review round -----------------------------------------------------
+
+
+def test_update_domain_rejects_null_keys(spark, tmp_path):
+    """The NULL-key guard also covers the incremental-update path (which
+    computes its own shard column)."""
+    import pytest
+
+    from elephantdb_spark import DomainSpec, build_domain, update_domain
+
+    root = str(tmp_path / "d")
+    ok = spark.createDataFrame([(b"a", b"1")], "key binary, value binary")
+    build_domain(spark, ok, root, DomainSpec(num_shards=2), version=1)
+    bad = spark.createDataFrame([(None, b"x"), (b"b", b"2")], "key binary, value binary")
+    with pytest.raises(Exception, match="key must not be NULL"):
+        update_domain(spark, bad, root, version=2)
+
+
+def test_domain_caches_drop_on_version_change(spark, tmp_path):
+    """Version GC must invalidate the cached parquet handles / DataFrames
+    (deleted shard files would otherwise stay open)."""
+    from elephantdb_spark import DomainSpec, Engine, build_domain, update_domain
+
+    eng = Engine(spark, str(tmp_path))
+    kv = spark.createDataFrame(
+        [(str(i).encode(), b"v") for i in range(50)], "key binary, value binary"
+    )
+    build_domain(spark, kv, eng.domain_root("d"), DomainSpec(num_shards=2), version=1)
+    dom = eng.domain("d")
+    assert dom.local_get(b"1") == b"v"
+    assert len(dom._pq_cache) > 0
+    batch = spark.createDataFrame([(b"1", b"NEW")], "key binary, value binary")
+    update_domain(spark, batch, eng.domain_root("d"), version=2)
+    dom.cleanup_versions(versions_to_keep=1)
+    # same cached handle (Engine memoizes); caches must refresh
+    assert eng.domain("d") is dom
+    assert dom.local_get(b"1") == b"NEW"
+    assert dom.get(b"2") == b"v"
+
+
+def test_asof_join_validates_value_cols(spark):
+    import pytest
+
+    from elephantdb_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, price double")
+    r = spark.createDataFrame([(1, 1, 3.0)], "k long, ts long, price double")
+    with pytest.raises(ValueError, match="non-empty"):
+        asof_join(l, r, "k", "k", "ts", "ts", [])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, "k", "k", "ts", "ts", ["price"])
+
+
+def test_grain_rejects_zero(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.analytics import multi_grain_rollup
+
+    df = spark.createDataFrame([(1, 1.0)], "ts long, value double")
+    with pytest.raises(ValueError, match="unsupported grain"):
+        multi_grain_rollup(df, F.timestamp_micros(F.col("ts")), [], "value",
+                           grains=["0 hours", "1 day"])

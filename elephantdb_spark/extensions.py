@@ -259,6 +259,19 @@ def q46_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q50_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packaged cleaning pipeline (pipeline.clean_corpus) with its
+    SQL-expressible stages: quality gate (>= 30 whitespace tokens) + exact
+    dedup keeping the smallest doc_id per identical text. The near-dup
+    stage is xxhash-based and covered rows-only via q29/q30; here it is
+    off so the whole pipeline output is oracle-hashable."""
+    from elephantdb_spark.pipeline import clean_corpus
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = clean_corpus(docs, min_tokens=30, neardup=None)
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q45_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs kNN join: top-3 cosine neighbors per vector
     (operators/ann.knn_join — the correctness baseline for ivf_knn_join,
@@ -287,6 +300,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_ann_ivf_topk": q35_ann_ivf_topk,
     "q45_knn_join": q45_knn_join,
     "q46_subword_count": q46_subword_count,
+    "q50_clean_corpus": q50_clean_corpus,
 }
 
 
@@ -427,6 +441,12 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
         + BPE_SPLIT_PATTERN.replace("'", "''")
         + "')) AS BIGINT) AS n_subwords FROM documents ORDER BY doc_id"
+    ),
+    "q50_clean_corpus": (
+        f"WITH q AS (SELECT doc_id, text FROM documents "
+        f"           WHERE {_TOKEN_COUNT_EXPR} >= 30), "
+        "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text) "
+        "SELECT doc_id FROM keep ORDER BY doc_id"
     ),
     "q45_knn_join": (
         "WITH s AS ("

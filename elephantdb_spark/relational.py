@@ -221,6 +221,39 @@ def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders having at least one returned
+    lineitem, counted per priority — the left-semi-join family (Catalyst
+    plans the EXISTS as LeftSemi, deduplicating matches before the
+    aggregate)."""
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q52_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders at all, counted per nation —
+    the left-anti-join family with a broadcast dimension on top."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    nation = _table(spark, sf_dir, "nation")
+    idle = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(nation), idle["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q36_rollup_agg": q36_rollup_agg,
     "q37_window_topk": q37_window_topk,
@@ -231,6 +264,8 @@ RELATIONAL_QUERIES = {
     "q42_local_supplier_volume": q42_local_supplier_volume,
     "q43_large_volume_customer": q43_large_volume_customer,
     "q44_promo_revenue": q44_promo_revenue,
+    "q51_exists_semi_join": q51_exists_semi_join,
+    "q52_anti_join": q52_anti_join,
 }
 
 RELATIONAL_ORACLES = {
@@ -309,6 +344,18 @@ RELATIONAL_ORACLES = {
         "ON o_orderkey = big.l_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY totalprice DESC, o_orderkey LIMIT 20"
+    ),
+    "q51_exists_semi_join": (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem "
+        "  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "q52_anti_join": (
+        "SELECT n_name, COUNT(*) AS n_customers FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY n_name ORDER BY n_name"
     ),
     "q44_promo_revenue": (
         "SELECT round(100.0 * "

@@ -254,6 +254,50 @@ def q52_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: revenue per (supplier-nation,
+    customer-nation, ship-year) flow. Exercises the dimension SELF-join
+    (nation aliased twice against different fact keys) plus year
+    extraction from the event time."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    supp = _table(spark, sf_dir, "supplier")
+    n1 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        # sum in exact decimals: the fine (nation-pair, year) grouping
+        # makes a float sum land on a .xx5 rounding boundary in this data,
+        # where Spark and DuckDB round apart. price has 2 decimals and
+        # discount 2, so decimal(18,2) x decimal(4,2) is exact and the
+        # rounded sum is engine-independent by construction.
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q36_rollup_agg": q36_rollup_agg,
     "q37_window_topk": q37_window_topk,
@@ -266,6 +310,7 @@ RELATIONAL_QUERIES = {
     "q44_promo_revenue": q44_promo_revenue,
     "q51_exists_semi_join": q51_exists_semi_join,
     "q52_anti_join": q52_anti_join,
+    "q53_nation_volume_shipping": q53_nation_volume_shipping,
 }
 
 RELATIONAL_ORACLES = {
@@ -356,6 +401,21 @@ RELATIONAL_ORACLES = {
         "JOIN nation ON c_nationkey = n_nationkey "
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
         "GROUP BY n_name ORDER BY n_name"
+    ),
+    "q53_nation_volume_shipping": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+        "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name != n2.n_name "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"
     ),
     "q44_promo_revenue": (
         "SELECT round(100.0 * "

@@ -195,6 +195,15 @@ def main() -> None:
         ivf_knn_join(embeddings, k=10, n_cells=16, n_probe=4,
                      centroids=cents).count()
 
+    from elephantdb_spark.operators.multimodal import attach_payload, extract_features
+
+    # binary-payload plumbing: mapInPandas feature extraction over Arrow
+    # batches (the shape real image/audio decode rides on)
+    with timed("multimodal_features"):
+        extract_features(
+            attach_payload(documents, "doc_id", "text", "lang", "source")
+        ).agg(F.sum("n_bytes")).collect()
+
     from elephantdb_spark.functions.text import text_profile
 
     with timed("text_analysis_documents"):

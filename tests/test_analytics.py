@@ -434,3 +434,86 @@ def test_range_join_edge_cases(spark):
         ("p100", "B"),           # deep inside the long interval
         ("p2_15", "C"),
     }
+
+
+def test_streaming_sessionize_with_watermark(spark, events, tmp_path):
+    """The q33 session operator run as a real Structured Stream:
+    session_window + watermark, append mode, two drained queries sharing a
+    checkpoint (sessions emit only after the watermark passes them — same
+    protocol as the windowed-agg streaming test). Closed sessions must
+    equal the batch sessionize."""
+    import glob
+    import shutil
+    import tempfile
+
+    feed = str(tmp_path / "sfeed")
+    os.makedirs(feed)
+    sample = events.filter(F.col("user_id") < 10).select(
+        "user_id", F.timestamp_micros(ts_micros(F.col("ts"))).alias("ts")
+    )
+    max_ts = sample.agg(F.max("ts")).first()[0]
+
+    def drop(df, fname):
+        staging = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.copy(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            os.path.join(feed, f"{fname}.parquet"),
+        )
+        shutil.rmtree(staging)
+
+    def sentinel(days):
+        return (
+            spark.createDataFrame([(999999, max_ts)], "user_id long, ts timestamp")
+            .select("user_id", (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"))
+        )
+
+    cp = str(tmp_path / "scp")
+    out = str(tmp_path / "sout")
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("user_id long, ts timestamp")
+            .load(feed)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+                F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+                "n_events",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop(sample, "b1")
+    drop(sentinel(10), "b2")
+    run()
+    drop(sentinel(20), "b3")
+    run()
+
+    got = {
+        (r.user_id, r.sess_start_us, r.sess_end_us): r.n_events
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 999999
+    }
+    expected = {
+        (r.user_id, r.sess_start_us, r.sess_end_us): r.n_events
+        for r in sessionize(
+            events.filter(F.col("user_id") < 10),
+            ts_from_nanos(F.col("ts")), ["user_id"],
+            [F.count(F.lit(1)).alias("n_events")],
+        ).collect()
+    }
+    for k, n in expected.items():
+        assert got.get(k) == n, (k, n, got.get(k))

@@ -298,6 +298,53 @@ def q53_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all four grouping sets in
+    one pass — completes the grouping-sets family q36's ROLLUP started."""
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q55_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: top-20 customers by
+    revenue lost to returned lineitems in a date window (fact⋈fact⋈dim
+    with a selective flag filter, decimal-exact revenue)."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+                & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 RELATIONAL_QUERIES = {
     "q36_rollup_agg": q36_rollup_agg,
     "q37_window_topk": q37_window_topk,
@@ -311,6 +358,8 @@ RELATIONAL_QUERIES = {
     "q51_exists_semi_join": q51_exists_semi_join,
     "q52_anti_join": q52_anti_join,
     "q53_nation_volume_shipping": q53_nation_volume_shipping,
+    "q54_cube_agg": q54_cube_agg,
+    "q55_returned_item_reporting": q55_returned_item_reporting,
 }
 
 RELATIONAL_ORACLES = {
@@ -401,6 +450,27 @@ RELATIONAL_ORACLES = {
         "JOIN nation ON c_nationkey = n_nationkey "
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
         "GROUP BY n_name ORDER BY n_name"
+    ),
+    "q54_cube_agg": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) "
+        "AS sum_price FROM orders "
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+    "q55_returned_item_reporting": (
+        "SELECT c_custkey, c_name, n_name, "
+        "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
     ),
     "q53_nation_volume_shipping": (
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "

@@ -14,6 +14,7 @@ serves many reads.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -71,6 +72,10 @@ def domains_root(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(
         tempfile.gettempdir(), f"edb_parity_{tag}_{os.getpid()}"
     )
+    # _ROOTS is process-local: after pid reuse (container restart) a stale
+    # leftover dir would make build_domain fail with "Version 1 already
+    # exists" — clear any pre-existing root before building.
+    shutil.rmtree(root, ignore_errors=True)
     eng = Engine(spark, root)
     spec = DomainSpec(num_shards=NUM_SHARDS)
 

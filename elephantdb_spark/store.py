@@ -118,7 +118,9 @@ class VersionedStore:
     def cleanup(self, versions_to_keep: int = -1) -> None:
         """Keep the N newest published versions; delete every other
         version-like entry, including unpublished dirs
-        (VersionedStore.java:110-127)."""
+        (VersionedStore.java:110-127). No-op on a never-created root."""
+        if not os.path.isdir(self.root):
+            return
         versions = self.all_versions()
         if versions_to_keep >= 0:
             versions = versions[: min(len(versions), versions_to_keep)]

@@ -117,3 +117,11 @@ def test_synchronize_versions_copy_forward(tmp_path):
     # shard 1 not overwritten
     assert os.path.exists(os.path.join(new, shard_dirname(1), "part-new.parquet"))
     assert not os.path.exists(os.path.join(new, shard_dirname(1), "part-1.parquet"))
+
+
+def test_cleanup_on_never_created_root_is_noop(tmp_path):
+    # ADVICE r1: cleanup() on a root that was never created must not raise
+    store = VersionedStore(str(tmp_path / "does_not_exist"))
+    store.cleanup()
+    store.cleanup(versions_to_keep=2)
+    assert store.all_versions() == []

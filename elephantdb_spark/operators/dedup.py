@@ -25,15 +25,50 @@ from pyspark.sql import functions as F
 from elephantdb_spark.functions.text import tokens_col
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+#: Seed of the second digest half in :func:`exact_dedup` (two independently
+#: seeded xxhash64 halves ≈ a 128-bit digest: birthday collision odds stay
+#: negligible even at 10^10 documents, where a single 64-bit hash would
+#: already collide).
+_DIGEST_SEED = 1
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str, digest: bool = True
+) -> DataFrame:
     """Exact dedup: one row per distinct key, keeping the smallest id.
 
-    Returns (``*key_cols``, ``keep_id``, ``n_dups``). At scale this is a
-    single map-side-combinable shuffle on the key hash.
+    Returns (``*key_cols``, ``keep_id``, ``n_dups``). Single
+    map-side-combinable shuffle.
+
+    ``digest=True`` (default) groups on a 128-bit composite digest of the
+    key columns (two independently-seeded xxhash64 halves) instead of the
+    raw values: grouping a 100 TB corpus directly on document text makes
+    every shuffle-key comparison and hash a full-text scan, while the
+    digest key is 16 fixed bytes. The key columns still come back in the
+    output (each group's values are identical, so ``min`` recovers them),
+    but they ride as map-side-combined aggregation state — one value per
+    distinct key per map task — not as the exchange's sort/group key.
+    Per-column null indicators are mixed into the digest because Spark's
+    hash functions skip NULL inputs (``(NULL, x)`` and ``(x, NULL)`` would
+    otherwise collide). ``digest=False`` keeps byte-exact grouping for
+    collision-paranoid callers.
     """
-    return df.groupBy(*key_cols).agg(
+    aggs = [
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
+    ]
+    if not digest:
+        return df.groupBy(*key_cols).agg(*aggs)
+    mix = []
+    for c in key_cols:
+        mix.extend([F.col(c), F.col(c).isNull()])
+    return (
+        df.groupBy(
+            F.xxhash64(*mix).alias("__d0"),
+            F.xxhash64(*mix, F.lit(_DIGEST_SEED)).alias("__d1"),
+        )
+        .agg(*[F.min(c).alias(c) for c in key_cols], *aggs)
+        .select(*key_cols, "keep_id", "n_dups")
     )
 
 
@@ -71,34 +106,59 @@ def _shingle_index(
     )
 
 
+#: Default hot-shingle cut: a shingle shared by more docs than this is
+#: dropped before any self-join. Each surviving shingle contributes at most
+#: DEFAULT_MAX_SHINGLE_FREQ² candidate pairs, so one boilerplate phrase can
+#: never make the join quadratic in the corpus. Finite BY DEFAULT — the
+#: guard being opt-in is exactly how it ends up off at 100 TB. Pass None to
+#: disable (oracle-parity / tiny-corpus use only).
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
+def _drop_hot_shingles(inv: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Anti-join out shingles present in more than ``max_shingle_freq``
+    docs. The hot-shingle set is tiny by construction (heavy hitters), so
+    it broadcasts."""
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    return inv.join(
+        F.broadcast(freq.filter(F.col("f") > max_shingle_freq)),
+        "shingle",
+        "left_anti",
+    )
+
+
 def jaccard_shingle_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_len: int = 3,
     threshold: float = 0.6,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     cache_index: bool = True,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word-shingle Jaccard similarity.
 
     Returns (a, b, jaccard) with a < b and jaccard >= threshold.
-    ``max_shingle_freq`` drops shingles shared by more than that many docs
-    before the self-join — the skew guard that keeps the join from
-    exploding on boilerplate shingles at scale. ``cache_index`` persists
-    the shingle index consumed by the sizes/self-join branches.
+
+    ``max_shingle_freq`` (finite by default) drops shingles shared by more
+    than that many docs before the self-join — the skew guard that keeps
+    the join from exploding on boilerplate shingles at scale. Metric
+    semantics when the cut is active: doc sizes (union denominators) are
+    computed from the UNFILTERED index, so ``jaccard`` is
+    ``|A∩B minus hot shingles| / |A∪B|`` — a lower bound on true Jaccard
+    that never counts boilerplate as similarity. Pairs whose overlap is
+    pure boilerplate score 0; below the cut the metric is exact Jaccard.
+    ``cache_index`` persists the shingle index consumed by the
+    sizes/self-join branches.
     """
     inv = _shingle_index(df, id_col, text_col, shingle_len)
     if cache_index:
         inv = inv.persist()
-    if max_shingle_freq is not None:
-        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        inv = inv.join(
-            F.broadcast(freq.filter(F.col("f") > max_shingle_freq)),
-            "shingle",
-            "left_anti",
-        )
+    # sizes from the unfiltered index: the denominator stays |A ∪ B| even
+    # when the hot-shingle cut shrinks the intersection (ADVICE r1)
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        inv = _drop_hot_shingles(inv, max_shingle_freq)
     a = inv.select(F.col("doc").alias("a"), "shingle")
     b = inv.select(F.col("doc").alias("b"), "shingle")
     inter = (
@@ -146,6 +206,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_len: int = 3,
     threshold: float = 0.6,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     cache_index: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
@@ -153,6 +214,14 @@ def minhash_lsh_pairs(
     number of true near-dups; the verification join is only over those.
 
     Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    ``max_shingle_freq`` (finite by default, same guard as
+    :func:`jaccard_shingle_pairs`) drops boilerplate shingles before BOTH
+    the signature pass and the verification join: without it a phrase
+    shared corpus-wide floods every signature band (candidate blow-up) and
+    re-explodes in the verify join. Sizes stay unfiltered, so the verified
+    ``jaccard`` is the same boilerplate-discounting lower bound as in
+    :func:`jaccard_shingle_pairs`.
 
     ``cache_index`` persists the exploded shingle index (MEMORY_AND_DISK),
     which both the signature pass and the verification join consume —
@@ -166,6 +235,10 @@ def minhash_lsh_pairs(
     inv = _shingle_index(df, id_col, text_col, shingle_len)
     if cache_index:
         inv = inv.persist()
+    # sizes from the unfiltered index (see jaccard_shingle_pairs)
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        inv = _drop_hot_shingles(inv, max_shingle_freq)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
         for i in range(num_perm)
@@ -196,8 +269,7 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # verify candidates with exact Jaccard over the same (cached) index
-    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # verify candidates with exact Jaccard over the same (guarded) index
     inter = (
         candidates.join(inv.withColumnRenamed("doc", "a"), "a")
         .join(inv.withColumnRenamed("doc", "b"), ["b", "shingle"])

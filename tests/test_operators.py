@@ -274,3 +274,84 @@ def test_subword_tokens_bpe_ish(spark):
     assert rows[0].n == 8
     assert rows[1].toks == [] and rows[1].n == 0
     assert rows[2].toks == [" spaced", " out"] and rows[2].n == 2
+
+
+def test_exact_dedup_digest_matches_raw_grouping(spark):
+    # digest mode (default) must produce byte-identical output to raw
+    # grouping, including multi-column keys with NULLs in either position
+    df = spark.createDataFrame(
+        [
+            (1, "x", "p"), (2, "x", "p"), (3, "y", "p"),
+            (4, None, "p"), (5, None, "p"), (6, "p", None),
+            (7, None, None), (8, "x", None),
+        ],
+        "id long, t1 string, t2 string",
+    )
+    def nullsafe(rows):
+        return sorted(
+            map(tuple, rows), key=lambda t: tuple((x is None, x) for x in t)
+        )
+
+    for keys in (["t1"], ["t1", "t2"]):
+        got = nullsafe(exact_dedup(df, keys, "id", digest=True).collect())
+        want = nullsafe(exact_dedup(df, keys, "id", digest=False).collect())
+        assert got == want
+    # (NULL, 'p') and ('p', NULL) are DIFFERENT keys — the null-indicator
+    # mix-in keeps them apart even though Spark's xxhash64 skips NULLs
+    two_col = exact_dedup(df, ["t1", "t2"], "id").collect()
+    assert {(r.t1, r.t2): r.n_dups for r in two_col}[(None, "p")] == 2
+    assert {(r.t1, r.t2): r.n_dups for r in two_col}[("p", None)] == 1
+
+
+def _boilerplate_corpus(spark, n_docs: int = 40):
+    # every doc ends with the same boilerplate sentence; docs 2i/2i+1 share
+    # a distinctive body (true near-dups), others are unrelated
+    boiler = "all rights reserved click here to subscribe to our newsletter"
+    rows = []
+    for i in range(n_docs):
+        body = " ".join(f"w{i // 2}d{j}" for j in range(20))
+        rows.append((i, f"{body} u{i} {boiler}"))  # u{i}: per-doc noise
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_guard_bounds_candidates(spark):
+    corpus = _boilerplate_corpus(spark)
+    expected = {(2 * i, 2 * i + 1) for i in range(20)}
+
+    # unguarded: the boilerplate shingles pair EVERY doc with every other
+    # doc in the self-join; guarded: only true near-dup pairs survive
+    guarded = jaccard_shingle_pairs(
+        corpus, "doc_id", "text", shingle_len=3, threshold=0.4,
+        max_shingle_freq=10,
+    ).collect()
+    assert {(r.a, r.b) for r in guarded} == expected
+    # sizes come from the UNFILTERED index: jaccard stays a lower bound of
+    # true Jaccard (denominator includes the boilerplate shingles), so no
+    # guarded score may exceed the unguarded score for the same pair
+    unguarded = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_shingle_pairs(
+            corpus, "doc_id", "text", shingle_len=3, threshold=0.0,
+            max_shingle_freq=None,
+        ).collect()
+    }
+    for r in guarded:
+        assert r.jaccard <= unguarded[(r.a, r.b)] + 1e-12
+
+    # same guard inside minhash-LSH: signatures and the verify join both
+    # ignore boilerplate, so only the true pairs come back
+    lsh = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_perm=64, bands=16, shingle_len=3,
+        threshold=0.4, max_shingle_freq=10,
+    ).collect()
+    assert {(r.a, r.b) for r in lsh} <= expected
+    assert len(lsh) >= int(0.9 * len(expected))
+
+
+def test_hot_shingle_guard_default_is_finite():
+    from elephantdb_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ
+    import inspect
+
+    for fn in (jaccard_shingle_pairs, minhash_lsh_pairs):
+        default = inspect.signature(fn).parameters["max_shingle_freq"].default
+        assert default == DEFAULT_MAX_SHINGLE_FREQ and default is not None

@@ -13,9 +13,14 @@ union–carry-forward form:
     keep left rows.
 
 Cost is one exchange of left+right and a per-key sort — the same shape as
-a sort-merge join but with zero pair blow-up, and it degrades gracefully
-under AQE skew splitting. Right-side ties on (key, ts) are resolved before
-the union by a deterministic tie-break so engines agree row-for-row.
+a sort-merge join but with zero pair blow-up. Caveat: the carry-forward
+window partitions by KEY ALONE, and AQE skew splitting does NOT apply to
+window functions — a celebrity key with 10⁸ rows becomes one straggler
+task. For skewed key distributions pass ``time_bucket_width``: the
+carry-forward then runs per (key, time-bucket) — bounded tasks — and a
+second, bucket-summary-sized pass splices the last right value across
+bucket boundaries. Right-side ties on (key, ts) are resolved before the
+union by a deterministic tie-break so engines agree row-for-row.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tie_break: str | None = None,
+    time_bucket_width: int | None = None,
 ) -> DataFrame:
     """Left as-of join (backward, inclusive): every ``left`` row, plus the
     ``value_cols`` of the latest ``right`` row with the same key and
@@ -41,6 +47,18 @@ def asof_join(
     ``tie_break``: when several right rows share (key, ts), the one with
     the greatest ``tie_break`` column wins (required for determinism if
     such ties exist; default keeps the greatest first value col).
+
+    ``time_bucket_width`` (numeric timestamps only): the hot-key-safe
+    plan. ``None`` keeps the single per-key window — simplest, but one
+    task per key; a key holding a large fraction of all rows becomes a
+    straggler that AQE cannot split (skew handling does not apply to
+    window functions). With a width, the carry-forward window partitions
+    by (key, floor(ts / width)) so no task exceeds one bucket, and the
+    cross-bucket carry is computed on the bucket SUMMARY table (one row
+    per non-empty (key, bucket) — smaller than the data by the bucket
+    fan-in factor) then spliced back via an equi-join, which AQE *can*
+    skew-split. Same results, bit for bit (property-tested); pick a width
+    that keeps rows-per-(key,bucket) in the 10⁴–10⁶ range at your scale.
     """
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
@@ -83,15 +101,65 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         F.struct(*[F.col(v) for v in value_cols]).alias("__r"),
     )
-    # right rows sort before left rows at equal ts (__side 0 < 1) →
-    # "at-or-before" is inclusive
-    w = (
-        Window.partitionBy("__k")
+    unioned = tagged_left.unionByName(tagged_right)
+
+    if time_bucket_width is None:
+        # right rows sort before left rows at equal ts (__side 0 < 1) →
+        # "at-or-before" is inclusive
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c")
+        )
+        return carried.filter(F.col("__side") == 1).select(
+            *lcols, *[F.col(f"__c.{v}").alias(v) for v in value_cols]
+        )
+
+    if time_bucket_width <= 0:
+        raise ValueError("time_bucket_width must be positive")
+    bucketed = unioned.withColumn(
+        "__b", F.floor(F.col("__ts") / F.lit(time_bucket_width))
+    )
+    # pass 1: carry WITHIN each (key, bucket) — task size bounded by the
+    # bucket's row count, independent of how hot the key is
+    w_in = (
+        Window.partitionBy("__k", "__b")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = tagged_left.unionByName(tagged_right).select(
-        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c")
+    in_bucket = bucketed.select(
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w_in).alias("__cin")
+    )
+    # pass 2: cross-bucket carry on the bucket SUMMARY — one row per
+    # non-empty (key, bucket) of either side, so the per-key window here
+    # processes #buckets rows, not #rows. (key,ts) is unique on the right
+    # after the tie dedup, so max_by needs no further tie-break.
+    last_per_bucket = (
+        bucketed.filter(F.col("__side") == 0)
+        .groupBy("__k", "__b")
+        .agg(F.max_by("__r", "__ts").alias("__rlast"))
+    )
+    need = bucketed.select("__k", "__b").distinct()
+    w_prev = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = (
+        need.join(last_per_bucket, ["__k", "__b"], "left")
+        .select(
+            "__k",
+            "__b",
+            F.last(F.col("__rlast"), ignorenulls=True).over(w_prev).alias("__cprev"),
+        )
+    )
+    # splice: whole-struct coalesce (never mix fields of two right rows);
+    # an AQE-skew-splittable equi-join, unlike the single-key window
+    carried = in_bucket.join(summary, ["__k", "__b"], "left").withColumn(
+        "__c", F.coalesce(F.col("__cin"), F.col("__cprev"))
     )
     return carried.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"__c.{v}").alias(v) for v in value_cols]

@@ -29,8 +29,9 @@ def _spark():
 @given(
     left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12),
     right=st.lists(st.tuples(KEYS, TS, st.integers(0, 99)), min_size=0, max_size=12),
+    bucket_width=st.sampled_from([None, 1, 5, 13, 100]),
 )
-def test_asof_join_matches_bruteforce(spark, left, right):
+def test_asof_join_matches_bruteforce(spark, left, right, bucket_width):
     sp = _spark()
     ldf = sp.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
@@ -38,14 +39,54 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     rdf = sp.createDataFrame(right, "k long, ts long, rv long")
     got = {
         r.lid: r.rv
-        for r in asof_join(ldf, rdf, "k", "k", "ts", "ts", ["rv"]).collect()
+        for r in asof_join(
+            ldf, rdf, "k", "k", "ts", "ts", ["rv"],
+            time_bucket_width=bucket_width,
+        ).collect()
     }
     for i, (k, t) in enumerate(left):
         # latest right at-or-before t for the key; ties on ts keep max rv
         # (the tie_break default = first value col)
         cands = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
         want = max(cands, key=lambda x: (x[0], x[1]))[1] if cands else None
-        assert got[i] == want, (i, k, t, cands)
+        assert got[i] == want, (i, k, t, cands, bucket_width)
+
+
+def test_asof_join_bucketed_on_dominating_key(spark):
+    """Single-key-dominates distribution (VERDICT r1 item 4): one key holds
+    ~95% of both sides; the bucketed plan must agree with the per-key
+    window plan row for row, including bucket-boundary and empty-bucket
+    carries, null keys/timestamps, and equal-ts inclusivity."""
+    import random
+
+    rng = random.Random(7)
+    hot, cold = 0, [1, 2, 3]
+    left, right = [], []
+    for i in range(400):
+        k = hot if rng.random() < 0.95 else rng.choice(cold)
+        left.append((k, rng.randrange(0, 1000), i))
+    for j in range(300):
+        k = hot if rng.random() < 0.95 else rng.choice(cold)
+        right.append((k, rng.randrange(0, 1000), j))
+    # sparse far-future/past rows → buckets with no right rows in between
+    left += [(hot, 5000, 400), (hot, -700, 401), (None, 10, 402), (hot, None, 403)]
+    right += [(hot, -900, 888), (None, 5, 999)]
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, ts long, rv long")
+
+    plain = {
+        r.lid: r.rv
+        for r in asof_join(ldf, rdf, "k", "k", "ts", "ts", ["rv"]).collect()
+    }
+    for width in (1, 7, 64, 10_000):
+        bucketed = {
+            r.lid: r.rv
+            for r in asof_join(
+                ldf, rdf, "k", "k", "ts", "ts", ["rv"],
+                time_bucket_width=width,
+            ).collect()
+        }
+        assert bucketed == plain, f"width={width}"
 
 
 @settings(

@@ -150,8 +150,9 @@ def build_domain(
             data = indexer(data).select("key", "value")
         _write_version(spark, data, store, vpath)
         store.succeed_version(version)
-    except Exception:
+    except Exception as exc:
         store.fail_version(version)  # rollback (ElephantDBTap.java:182-188)
+        store.record_failure(version, repr(exc))  # status → failed
         raise
     return version
 
@@ -234,8 +235,9 @@ def update_domain(
             new_data.unpersist()
         store.synchronize_versions(prev, version)
         store.succeed_version(version)
-    except Exception:
+    except Exception as exc:
         store.fail_version(version)
+        store.record_failure(version, repr(exc))  # status → failed
         raise
     return version
 

@@ -91,6 +91,8 @@ class Domain:
         # published-version snapshot — when it changes, caches drop (see
         # _resolve_version)
         self._seen_versions: tuple[int, ...] = ()
+        # status machine: shutdown is per-handle process state
+        self._is_shutdown = False
 
     # -- version/catalog metadata -------------------------------------------
     @property
@@ -104,10 +106,53 @@ class Domain:
         return self.store.most_recent_version()
 
     def status(self) -> str:
-        """'ready' iff a published version exists, else 'idle'
-        (status machine, common/status.clj:5-45; loading/updating states are
-        transient process states the snapshot model doesn't need)."""
-        return "ready" if self.current_version() is not None else "idle"
+        """The A27 status machine (common/status.clj:5-45), derived from
+        observable on-disk state rather than process state so a restarted
+        reader sees the same machine:
+
+        * ``shutdown`` — handle shut down (to-shutdown);
+        * ``failed`` — last build/update recorded a failure marker and no
+          publish has superseded it (to-failed knocks out every other
+          status);
+        * ``updating`` — an unpublished version dir exists alongside a
+          published one (to-loading from ready);
+        * ``loading`` — an unpublished version dir exists and nothing is
+          published yet (to-loading from cold);
+        * ``ready`` — a published version exists;
+        * ``idle`` — empty domain, nothing in flight (no reference
+          analogue; their daemons always start loading immediately).
+        """
+        if self._is_shutdown:
+            return "shutdown"
+        if self.store.last_failure() is not None:
+            return "failed"
+        published = self.current_version() is not None
+        if self.store.unpublished_versions():
+            return "updating" if published else "loading"
+        return "ready" if published else "idle"
+
+    # predicate surface mirroring IStatus (status.clj:5-13): ready? is true
+    # while updating (an updating domain keeps serving the old version),
+    # loading? is true while updating, updating? = loading? AND ready?
+    def is_ready(self) -> bool:
+        return self.status() in ("ready", "updating")
+
+    def is_loading(self) -> bool:
+        return self.status() in ("loading", "updating")
+
+    def is_updating(self) -> bool:
+        return self.status() == "updating"
+
+    def is_failed(self) -> bool:
+        return self.status() == "failed"
+
+    def is_shutdown(self) -> bool:
+        return self.status() == "shutdown"
+
+    def shutdown(self) -> None:
+        """to-shutdown (status.clj:16): mark the handle; status reports
+        'shutdown' and callers should stop routing reads here."""
+        self._is_shutdown = True
 
     def metadata(self) -> dict:
         """Catalog metadata (A28, common/metadata.clj:14-26)."""
@@ -445,7 +490,10 @@ class Engine:
         return {name: self.domain(name).status() for name in self.list_domains()}
 
     def is_fully_loaded(self) -> bool:
-        return all(s == "ready" for s in self.get_status().values())
+        """fully-loaded? (common/database.clj:56-60): every domain ready?
+        — which, per the reference's IStatus, includes 'updating' (an
+        updating domain keeps serving its published version)."""
+        return all(self.domain(name).is_ready() for name in self.list_domains())
 
     def metadata(self) -> dict[str, dict]:
         return {name: self.domain(name).metadata() for name in self.list_domains()}
@@ -489,7 +537,7 @@ class Engine:
         names = []
         for name in self.list_domains():
             dom = self.domain(name)
-            if dom.status() != "ready":
+            if not dom.is_ready():  # ready? includes 'updating'
                 continue
             view = f"{prefix}{name}"
             dom.scan().createOrReplaceTempView(view)

@@ -28,9 +28,18 @@ import os
 import shutil
 import time
 
+import json
+
 from elephantdb_spark.spec import DomainSpec, SpecMismatchError
 
 FINISHED_VERSION_SUFFIX = ".version"
+
+#: Failure marker recording the last failed build/update — the durable
+#: trace behind the 'failed' domain status (status machine,
+#: elephantdb-server/src/clj/elephantdb/common/status.clj:5-45; the
+#: reference keeps this in process state, we derive it from disk so a
+#: restarted reader observes the same machine).
+FAILED_MARKER = "_failed.json"
 
 
 def shard_dirname(shard: int) -> str:
@@ -82,6 +91,43 @@ class VersionedStore:
     def has_version(self, version: int) -> bool:
         return int(version) in self.all_versions()
 
+    def unpublished_versions(self) -> list[int]:
+        """Version dirs with no token yet — builds/updates in flight (or
+        crashed), newest first. These are what make a domain 'loading' or
+        'updating'."""
+        if not os.path.isdir(self.root):
+            return []
+        published = set(self.all_versions())
+        out = []
+        for name in os.listdir(self.root):
+            full = os.path.join(self.root, name)
+            try:
+                v = int(name)
+            except ValueError:
+                continue
+            if os.path.isdir(full) and v not in published:
+                out.append(v)
+        return sorted(out, reverse=True)
+
+    # -- failure marker (status machine, common/status.clj:5-45) -------------
+    def record_failure(self, version: int, error: str) -> None:
+        """Durably note that building ``version`` failed (to-failed)."""
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, FAILED_MARKER), "w") as fh:
+            json.dump({"version": int(version), "error": str(error)}, fh)
+
+    def last_failure(self) -> dict | None:
+        path = os.path.join(self.root, FAILED_MARKER)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def clear_failure(self) -> None:
+        path = os.path.join(self.root, FAILED_MARKER)
+        if os.path.exists(path):
+            os.remove(path)
+
     # -- lifecycle -----------------------------------------------------------
     def create_version(self, version: int | None = None) -> str:
         """Reserve a version dir; errors if already published; clears any
@@ -99,10 +145,12 @@ class VersionedStore:
 
     def succeed_version(self, version: int) -> None:
         """Atomic publish: create the empty token file last
-        (VersionedStore.java:102-108)."""
+        (VersionedStore.java:102-108). A successful publish supersedes any
+        recorded failure (to-ready clears to-failed)."""
         os.makedirs(self.root, exist_ok=True)
         with open(self.token_path(version), "w"):
             pass
+        self.clear_failure()
 
     def fail_version(self, version: int) -> None:
         self.delete_version(version)
@@ -192,6 +240,18 @@ class DomainStore:
 
     def cleanup(self, versions_to_keep: int = -1) -> None:
         self.versioned_store.cleanup(versions_to_keep)
+
+    def unpublished_versions(self) -> list[int]:
+        return self.versioned_store.unpublished_versions()
+
+    def record_failure(self, version: int, error: str) -> None:
+        self.versioned_store.record_failure(version, error)
+
+    def last_failure(self) -> dict | None:
+        return self.versioned_store.last_failure()
+
+    def clear_failure(self) -> None:
+        self.versioned_store.clear_failure()
 
     def synchronize_versions(self, old_version: int | None, new_version: int) -> list[int]:
         """Copy-forward: for each shard present in ``old_version`` but absent

@@ -28,6 +28,8 @@ pick num_shards ≈ dataset_bytes / 768 MB).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -240,6 +242,166 @@ def update_domain(
         store.record_failure(version, repr(exc))  # status → failed
         raise
     return version
+
+
+#: Staged batches live under ``<version_dir>/_staging/batch-<i>`` — inside
+#: the unpublished version dir, so the token rule covers them: invisible to
+#: every reader, 'loading'/'updating' to status(), removed wholesale by
+#: cleanup() if abandoned.
+STAGING_DIRNAME = "_staging"
+
+
+class StagedBuild:
+    """Append-to-unpublished-version staging — the Spark-first analogue of
+    ``openPersistenceForAppend`` (reference:
+    elephantdb-core/src/jvm/elephantdb/persistence/Coordinator.java:12-23;
+    ElephantOutputFormat.java:60-77 opens local shards for append and the
+    version becomes visible only at commit).
+
+    Accumulate any number of DataFrames into ONE reserved, unpublished
+    version, then shard/sort/publish once:
+
+        sb = StagedBuild(spark, root, spec)      # reserves the version
+        sb.stage(batch1); sb.stage(batch2)       # raw parquet, no shuffle
+        sb.publish()                             # merge → shard → token
+
+    Staged batches are written raw (no sharding, no sort) — the expensive
+    exchange happens exactly once at publish, over the union. Merge
+    semantics at publish: last-writer-wins where a LATER batch beats an
+    earlier one (append/put-overwrite order, JavaBerkDB.java:84-94), with
+    ``seq_col`` ordering within a batch; if the domain already has a
+    published version the result then merges into it with copy-forward,
+    exactly like :func:`update_domain`.
+
+    Crash safety is the token rule (VersionedStore.java:102-108): a crash
+    before ``publish()`` leaves only an unpublished version dir — readers
+    never see it, ``status()`` reports loading/updating, and
+    ``cleanup()`` deletes it. ``resume()`` reopens such a dir to keep
+    staging after a restart.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        domain_root: str,
+        spec: DomainSpec | None = None,
+        version: int | None = None,
+    ):
+        self.spark = spark
+        self.store = DomainStore.create_or_open(domain_root, spec)
+        if version is None:
+            version = int(time.time() * 1000)
+        self.version = int(version)
+        self._published = False
+        vpath = self.store.create_version(self.version)
+        self._staging = os.path.join(vpath, STAGING_DIRNAME)
+        os.makedirs(self._staging)
+
+    @classmethod
+    def resume(
+        cls, spark: SparkSession, domain_root: str, version: int
+    ) -> "StagedBuild":
+        """Reopen an unpublished staged version (e.g. after a restart)."""
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.store = DomainStore.open(domain_root)
+        self.version = int(version)
+        self._published = False
+        if self.store.versioned_store.has_version(self.version):
+            raise RuntimeError(f"version {version} is already published")
+        self._staging = os.path.join(
+            self.store.version_path(self.version), STAGING_DIRNAME
+        )
+        if not os.path.isdir(self._staging):
+            raise RuntimeError(f"no staged version {version} at {domain_root}")
+        return self
+
+    def _batch_dirs(self) -> list[tuple[int, str]]:
+        out = []
+        for name in os.listdir(self._staging):
+            if name.startswith("batch-"):
+                out.append((int(name[len("batch-"):]), os.path.join(self._staging, name)))
+        return sorted(out)
+
+    def stage(self, df: DataFrame) -> int:
+        """Append one batch (columns ``key: binary, value: binary`` plus an
+        optional seq column) to the unpublished version. Raw columnar
+        write — no shuffle, no sort; returns the batch index."""
+        if self._published:
+            raise RuntimeError("staged build already published")
+        dirs = self._batch_dirs()
+        idx = (dirs[-1][0] + 1) if dirs else 0
+        df.write.mode("errorifexists").parquet(
+            os.path.join(self._staging, f"batch-{idx}")
+        )
+        return idx
+
+    def abort(self) -> None:
+        """Drop the unpublished version and everything staged in it."""
+        self.store.fail_version(self.version)
+        self._published = True  # handle is dead either way
+
+    def publish(
+        self,
+        seq_col: str | None = None,
+        indexer: Indexer | str | None = None,
+    ) -> int:
+        """Merge the staged batches (later batch wins per key, ``seq_col``
+        orders within a batch), then run the normal build/update path into
+        THIS version and publish its token. Equivalent to one
+        :func:`build_domain` of the ordered union (or one
+        :func:`update_domain` when a previous version exists)."""
+        if self._published:
+            raise RuntimeError("staged build already published")
+        dirs = self._batch_dirs()
+        if not dirs:
+            raise RuntimeError("nothing staged")
+        # Move staging aside, then clear the version dir: _write_version's
+        # errorifexists writer refuses a non-empty target, and the lazy
+        # batch reads must keep pointing at live files until the job runs.
+        vpath = self.store.version_path(self.version)
+        aside = os.path.join(self.store.root, f".staging-{self.version}")
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.rename(self._staging, aside)
+        shutil.rmtree(vpath)
+        try:
+            parts = []
+            for idx, _old in dirs:
+                parts.append(
+                    self.spark.read.parquet(os.path.join(aside, f"batch-{idx}"))
+                    .withColumn("__batch", F.lit(idx))
+                )
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            prio = (
+                F.struct(F.col("__batch"), F.col(seq_col))
+                if seq_col
+                else F.col("__batch")
+            )
+            merged = dedup_last_writer_wins(
+                union.select("key", "value", prio.alias("__prio")), "__prio"
+            )
+            prev = self.store.most_recent_version()
+            if prev is None:
+                build_domain(
+                    self.spark, merged, self.store.root, self.store.spec,
+                    version=self.version, indexer=indexer, dedup="none",
+                )
+            else:
+                update_domain(
+                    self.spark, merged, self.store.root,
+                    version=self.version, indexer=indexer,
+                )
+        except Exception:
+            # put the staged batches back so the build can be retried
+            os.makedirs(vpath, exist_ok=True)
+            os.rename(aside, self._staging)
+            raise
+        shutil.rmtree(aside)
+        self._published = True
+        return self.version
 
 
 def reshard(

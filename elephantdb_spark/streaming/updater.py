@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from collections.abc import Callable
 
@@ -167,3 +168,65 @@ def sync_domain(
     local.succeed_version(remote_version)  # token LAST = atomic publish
     local.cleanup(versions_to_keep)
     return remote_version
+
+
+class Updater:
+    """Handle for a running background updater (the reference returns the
+    `future`; stop() is the registered shutdown hook that cancels it —
+    common/database.clj:95-107)."""
+
+    def __init__(self, interval_s: float):
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.interval_s = interval_s
+        self.cycles = 0
+        self.last_results: dict[str, int | None] | None = None
+        self.last_error: Exception | None = None
+
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def stop(self, timeout: float | None = 30.0) -> None:
+        """Signal the loop to exit and join the thread."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+
+def launch_updater(
+    engine,
+    remote_root: str,
+    interval_s: float,
+    versions_to_keep: int = 1,
+    on_update: Callable[[dict[str, int | None]], None] | None = None,
+) -> Updater:
+    """The reference's ``launch-updater!`` poll loop
+    (common/database.clj:95-107): every ``interval_s`` seconds, pull any
+    newer published version of every domain in ``remote_root`` into
+    ``engine``'s local store (update-all!). Each pull is
+    :func:`sync_domain` — data copied first, token written LAST — so a
+    reader hot-swaps to the new version at its next read, exactly like
+    the reference's atomic swap.
+
+    Runs in a daemon thread; the first cycle fires immediately. A failing
+    cycle records ``last_error`` and keeps polling (the reference logs and
+    continues). Call ``.stop()`` to cancel (their shutdown hook).
+    """
+    handle = Updater(interval_s)
+
+    def loop() -> None:
+        while not handle._stop.is_set():
+            try:
+                results = engine.update_all(remote_root, versions_to_keep)
+                handle.last_results = results
+                handle.last_error = None
+                if on_update is not None:
+                    on_update(results)
+            except Exception as exc:  # poll loops outlive transient failures
+                handle.last_error = exc
+            handle.cycles += 1
+            handle._stop.wait(interval_s)
+
+    handle._thread = threading.Thread(target=loop, name="edb-updater", daemon=True)
+    handle._thread.start()
+    return handle

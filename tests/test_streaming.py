@@ -160,3 +160,53 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     assert set(got) == {"A", "B", "C"}
     assert got["B"] == "first-B" and got["C"] == "first-C"
     assert got["A"] in ("first-A",)  # first writer wins, dups never surface
+
+
+def test_launch_updater_polls_and_hot_swaps(spark, tmp_path):
+    """launch-updater! parity (common/database.clj:95-107): a version
+    published to the remote store appears locally within one polling
+    interval, and the local reader hot-swaps without a new handle."""
+    import time
+
+    from elephantdb_spark import Engine
+    from elephantdb_spark.streaming import launch_updater
+
+    remote_root = str(tmp_path / "remote")
+    spec = DomainSpec(num_shards=4)
+    build_domain(
+        spark,
+        spark.createDataFrame([(b"1", b"v1")], "key binary, value binary"),
+        os.path.join(remote_root, "dom"), spec, version=1,
+    )
+
+    eng = Engine(spark, str(tmp_path / "local"))
+    updater = launch_updater(eng, remote_root, interval_s=0.2)
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if "dom" in eng.list_domains() and eng.domain("dom").current_version() == 1:
+                break
+            time.sleep(0.05)
+        dom = eng.domain("dom")
+        assert dom.current_version() == 1
+        assert dom.get(b"1") == b"v1"
+
+        # publish v2 remotely → the SAME local handle swaps within ~1 cycle
+        build_domain(
+            spark,
+            spark.createDataFrame([(b"1", b"v2")], "key binary, value binary"),
+            os.path.join(remote_root, "dom"), version=2,
+        )
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if dom.current_version() == 2:
+                break
+            time.sleep(0.05)
+        assert dom.current_version() == 2
+        assert dom.get(b"1") == b"v2"
+        assert updater.last_results is not None
+        assert updater.last_error is None
+        assert updater.cycles >= 1
+    finally:
+        updater.stop()
+    assert not updater.running()

@@ -154,16 +154,57 @@ class Domain:
         'shutdown' and callers should stop routing reads here."""
         self._is_shutdown = True
 
-    def metadata(self) -> dict:
-        """Catalog metadata (A28, common/metadata.clj:14-26)."""
-        return {
+    def shard_set(self, version: int | None = None) -> list[int]:
+        """Shard ids materialized in a version (shard-set,
+        common/metadata.clj:18; common/domain.clj). Shards with zero rows
+        have no directory — same as the reference, where an empty shard's
+        persistence is never created."""
+        try:
+            v = self._resolve_version(version)
+        except DomainNotLoadedError:
+            return []
+        vpath = self.store.version_path(v)
+        out = []
+        for name in os.listdir(vpath):
+            if name.startswith("shard="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def metadata(
+        self, hosts: list[str] | None = None, replication: int = 1
+    ) -> dict:
+        """Catalog metadata (A28, DomainMetaData —
+        common/metadata.clj:14-26): spec, versions, status, the
+        materialized shard set, and — when a serving topology is supplied —
+        the round-robin shard→host assignment view
+        (common/shard.clj:8-41 via :mod:`elephantdb_spark.assignment`).
+        Spark owns actual placement at runtime; the assignment view is the
+        reference's observable contract for external routers."""
+        meta = {
             "name": self.name,
             "root": self.root,
             "spec": self.spec.to_dict(),
             "versions": self.versions(),
             "current_version": self.current_version(),
             "status": self.status(),
+            "shard_set": self.shard_set(),
         }
+        if hosts is not None:
+            from elephantdb_spark.assignment import generate_index
+
+            idx = generate_index(hosts, self.spec.num_shards, replication)
+            meta["shard_assignment"] = {
+                "hosts_to_shards": {
+                    h: sorted(s) for h, s in idx["hosts_to_shards"].items()
+                },
+                "shards_to_hosts": {
+                    s: sorted(h) for s, h in idx["shards_to_hosts"].items()
+                },
+            }
+        return meta
 
     # -- internals -----------------------------------------------------------
     def _resolve_version(self, version: int | None = None) -> int:
@@ -495,8 +536,13 @@ class Engine:
         updating domain keeps serving its published version)."""
         return all(self.domain(name).is_ready() for name in self.list_domains())
 
-    def metadata(self) -> dict[str, dict]:
-        return {name: self.domain(name).metadata() for name in self.list_domains()}
+    def metadata(
+        self, hosts: list[str] | None = None, replication: int = 1
+    ) -> dict[str, dict]:
+        return {
+            name: self.domain(name).metadata(hosts, replication)
+            for name in self.list_domains()
+        }
 
     # convenience pass-throughs matching the thrift surface
     def get(self, domain: str, key: bytes) -> bytes | None:

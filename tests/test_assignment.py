@@ -42,3 +42,52 @@ def test_prioritize_hosts():
     if "b" in shard0_hosts:
         assert pri[0] == "b"
     assert prioritize_hosts(idx, 99, preferred=set()) is None
+
+
+def test_reference_three_host_replicated_example():
+    # shard_test.clj:11-13: (compute-host->shards ["a" "b" "c"] 5 2)
+    assert compute_host_to_shards(["a", "b", "c"], 5, 2) == {
+        "a": {0, 1, 3, 4},
+        "b": {1, 2, 4},
+        "c": {0, 2, 3},
+    }
+
+
+def test_domain_metadata_exposes_shard_set_and_assignment(spark, tmp_path):
+    """A28/A22 residual (VERDICT r1 item 8): Domain.metadata() carries the
+    shard-set and, given a topology, the shard→host index
+    (common/metadata.clj:14-26, shard_test.clj:5-29)."""
+    from elephantdb_spark import Domain, DomainSpec, build_domain
+
+    root = str(tmp_path / "dom")
+    kv = spark.createDataFrame(
+        [(str(i).encode(), b"v") for i in range(40)], "key binary, value binary"
+    )
+    build_domain(spark, kv, root, DomainSpec(num_shards=5), version=1)
+    dom = Domain(spark, root)
+
+    meta = dom.metadata()
+    # 40 keys over 5 shards → every shard materialized
+    assert meta["shard_set"] == [0, 1, 2, 3, 4]
+    assert "shard_assignment" not in meta
+
+    meta = dom.metadata(hosts=["a", "b", "c"], replication=2)
+    # must agree with the reference example (shard_test.clj:11-13)
+    assert meta["shard_assignment"]["hosts_to_shards"] == {
+        "a": [0, 1, 3, 4],
+        "b": [1, 2, 4],
+        "c": [0, 2, 3],
+    }
+    assert meta["shard_assignment"]["shards_to_hosts"] == {
+        0: ["a", "c"],
+        1: ["a", "b"],
+        2: ["b", "c"],
+        3: ["a", "c"],
+        4: ["a", "b"],
+    }
+    # empty domain → empty shard set, no crash
+    from elephantdb_spark.store import DomainStore
+
+    DomainStore.create_or_open(str(tmp_path / "empty"), DomainSpec(num_shards=3))
+    empty = Domain(spark, str(tmp_path / "empty"))
+    assert empty.metadata()["shard_set"] == []

@@ -234,6 +234,31 @@ def q30_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q16_ann_lsh_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN in its provably-exact degenerate mode (VERDICT r1): with
+    ``max_hamming == n_bits`` every bucket passes the ring filter, so the
+    candidate set is the whole corpus and the result equals brute force —
+    which IS SQL-expressible. This pins the approximate operator's machinery
+    (hyperplane bucketing, ring filter, re-rank) to an exact oracle; q31
+    stays the approximate, rows-only variant of the same code path."""
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return lsh_bucket_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_bits=8, max_hamming=8
+    ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
+
+
+def q17_ann_ivf_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its provably-exact degenerate mode: ``n_probe == n_cells``
+    probes every cell and each vector lives in exactly one cell, so the
+    candidate set is the whole corpus and the result equals brute force
+    (ann.ivf_topk docstring anchor). Exact-oracle twin of the rows-only
+    q35."""
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_cells=8, n_probe=8
+    ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
+
+
 def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(
@@ -294,6 +319,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_cosine_topk": q26_cosine_topk,
     "q27_embedding_neardup": q27_embedding_neardup,
     "q28_multimodal_features": q28_multimodal_features,
+    "q16_ann_lsh_exact_mode": q16_ann_lsh_exact_mode,
+    "q17_ann_ivf_exact_mode": q17_ann_ivf_exact_mode,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -435,6 +462,25 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
         "substr(md5(text), 1, 8) AS sig, 'text/plain' AS media_type "
         "FROM documents ORDER BY id"
+    ),
+    # Exact degenerate modes of the approximate ANN ops: the whole corpus
+    # is the candidate set, so the brute-force oracle (same SQL as q26)
+    # applies verbatim.
+    "q16_ann_lsh_exact_mode": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, round(sim_raw, 6) AS sim FROM ("
+        f"  SELECT e.vec_id, {_dot_sql('e.embedding', 'q.qv')} / "
+        f"    (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS sim_raw "
+        "  FROM embeddings e, q WHERE e.vec_id != 0) "
+        "ORDER BY sim_raw DESC, vec_id ASC LIMIT 10"
+    ),
+    "q17_ann_ivf_exact_mode": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, round(sim_raw, 6) AS sim FROM ("
+        f"  SELECT e.vec_id, {_dot_sql('e.embedding', 'q.qv')} / "
+        f"    (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS sim_raw "
+        "  FROM embeddings e, q WHERE e.vec_id != 0) "
+        "ORDER BY sim_raw DESC, vec_id ASC LIMIT 10"
     ),
     # q29/q30/q31: engine-hash-based (xxhash64 / hyperplane LSH) — rows-only.
     "q46_subword_count": (

@@ -204,6 +204,27 @@ def main() -> None:
             attach_payload(documents, "doc_id", "text", "lang", "source")
         ).agg(F.sum("n_bytes")).collect()
 
+    from elephantdb_spark.operators.temporal import asof_join
+
+    # as-of join at both plan shapes: the per-key window plan and the
+    # hot-key-safe time-bucketed plan (1 h buckets over nanosecond ts) —
+    # regressions in either stay visible per-query
+    ev = events.select("user_id", "ts", "event_id", "value")
+    asof_right = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("value").alias("ref_value")
+    )
+    asof_left = ev.select("user_id", "ts", "event_id")
+    with timed("asof_join_events"):
+        asof_join(
+            asof_left, asof_right, "user_id", "user_id", "ts", "ts",
+            ["ref_value"],
+        ).count()
+    with timed("asof_join_events_bucketed"):
+        asof_join(
+            asof_left, asof_right, "user_id", "user_id", "ts", "ts",
+            ["ref_value"], time_bucket_width=3_600_000_000_000,
+        ).count()
+
     from elephantdb_spark.functions.text import text_profile
 
     with timed("text_analysis_documents"):

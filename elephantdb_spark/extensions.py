@@ -50,6 +50,12 @@ from elephantdb_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
+from elephantdb_spark.operators.sampling import (
+    deterministic_sample,
+    duckdb_md5_u32_sql,
+    pack_sequences,
+    stratified_sample,
+)
 from elephantdb_spark.parity import _table
 
 DUP_SHIFT = 100_000
@@ -113,6 +119,48 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(corpus, ["text"], "doc_id").select(
         F.md5(F.col("text")).alias("grp"), "keep_id", "n_dups"
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# E6: deterministic sampling / packing (operators/sampling.py) — md5-based
+# so the oracles are exact cross-engine.
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE = 0.25
+SAMPLE_SALT = "edb-r2"
+STRATA_N = 20
+PACK_CAPACITY = 512
+
+
+def q18_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible Bernoulli sample by md5 threshold — pure filter, zero
+    shuffle, stable under task retries (unlike rand())."""
+    docs = _table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", SAMPLE_RATE, SAMPLE_SALT).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
+def q19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group stratified sample (balanced corpus across
+    languages) — hash-ordered row_number within each stratum."""
+    docs = _table(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], "doc_id", STRATA_N).select(
+        "doc_id", "lang"
+    ).orderBy("lang", "doc_id")
+
+
+def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: per-language token bins of
+    PACK_CAPACITY in doc_id order (the LLM pre-training batch-packing
+    shape), bin + offset assigned by one windowed cumulative sum."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = pack_sequences(
+        docs, ["lang"], "doc_id", token_count_col(F.col("text")), PACK_CAPACITY
+    )
+    return packed.select("doc_id", "lang", "bin", "bin_offset").orderBy(
+        "lang", "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +369,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_multimodal_features": q28_multimodal_features,
     "q16_ann_lsh_exact_mode": q16_ann_lsh_exact_mode,
     "q17_ann_ivf_exact_mode": q17_ann_ivf_exact_mode,
+    "q18_deterministic_sample": q18_deterministic_sample,
+    "q19_stratified_sample": q19_stratified_sample,
+    "q56_sequence_packing": q56_sequence_packing,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -462,6 +513,30 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
         "substr(md5(text), 1, 8) AS sig, 'text/plain' AS media_type "
         "FROM documents ORDER BY id"
+    ),
+    "q18_deterministic_sample": (
+        "SELECT doc_id FROM documents "
+        f"WHERE {duckdb_md5_u32_sql('doc_id', SAMPLE_SALT)} < "
+        f"{int(SAMPLE_RATE * (1 << 32))} ORDER BY doc_id"
+    ),
+    "q19_stratified_sample": (
+        "SELECT doc_id, lang FROM ("
+        "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+        "    PARTITION BY lang "
+        f"   ORDER BY {duckdb_md5_u32_sql('doc_id', '')} ASC, doc_id ASC) AS rk "
+        "  FROM documents) "
+        f"WHERE rk <= {STRATA_N} ORDER BY lang, doc_id"
+    ),
+    "q56_sequence_packing": (
+        "WITH t AS (SELECT doc_id, lang, "
+        f"  CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n FROM documents), "
+        "c AS (SELECT doc_id, lang, COALESCE(SUM(n) OVER ("
+        "  PARTITION BY lang ORDER BY doc_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before "
+        "FROM t) "
+        f"SELECT doc_id, lang, CAST(tok_before // {PACK_CAPACITY} AS BIGINT) AS bin, "
+        f"CAST(tok_before % {PACK_CAPACITY} AS BIGINT) AS bin_offset "
+        "FROM c ORDER BY lang, doc_id"
     ),
     # Exact degenerate modes of the approximate ANN ops: the whole corpus
     # is the candidate set, so the brute-force oracle (same SQL as q26)

@@ -1,0 +1,123 @@
+"""Deterministic sampling and sequence packing for training-data pipelines.
+
+Every op here is *hash-deterministic*: no RNG state, so results are
+reproducible across engines, reruns, task retries, and cluster sizes —
+the property a 100 TB corpus pipeline actually needs (a `rand()` sample
+changes under Spark task retry; an md5-threshold sample never does).
+md5 (not xxhash64) is the hash on purpose: every engine computes the same
+bytes, so each operator has an exact cross-engine SQL oracle.
+
+* :func:`deterministic_sample` — Bernoulli(rate) by md5 threshold. A pure
+  rowwise filter: zero shuffles, pipelines into any scan.
+* :func:`stratified_sample` — exactly ``n`` rows per group (fewer when the
+  group is smaller), chosen by hash order so the choice is stable. One
+  shuffle on the group key.
+* :func:`pack_sequences` — greedy contiguous sequence packing: assign each
+  document to a token bin of ``capacity`` within its group, filling bins
+  in id order (the LLM pre-training batch-packing shape). One shuffle on
+  the group key; packing is embarrassingly parallel across groups, which
+  is exactly how it distributes at scale (pack per language/source/shard,
+  never globally — a global pack would serialize the corpus through one
+  task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash values are uniform in [0, 2^32): the first 8 md5 hex chars.
+_HASH_SPACE = 1 << 32
+
+
+def _md5_u32(col: Column, salt: str) -> Column:
+    """First 32 bits of md5(str(col) || salt) as a bigint in [0, 2^32).
+    DuckDB twin: ``CAST('0x' || substr(md5(expr || salt), 1, 8) AS UBIGINT)``."""
+    s = F.concat(col.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast("bigint")
+
+
+def duckdb_md5_u32_sql(expr: str, salt: str) -> str:
+    """The DuckDB expression computing the identical 32-bit hash."""
+    return f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) || '{salt}'), 1, 8) AS UBIGINT)"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff hash(id, salt) < rate·2^32 — a reproducible
+    Bernoulli sample.
+
+    Pure filter: no shuffle, no RNG, stable under task retries and
+    re-runs; disjoint salts give independent samples (train/held-out
+    splits). At 100 TB this composes with any scan at zero plan cost.
+    """
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * _HASH_SPACE)
+    return df.filter(_md5_u32(F.col(id_col), salt) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``n`` rows per group: rank rows inside each group by
+    (hash, id) and keep the first ``n``. Balanced corpora across
+    languages/sources/domains without a global sort.
+
+    One shuffle on the group key. The per-group window task holds one
+    group; groups are the unit of parallelism, so this is safe whenever
+    no single group dominates the corpus — for the billion-row-group case
+    apply :func:`deterministic_sample` first to thin the group below task
+    size, then stratify (composition stays deterministic).
+    """
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be positive, got {n_per_group}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        _md5_u32(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    token_count_col: Column | str,
+    capacity: int,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each group, walk
+    documents in ``id_col`` order accumulating token counts; a document's
+    bin is ``floor(tokens_before_it / capacity)`` — bins fill to at least
+    ``capacity`` before the next one starts (the last document of a bin
+    may overflow it; LLM packing truncates or bridges at the consumer).
+
+    Output: input columns + ``bin`` (0-based within group) +
+    ``bin_offset`` (the document's token start inside its bin's stream).
+    One shuffle on the group key; each group packs independently — the
+    scale unit is the group, never the corpus.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    toks = (
+        F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    return df.select(
+        "*",
+        F.floor(before / F.lit(capacity)).cast("long").alias("bin"),
+        (before % F.lit(capacity)).cast("long").alias("bin_offset"),
+    )

@@ -50,10 +50,16 @@ from elephantdb_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
+from elephantdb_spark.operators.quality import (
+    contamination_hits,
+    repetition_profile,
+    tfidf_topk,
+)
 from elephantdb_spark.operators.sampling import (
     deterministic_sample,
     duckdb_md5_u32_sql,
     pack_sequences,
+    split_corpus,
     stratified_sample,
 )
 from elephantdb_spark.parity import _table
@@ -161,6 +167,62 @@ def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "lang", "bin", "bin_offset").orderBy(
         "lang", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# E7: corpus quality / curation (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM_LEN = 2
+CONTAM_NGRAM_LEN = 3
+CONTAM_BENCH_MOD = 41  # docs with doc_id % 41 == 0 form the "benchmark"
+TFIDF_K = 3
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "edb-split"
+
+
+def q57_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals as pure Column expressions — the
+    whole profile rides in the scan stage, zero shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    prof = repetition_profile(docs, "doc_id", "text", REP_NGRAM_LEN)
+    return prof.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+    ).orderBy("doc_id")
+
+
+def q58_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing a 3-gram with
+    the benchmark slice (doc_id % 41 == 0), benchmark n-grams broadcast
+    so the corpus never shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return contamination_hits(
+        corpus, bench, "doc_id", "text", CONTAM_NGRAM_LEN
+    ).orderBy("doc_id")
+
+
+def q59_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 hash range — membership
+    depends only on doc_id, stable across corpus re-builds."""
+    docs = _table(spark, sf_dir, "documents")
+    return split_corpus(docs, "doc_id", SPLIT_FRACTIONS, SPLIT_SALT).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
+def q60_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k salient tokens per doc by ratio IDF (tf·N/df — rank-equal to
+    log IDF, float-exact cross-engine)."""
+    docs = _table(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", TFIDF_K)
+    return out.select(
+        "doc_id", "token", "tf", "dfreq", F.round("score", 6).alias("score")
+    ).orderBy("doc_id", "token")
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +434,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_deterministic_sample": q18_deterministic_sample,
     "q19_stratified_sample": q19_stratified_sample,
     "q56_sequence_packing": q56_sequence_packing,
+    "q57_repetition_profile": q57_repetition_profile,
+    "q58_contamination_hits": q58_contamination_hits,
+    "q59_corpus_split": q59_corpus_split,
+    "q60_tfidf_topk": q60_tfidf_topk,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -537,6 +603,63 @@ EXT_ORACLES: dict[str, str] = {
         f"SELECT doc_id, lang, CAST(tok_before // {PACK_CAPACITY} AS BIGINT) AS bin, "
         f"CAST(tok_before % {PACK_CAPACITY} AS BIGINT) AS bin_offset "
         "FROM c ORDER BY lang, doc_id"
+    ),
+    "q57_repetition_profile": (
+        "WITH t AS (SELECT doc_id, "
+        "  list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines, "
+        f"  {_TOKS} AS toks, length(trim(text)) AS tl FROM documents), "
+        "g AS (SELECT doc_id, lines, "
+        f"  CASE WHEN tl = 0 OR len(toks) < {REP_NGRAM_LEN} THEN CAST([] AS VARCHAR[]) "
+        f"  ELSE list_transform(generate_series(1, len(toks) - {REP_NGRAM_LEN - 1}), "
+        "    i -> toks[i] || ' ' || toks[i+1]) END AS ngrams FROM t), "
+        "m AS (SELECT doc_id, max(c) AS topc FROM ("
+        "  SELECT doc_id, ng, count(*) AS c FROM ("
+        "    SELECT doc_id, unnest(ngrams) AS ng FROM g) GROUP BY doc_id, ng) "
+        "  GROUP BY doc_id) "
+        "SELECT g.doc_id, "
+        "  round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE "
+        "    1 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) "
+        "  END, 6) AS dup_line_frac, "
+        "  round(CASE WHEN len(ngrams) = 0 THEN 0.0 ELSE "
+        "    1 - CAST(len(list_distinct(ngrams)) AS DOUBLE) / CAST(len(ngrams) AS DOUBLE) "
+        "  END, 6) AS dup_ngram_frac, "
+        "  round(CASE WHEN len(ngrams) = 0 THEN 0.0 ELSE "
+        "    CAST(COALESCE(m.topc, 0) AS DOUBLE) / CAST(len(ngrams) AS DOUBLE) "
+        "  END, 6) AS top_ngram_frac "
+        "FROM g LEFT JOIN m USING (doc_id) ORDER BY doc_id"
+    ),
+    "q58_contamination_hits": (
+        f"WITH g AS (SELECT doc_id, unnest({_SHINGLES_EXPR}) AS ng FROM documents), "
+        f"bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0) "
+        "SELECT doc_id, count(*) AS n_hit_ngrams FROM g "
+        f"WHERE doc_id % {CONTAM_BENCH_MOD} != 0 AND ng IN (SELECT ng FROM bench) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "q59_corpus_split": (
+        "SELECT doc_id, CASE "
+        + " ".join(
+            f"WHEN {duckdb_md5_u32_sql('doc_id', SPLIT_SALT)} < "
+            f"{int(sum(list(SPLIT_FRACTIONS.values())[: i + 1]) * (1 << 32))} "
+            f"THEN '{name}'"
+            for i, name in enumerate(list(SPLIT_FRACTIONS)[:-1])
+        )
+        + f" ELSE '{list(SPLIT_FRACTIONS)[-1]}' END AS split "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q60_tfidf_topk": (
+        "WITH toks AS (SELECT doc_id, "
+        f"  unnest(list_transform({_TOKS}, x -> lower(x))) AS token "
+        "  FROM documents WHERE length(trim(text)) > 0), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token), "
+        "dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token), "
+        "nd AS (SELECT count(*) AS n FROM documents), "
+        "s AS (SELECT doc_id, token, tf, dfreq, "
+        "  CAST(tf * n AS DOUBLE) / CAST(dfreq AS DOUBLE) AS score "
+        "  FROM tf JOIN dfreq USING (token) CROSS JOIN nd), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "  ORDER BY score DESC, token ASC) AS rk FROM s) "
+        f"SELECT doc_id, token, tf, dfreq, round(score, 6) AS score "
+        f"FROM r WHERE rk <= {TFIDF_K} ORDER BY doc_id, token"
     ),
     # Exact degenerate modes of the approximate ANN ops: the whole corpus
     # is the candidate set, so the brute-force oracle (same SQL as q26)

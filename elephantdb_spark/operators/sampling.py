@@ -12,6 +12,9 @@ bytes, so each operator has an exact cross-engine SQL oracle.
 * :func:`stratified_sample` — exactly ``n`` rows per group (fewer when the
   group is smaller), chosen by hash order so the choice is stable. One
   shuffle on the group key.
+* :func:`split_corpus` — train/val/test labels by hash range: a document's
+  split depends only on its id, so membership survives corpus re-builds.
+  Zero shuffle.
 * :func:`pack_sequences` — greedy contiguous sequence packing: assign each
   document to a token bin of ``capacity`` within its group, filling bins
   in id order (the LLM pre-training batch-packing shape). One shuffle on
@@ -85,6 +88,36 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def split_corpus(
+    df: DataFrame, id_col: str, splits: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Assign every row a ``split`` label (train/val/test/...) by hash
+    range: row goes to the first split whose cumulative probability
+    exceeds ``hash(id, salt) / 2^32``. Fractions must sum to 1.
+
+    Pure rowwise expression — zero shuffle, stable under retries, and a
+    document keeps its split across corpus re-builds (membership depends
+    only on its id), which is what keeps eval sets uncontaminated when
+    the corpus grows. The last split absorbs the (sub-2^-32) rounding
+    remainder so every row is labeled.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = _md5_u32(F.col(id_col), salt)
+    names = list(splits)
+    cum = 0.0
+    chain = None
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(int(cum * _HASH_SPACE))
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    label = F.lit(names[-1]) if chain is None else chain.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", label)
 
 
 def pack_sequences(

@@ -232,6 +232,38 @@ def main() -> None:
             F.sum("n_tokens"), F.max("fp"), F.avg("stop_ratio"), F.avg("avg_tok_len")
         ).collect()
 
+    from elephantdb_spark.functions.text import token_count_col
+    from elephantdb_spark.operators.quality import (
+        contamination_hits,
+        repetition_profile,
+        tfidf_topk,
+    )
+    from elephantdb_spark.operators.sampling import pack_sequences
+
+    # zero-shuffle scan-stage repetition signals (Gopher quality filters)
+    with timed("quality_repetition_profile"):
+        repetition_profile(documents, "doc_id", "text").agg(
+            F.avg("dup_ngram_frac"), F.avg("top_ngram_frac")
+        ).collect()
+
+    # broadcast-benchmark contamination sweep (corpus side never shuffles)
+    with timed("quality_contamination"):
+        contamination_hits(
+            documents.filter(F.col("doc_id") % 41 != 0),
+            documents.filter(F.col("doc_id") % 41 == 0),
+            "doc_id", "text", 3,
+        ).count()
+
+    with timed("quality_tfidf_topk"):
+        tfidf_topk(documents, "doc_id", "text", 3).count()
+
+    # windowed cumulative-sum sequence packing per language
+    with timed("sampling_pack_sequences"):
+        pack_sequences(
+            documents.select("doc_id", "lang", "text"), ["lang"], "doc_id",
+            token_count_col(F.col("text")), 512,
+        ).count()
+
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
 

@@ -55,9 +55,11 @@ from elephantdb_spark.operators.quality import (
     repetition_profile,
     tfidf_topk,
 )
+from elephantdb_spark.operators.lm import train_ngram_lm
 from elephantdb_spark.operators.sampling import (
     deterministic_sample,
     duckdb_md5_u32_sql,
+    mix_corpus,
     pack_sequences,
     split_corpus,
     stratified_sample,
@@ -213,6 +215,36 @@ def q59_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(docs, "doc_id", SPLIT_FRACTIONS, SPLIT_SALT).select(
         "doc_id", "split"
     ).orderBy("doc_id")
+
+
+#: Mixing budgets (tokens): src0 fractional rate, src1 higher fractional
+#: rate, src2 capped at 1.0 (budget >> total), src3 zero budget (dropped),
+#: all other sources absent from the allocation (dropped).
+MIX_BUDGETS = {"src0": 400, "src1": 700, "src2": 10**9, "src3": 0}
+MIX_SALT = "edb-mix"
+
+
+def q61_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: deterministic per-source downsampling to token
+    budgets — per-source totals broadcast into an md5-threshold filter;
+    the corpus never shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    withtok = docs.select(
+        "doc_id", "source", token_count_col(F.col("text")).alias("n_toks")
+    )
+    return mix_corpus(
+        withtok, "source", "doc_id", "n_toks", MIX_BUDGETS, MIX_SALT
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def q62_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM trained over the corpus: conditional
+    probabilities as exact integer-ratio doubles (cross-engine exact)."""
+    docs = _table(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs, "text", n=2)
+    return lm.select(
+        "prefix", "next_token", "c", F.round("prob", 6).alias("prob")
+    ).orderBy("prefix", "next_token")
 
 
 def q60_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +470,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_contamination_hits": q58_contamination_hits,
     "q59_corpus_split": q59_corpus_split,
     "q60_tfidf_topk": q60_tfidf_topk,
+    "q61_mix_corpus": q61_mix_corpus,
+    "q62_train_bigram_lm": q62_train_bigram_lm,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -645,6 +679,34 @@ EXT_ORACLES: dict[str, str] = {
         )
         + f" ELSE '{list(SPLIT_FRACTIONS)[-1]}' END AS split "
         "FROM documents ORDER BY doc_id"
+    ),
+    "q61_mix_corpus": (
+        "WITH t AS (SELECT doc_id, source, "
+        f"  CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n FROM documents), "
+        "tot AS (SELECT source, SUM(n) AS total FROM t GROUP BY source), "
+        "b AS (SELECT doc_id, source, total, CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN CAST({float(v)} AS DOUBLE)"
+            for s, v in MIX_BUDGETS.items()
+        )
+        + " ELSE NULL END AS budget FROM t JOIN tot USING (source)) "
+        "SELECT doc_id, source FROM b "
+        "WHERE budget IS NOT NULL AND total > 0 AND "
+        f"{duckdb_md5_u32_sql('doc_id', MIX_SALT)} < CAST(floor("
+        "  least(CAST(1.0 AS DOUBLE), budget / CAST(total AS DOUBLE)) "
+        "  * 4294967296.0) AS BIGINT) "
+        "ORDER BY doc_id"
+    ),
+    "q62_train_bigram_lm": (
+        f"WITH toks AS (SELECT list_transform({_TOKS}, x -> lower(x)) AS tk "
+        "  FROM documents WHERE length(trim(text)) > 0), "
+        "p AS (SELECT unnest(generate_series(1, len(tk) - 1)) AS i, tk "
+        "  FROM toks WHERE len(tk) >= 2), "
+        "c AS (SELECT tk[i] AS prefix, tk[i+1] AS next_token, count(*) AS c "
+        "  FROM p GROUP BY 1, 2) "
+        "SELECT prefix, next_token, c, "
+        "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
+        "FROM c ORDER BY prefix, next_token"
     ),
     "q60_tfidf_topk": (
         "WITH toks AS (SELECT doc_id, "

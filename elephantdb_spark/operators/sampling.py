@@ -15,6 +15,9 @@ bytes, so each operator has an exact cross-engine SQL oracle.
 * :func:`split_corpus` — train/val/test labels by hash range: a document's
   split depends only on its id, so membership survives corpus re-builds.
   Zero shuffle.
+* :func:`mix_corpus` — per-source downsampling to token budgets (data
+  mixing): a tiny per-source totals aggregate broadcast into the same
+  md5-threshold filter. The corpus never shuffles.
 * :func:`pack_sequences` — greedy contiguous sequence packing: assign each
   document to a token bin of ``capacity`` within its group, filling bins
   in id order (the LLM pre-training batch-packing shape). One shuffle on
@@ -87,6 +90,51 @@ def stratified_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col: Column | str,
+    budgets: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Data mixing: deterministically downsample each source to (in
+    expectation) its token budget. A source with ``total_tokens_s`` gets
+    keep-rate ``min(1, budget_s / total_tokens_s)``; rows are kept by the
+    same md5-threshold rule as :func:`deterministic_sample`, so the mix
+    is reproducible and a document's membership is stable as long as its
+    source's rate is. Sources absent from ``budgets`` are dropped
+    (mixing is an explicit allocation, not a default-keep).
+
+    Two-pass, both cheap at 100 TB: one map-side-combinable aggregation
+    to per-source token totals (rows = number of sources), broadcast
+    back into the rowwise threshold filter. The corpus itself never
+    shuffles.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    toks = (
+        F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    )
+    totals = df.groupBy(source_col).agg(F.sum(toks).alias("__total"))
+    budget_map = F.create_map(
+        *[F.lit(x) for s, b in budgets.items() for x in (s, float(b))]
+    )
+    budget = budget_map[F.col(source_col)]
+    rate = F.when(
+        budget.isNull() | (F.col("__total") <= 0), F.lit(0.0)
+    ).otherwise(F.least(F.lit(1.0), budget / F.col("__total").cast("double")))
+    threshold = F.floor(rate * F.lit(float(_HASH_SPACE))).cast("bigint")
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .filter(_md5_u32(F.col(id_col), salt) < threshold)
+        .drop("__total")
     )
 
 

@@ -55,6 +55,13 @@ from elephantdb_spark.operators.quality import (
     repetition_profile,
     tfidf_topk,
 )
+from elephantdb_spark.functions.redact import (
+    duckdb_pii_count_sql,
+    duckdb_redact_sql,
+    pii_count_col,
+    redact_pii,
+)
+from elephantdb_spark.operators.chunking import chunk_documents
 from elephantdb_spark.operators.lm import train_ngram_lm
 from elephantdb_spark.operators.sampling import (
     deterministic_sample,
@@ -245,6 +252,65 @@ def q62_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.select(
         "prefix", "next_token", "c", F.round("prob", 6).alias("prob")
     ).orderBy("prefix", "next_token")
+
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24) — pure
+    scan-stage explode, zero shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", CHUNK_WINDOW, CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _pii_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministically inject synthetic PII (emails/IPs/SSNs) into the
+    all-clean synthetic texts; mirrored exactly by _PII_CORPUS_SQL."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_CORPUS_SQL = (
+    "SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END "
+    "|| CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "AS text FROM documents"
+)
+
+
+def q64_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-category counts over a deterministically
+    PII-injected corpus — all JVM-side regexp work in the scan stage."""
+    corpus = _pii_corpus(_table(spark, sf_dir, "documents"))
+    return corpus.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_count_col(F.col("text"), "email").alias("n_email"),
+        pii_count_col(F.col("text"), "ip").alias("n_ip"),
+        pii_count_col(F.col("text"), "ssn").alias("n_ssn"),
+    ).orderBy("doc_id")
 
 
 def q60_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +538,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_tfidf_topk": q60_tfidf_topk,
     "q61_mix_corpus": q61_mix_corpus,
     "q62_train_bigram_lm": q62_train_bigram_lm,
+    "q63_chunk_documents": q63_chunk_documents,
+    "q64_redact_pii": q64_redact_pii,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -707,6 +775,27 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q63_chunk_documents": (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, length(trim(text)) AS tl "
+        "  FROM documents), "
+        "s AS (SELECT doc_id, tk, "
+        f"  unnest(generate_series(1, len(tk), {CHUNK_STRIDE})) AS start "
+        "  FROM t WHERE tl > 0) "
+        "SELECT doc_id, "
+        f"  CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx, "
+        f"  array_to_string(tk[start:least(len(tk), start + {CHUNK_WINDOW - 1})], ' ') AS chunk_text, "
+        f"  CAST(least({CHUNK_WINDOW}, len(tk) - start + 1) AS BIGINT) AS n_tokens "
+        "FROM s ORDER BY doc_id, chunk_idx"
+    ),
+    "q64_redact_pii": (
+        f"WITH corpus AS ({_PII_CORPUS_SQL}) "
+        "SELECT doc_id, "
+        f"  {duckdb_redact_sql('text')} AS redacted, "
+        f"  {duckdb_pii_count_sql('text', 'email')} AS n_email, "
+        f"  {duckdb_pii_count_sql('text', 'ip')} AS n_ip, "
+        f"  {duckdb_pii_count_sql('text', 'ssn')} AS n_ssn "
+        "FROM corpus ORDER BY doc_id"
     ),
     "q60_tfidf_topk": (
         "WITH toks AS (SELECT doc_id, "

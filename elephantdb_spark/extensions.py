@@ -62,6 +62,7 @@ from elephantdb_spark.functions.redact import (
     redact_pii,
 )
 from elephantdb_spark.operators.chunking import chunk_documents
+from elephantdb_spark.operators.components import connected_components
 from elephantdb_spark.operators.lm import train_ngram_lm
 from elephantdb_spark.operators.sampling import (
     deterministic_sample,
@@ -252,6 +253,17 @@ def q62_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.select(
         "prefix", "next_token", "c", F.round("prob", 6).alias("prob")
     ).orderBy("prefix", "next_token")
+
+
+def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (the dedup
+    endgame): pointer-jumped hash-min label propagation; cluster id =
+    component minimum. Oracle: recursive-CTE transitive closure."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = jaccard_shingle_pairs(
+        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD
+    )
+    return connected_components(pairs, "a", "b").orderBy("node")
 
 
 CHUNK_WINDOW = 32
@@ -540,6 +552,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_train_bigram_lm": q62_train_bigram_lm,
     "q63_chunk_documents": q63_chunk_documents,
     "q64_redact_pii": q64_redact_pii,
+    "q65_neardup_components": q65_neardup_components,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -775,6 +788,24 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q65_neardup_components": (
+        f"WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}), "
+        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM corpus), "
+        "sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc), "
+        "inter AS (SELECT l.doc AS a, r.doc AS b, COUNT(*) AS inter "
+        "          FROM sh l JOIN sh r USING (shingle) WHERE l.doc < r.doc "
+        "          GROUP BY l.doc, r.doc), "
+        "pairs AS (SELECT a, b FROM inter "
+        "  JOIN sz sza ON sza.doc = a JOIN sz szb ON szb.doc = b "
+        "  WHERE CAST(inter AS DOUBLE) / CAST(sza.sz + szb.sz - inter AS DOUBLE) "
+        f"    >= {JACCARD_THRESHOLD}), "
+        "edges AS (SELECT a AS u, b AS v FROM pairs "
+        "  UNION SELECT b AS u, a AS v FROM pairs), "
+        "reach(u, r) AS (SELECT u, v FROM edges "
+        "  UNION SELECT reach.u, edges.v FROM reach JOIN edges ON reach.r = edges.u) "
+        "SELECT u AS node, least(u, MIN(r)) AS cluster FROM reach "
+        "GROUP BY u ORDER BY node"
     ),
     "q63_chunk_documents": (
         f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, length(trim(text)) AS tl "

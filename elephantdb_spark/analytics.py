@@ -342,8 +342,41 @@ def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """EXACT per-group percentiles (linear interpolation — the
+    ``quantile_cont`` definition, bit-identical to DuckDB's for identical
+    inputs, hence oracle-hashable without rounding).
+
+    Scale caveat, by design: Spark's exact ``percentile`` buffers each
+    group's values in the aggregation state, so this is for
+    bounded-cardinality groups (event types, sources, languages — the
+    dashboard shape). For percentiles over UNBOUNDED value streams use
+    :func:`approx_stats` (GK sketch, mergeable partials, q34) — the two
+    operators are the exact/approx twins of the same need.
+    """
+    aggs = [
+        F.percentile(value_col, p).alias(f"p{int(p * 100)}") for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def q66_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per event type. Unrounded: the
+    interpolation arithmetic is bit-identical cross-engine, and rounding
+    identical doubles is the riskier operation (engines' round() can
+    differ by an ulp on the same input)."""
+    ev = _events(spark, sf_dir)
+    return grouped_percentiles(ev, ["event_type"], "value").orderBy("event_type")
+
+
 ANALYTICS_QUERIES = {
     "q32_event_window_agg": q32_event_window_agg,
+    "q66_grouped_percentiles": q66_grouped_percentiles,
     "q33_event_sessions": q33_event_sessions,
     "q34_approx_stats": q34_approx_stats,
     "q47_daily_rollup_from_hourly": q47_daily_rollup_from_hourly,
@@ -354,6 +387,11 @@ ANALYTICS_QUERIES = {
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 ANALYTICS_ORACLES = {
+    "q66_grouped_percentiles": (
+        "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+        "quantile_cont(value, 0.95) AS p95, quantile_cont(value, 0.99) AS p99 "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
     "q32_event_window_agg": (
         "SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, "
         "COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value "

@@ -52,6 +52,7 @@ from elephantdb_spark.operators.dedup import (
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 from elephantdb_spark.operators.quality import (
     contamination_hits,
+    inverted_index,
     repetition_profile,
     tfidf_topk,
 )
@@ -264,6 +265,16 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD
     )
     return connected_components(pairs, "a", "b").orderBy("node")
+
+
+MAX_POSTINGS = 50
+
+
+def q67_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: token -> sorted posting list (comma-joined),
+    true document frequency, hot-token lists truncated at MAX_POSTINGS."""
+    docs = _table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", MAX_POSTINGS).orderBy("token")
 
 
 CHUNK_WINDOW = 32
@@ -553,6 +564,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_chunk_documents": q63_chunk_documents,
     "q64_redact_pii": q64_redact_pii,
     "q65_neardup_components": q65_neardup_components,
+    "q67_inverted_index": q67_inverted_index,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -788,6 +800,15 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q67_inverted_index": (
+        "WITH pairs AS (SELECT DISTINCT doc_id, "
+        f"  unnest(list_transform({_TOKS}, x -> lower(x))) AS token "
+        "  FROM documents WHERE length(trim(text)) > 0) "
+        "SELECT token, count(*) AS df_count, "
+        "  array_to_string(list_transform("
+        f"    list_sort(list(doc_id))[1:{MAX_POSTINGS}], x -> CAST(x AS VARCHAR)), ',') AS postings "
+        "FROM pairs GROUP BY token ORDER BY token"
     ),
     "q65_neardup_components": (
         f"WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}), "

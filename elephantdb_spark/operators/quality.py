@@ -175,6 +175,52 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Token → posting-list index (the search-index build): returns
+    (``token``, ``df_count``, ``postings``) where ``postings`` is the
+    sorted comma-joined doc-id list of documents containing the token
+    (lowercased). ``max_postings`` truncates each list to its first N
+    sorted ids while ``df_count`` keeps the TRUE document frequency —
+    stopword-like tokens get a bounded list, not an unbounded row.
+
+    Plan: explode + per-doc distinct (map-side combinable on the
+    (token, doc) composite), then one aggregation per token. Posting
+    rows are (token, id) pairs — bytes, not documents. At 100 TB
+    ``max_postings`` is the hot-token guard: without it the most common
+    token's row is corpus-sized (same failure mode as the dedup
+    hot-shingle join, same fix).
+    """
+    if max_postings is not None and max_postings <= 0:
+        raise ValueError(f"max_postings must be positive, got {max_postings}")
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .select("__doc", F.lower(F.col("token")).alias("token"))
+        .distinct()
+    )
+    agg = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.sort_array(F.collect_list("__doc")).alias("__ids"),
+    )
+    ids = F.col("__ids")
+    if max_postings is not None:
+        ids = F.slice(ids, 1, max_postings)
+    return agg.select(
+        "token",
+        "df_count",
+        F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias(
+            "postings"
+        ),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from elephantdb_spark.functions.text import token_count_col
+from elephantdb_spark.operators.components import connected_components
 from elephantdb_spark.operators.dedup import (
     exact_dedup,
     jaccard_shingle_pairs,
@@ -38,6 +39,7 @@ def clean_corpus(
     bands: int = 16,
     shingle_len: int = 3,
     max_hamming: int = 3,
+    neardup_scope: str = "components",
 ) -> DataFrame:
     """Quality-gate, dedup, and near-dup-clean a document corpus.
 
@@ -50,14 +52,20 @@ def clean_corpus(
     3. near-dup removal — ``neardup`` picks the detector:
        ``"minhash"`` (MinHash-LSH + exact-Jaccard verify, the scale path),
        ``"jaccard"`` (exact shingle Jaccard, quadratic in bucket size),
-       ``"simhash"`` (banded hamming). For every confirmed pair the
-       greater id is dropped, so the smallest id of each near-dup cluster
-       that is pairwise-detected survives.
+       ``"simhash"`` (banded hamming). ``neardup_scope`` picks the keep
+       policy over the detected pairs: ``"components"`` (default) runs
+       connected components and keeps exactly ONE doc — the smallest id —
+       per near-dup cluster; ``"pairs"`` drops the greater id of each
+       pair, which keeps every LOCAL minimum (a cluster like {1,5} {3,5}
+       keeps both 1 and 3 — cheaper, one fewer iterative stage, but a
+       weaker guarantee).
 
     Returns the surviving rows of ``docs`` (all original columns).
     """
     if neardup not in (None, "minhash", "jaccard", "simhash"):
         raise ValueError(f"unknown neardup detector {neardup!r}")
+    if neardup_scope not in ("components", "pairs"):
+        raise ValueError(f"unknown neardup_scope {neardup_scope!r}")
     out = docs
     if min_tokens is not None:
         out = out.filter(token_count_col(F.col(text_col)) >= min_tokens)
@@ -85,6 +93,14 @@ def clean_corpus(
     else:
         pairs = None
     if pairs is not None:
-        losers = pairs.select(F.greatest("a", "b").alias(id_col)).distinct()
-        out = out.join(losers, id_col, "left_anti")
+        if neardup_scope == "components":
+            comps = connected_components(pairs, "a", "b")
+            losers = comps.filter(F.col("node") != F.col("cluster")).select(
+                F.col("node").alias(id_col)
+            )
+        else:
+            losers = pairs.select(F.greatest("a", "b").alias(id_col)).distinct()
+        # losers are detector-bounded (≪ corpus): broadcast the anti-join
+        # so the surviving corpus never shuffles
+        out = out.join(F.broadcast(losers), id_col, "left_anti")
     return out

@@ -105,11 +105,47 @@ def test_clean_corpus_matches_hand_rolled(spark, corpus):
         for r in clean_corpus(
             corpus, min_tokens=MIN_TOKENS, neardup="minhash",
             num_perm=32, bands=8, neardup_threshold=0.5,
+            neardup_scope="pairs",
         ).collect()
     }
     assert got == expected
     # planted exact dups (ids+100000) must all be gone
     assert not {i for i in got if 100_000 <= i < 200_000}
+
+
+def test_clean_corpus_components_scope_keeps_one_per_cluster(spark):
+    """neardup_scope='components' (the default) keeps exactly one doc per
+    near-dup cluster; 'pairs' keeps every local minimum. The planted
+    cluster {1, 3, 5} is detected via pairs (1,5) and (3,5) only — text 1
+    and 3 share nothing pairwise — so 'pairs' keeps both 1 and 3 while
+    components keeps only 1."""
+    from elephantdb_spark.pipeline import clean_corpus
+
+    # chain: 1~5 (5 = 1 + tail, jaccard .583), 3~5 (3 = 5's tail + fresh
+    # suffix, jaccard .296), 1 !~ 3 (zero shared shingles)
+    other = "one two three four five six seven eight nine ten eleven"
+    t1 = "a b c d e f g h i j k l m n o p"
+    t5 = t1 + " q r s t u v w x y z"
+    t3 = "q r s t u v w x y z a2 b2 c2"
+    rows = [(1, t1), (5, t5), (3, t3), (9, other)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(scope):
+        return {
+            r.doc_id
+            for r in clean_corpus(
+                docs, min_tokens=0, drop_exact_dups=False,
+                neardup="jaccard", neardup_threshold=0.25,
+                shingle_len=3, neardup_scope=scope,
+            ).collect()
+        }
+
+    pairs_kept = run("pairs")
+    comp_kept = run("components")
+    assert pairs_kept == {1, 3, 9}  # both local minima survive
+    assert comp_kept == {1, 9}  # one rep per cluster
+    with pytest.raises(ValueError, match="unknown neardup_scope"):
+        clean_corpus(docs, neardup_scope="bogus")
 
 
 def test_clean_corpus_stage_toggles(spark, corpus):

@@ -114,6 +114,50 @@ def test_tfidf_topk_matches_python(spark, docs):
     assert 3 not in got
 
 
+def test_inverted_index_matches_python(spark, docs):
+    from collections import defaultdict
+
+    from elephantdb_spark.operators.quality import inverted_index
+
+    postings = defaultdict(set)
+    for d, text in DOCS:
+        for t in text.split():
+            postings[t.lower()].add(d)
+    got = {
+        r.token: (r.df_count, r.postings)
+        for r in inverted_index(docs, "doc_id", "text").collect()
+    }
+    want = {
+        t: (len(ids), ",".join(str(i) for i in sorted(ids)))
+        for t, ids in postings.items()
+    }
+    assert got == want
+    # truncation caps the list but keeps the true df_count
+    trunc = {
+        r.token: (r.df_count, r.postings)
+        for r in inverted_index(docs, "doc_id", "text", max_postings=1).collect()
+    }
+    assert trunc["the"] == (got["the"][0], got["the"][1].split(",")[0])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        inverted_index(docs, "doc_id", "text", max_postings=0)
+
+
+def test_grouped_percentiles_matches_python(spark):
+    import numpy as np
+
+    from elephantdb_spark.analytics import grouped_percentiles
+
+    rows = [(["a", "b"][i % 2], float(v)) for i, v in enumerate(range(101))]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: (r.p50, r.p95, r.p99) for r in grouped_percentiles(df, ["g"], "value").collect()}
+    for g in ("a", "b"):
+        vals = np.array(sorted(v for gg, v in rows if gg == g))
+        want = tuple(np.quantile(vals, q) for q in (0.5, 0.95, 0.99))
+        assert got[g] == pytest.approx(want, abs=1e-12), g
+
+
 def test_tfidf_validates_k(spark, docs):
     with pytest.raises(ValueError):
         tfidf_topk(docs, "doc_id", "text", k=0)

@@ -65,6 +65,10 @@ from elephantdb_spark.functions.redact import (
 from elephantdb_spark.operators.chunking import chunk_documents
 from elephantdb_spark.operators.components import connected_components
 from elephantdb_spark.operators.lm import train_ngram_lm
+from elephantdb_spark.operators.vectors import (
+    duckdb_group_centroids_sql,
+    group_centroids,
+)
 from elephantdb_spark.operators.sampling import (
     deterministic_sample,
     duckdb_md5_u32_sql,
@@ -265,6 +269,14 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD
     )
     return connected_components(pairs, "a", "b").orderBy("node")
+
+
+def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via fixed-point aggregation —
+    order-independent integer sums make the distributed float mean
+    bit-reproducible (and hence oracle-hashable)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "label", "embedding").orderBy("label", "dim")
 
 
 MAX_POSTINGS = 50
@@ -565,6 +577,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_redact_pii": q64_redact_pii,
     "q65_neardup_components": q65_neardup_components,
     "q67_inverted_index": q67_inverted_index,
+    "q68_label_centroids": q68_label_centroids,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -800,6 +813,10 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q68_label_centroids": (
+        duckdb_group_centroids_sql("embeddings", "label", "embedding", 64)
+        + " ORDER BY label, dim"
     ),
     "q67_inverted_index": (
         "WITH pairs AS (SELECT DISTINCT doc_id, "

@@ -264,6 +264,35 @@ def main() -> None:
             token_count_col(F.col("text")), 512,
         ).count()
 
+    from elephantdb_spark.functions.redact import pii_count_col, redact_pii
+    from elephantdb_spark.operators.components import connected_components
+    from elephantdb_spark.operators.dedup import jaccard_shingle_pairs
+    from elephantdb_spark.operators.lm import train_ngram_lm
+
+    # iterative pointer-jumped label propagation over the near-dup graph
+    neardup_corpus = documents.select("doc_id", "text").unionByName(
+        documents.filter(F.col("doc_id") < 250).select(
+            (F.col("doc_id") + 200_000).alias("doc_id"),
+            F.expr("substring(text, 12)").alias("text"),
+        )
+    )
+    cc_pairs = jaccard_shingle_pairs(
+        neardup_corpus, "doc_id", "text", shingle_len=3, threshold=0.5
+    )
+    with timed("neardup_components"):
+        connected_components(cc_pairs, "a", "b").count()
+
+    # bigram LM training: explode + count + per-prefix window
+    with timed("lm_train_bigram"):
+        train_ngram_lm(documents, "text", n=2).count()
+
+    # regex-chain redaction sweep (JVM regexp, scan-stage)
+    with timed("redact_pii_sweep"):
+        documents.select(
+            F.sum(F.length(redact_pii(F.col("text")))),
+            F.sum(pii_count_col(F.col("text"), "email")),
+        ).collect()
+
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
 

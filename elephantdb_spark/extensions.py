@@ -52,6 +52,7 @@ from elephantdb_spark.operators.dedup import (
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 from elephantdb_spark.operators.quality import (
     contamination_hits,
+    corpus_stats,
     inverted_index,
     repetition_profile,
     tfidf_topk,
@@ -277,6 +278,13 @@ def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible (and hence oracle-hashable)."""
     emb = _table(spark, sf_dir, "embeddings")
     return group_centroids(emb, "label", "embedding").orderBy("label", "dim")
+
+
+def q69_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: doc/token/char totals and exact-ratio
+    average tokens — one map-side-combinable aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    return corpus_stats(docs, "source", "text").orderBy("source")
 
 
 MAX_POSTINGS = 50
@@ -578,6 +586,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_neardup_components": q65_neardup_components,
     "q67_inverted_index": q67_inverted_index,
     "q68_label_centroids": q68_label_centroids,
+    "q69_corpus_stats": q69_corpus_stats,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -813,6 +822,15 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q69_corpus_stats": (
+        "WITH t AS (SELECT source, length(text) AS nc, "
+        f"  CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens, "
+        "  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens, "
+        "  SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS n_empty, "
+        "  SUM(CAST(nc AS BIGINT)) AS n_chars "
+        "FROM t GROUP BY source ORDER BY source"
     ),
     "q68_label_centroids": (
         duckdb_group_centroids_sql("embeddings", "label", "embedding", 64)

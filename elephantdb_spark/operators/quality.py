@@ -175,6 +175,37 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
 
 
+def corpus_stats(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The per-slice corpus report every pipeline run starts and ends
+    with: per ``group_col`` value, returns ``n_docs``, ``total_tokens``,
+    ``avg_tokens`` (exact integer-ratio double), ``n_empty`` (docs with
+    zero tokens), and ``n_chars``. ONE map-side-combinable aggregation —
+    at 100 TB this is a single scan producing a sources-sized table.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.sum((n == 0).cast("long")).alias("n_empty"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avg_tokens"),
+        "n_empty",
+        "n_chars",
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str,

@@ -52,6 +52,7 @@ from elephantdb_spark.operators.dedup import (
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 from elephantdb_spark.operators.quality import (
     contamination_hits,
+    corpus_diff,
     corpus_stats,
     inverted_index,
     repetition_profile,
@@ -278,6 +279,30 @@ def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible (and hence oracle-hashable)."""
     emb = _table(spark, sf_dir, "embeddings")
     return group_centroids(emb, "label", "embedding").orderBy("label", "dim")
+
+
+DIFF_ADD_SHIFT = 300_000
+
+
+def q70_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (between-crawls changelog): 'new' mutates
+    docs ending in 3 (text + ' v2'), removes docs ending in 7, and adds
+    shifted copies of docs < 20. The operator compares 128-bit digests
+    (text never shuffles); the oracle compares raw text — semantically
+    identical, so the hash match validates the digest shortcut."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    new = new.unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + DIFF_ADD_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    return corpus_diff(docs, new, "doc_id", "text").orderBy("doc_id")
 
 
 def q69_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +612,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_inverted_index": q67_inverted_index,
     "q68_label_centroids": q68_label_centroids,
     "q69_corpus_stats": q69_corpus_stats,
+    "q70_corpus_diff": q70_corpus_diff,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -822,6 +848,20 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q70_corpus_diff": (
+        "WITH o AS (SELECT doc_id, text FROM documents), "
+        "n AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN text || ' v2' "
+        "  ELSE text END AS text FROM documents WHERE doc_id % 10 != 7 "
+        f"  UNION ALL SELECT doc_id + {DIFF_ADD_SHIFT}, text FROM documents "
+        "  WHERE doc_id < 20), "
+        "d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "  CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "       WHEN n.doc_id IS NULL THEN 'removed' "
+        "       WHEN o.text IS DISTINCT FROM n.text THEN 'changed' "
+        "  END AS status "
+        "  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+        "SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id"
     ),
     "q69_corpus_stats": (
         "WITH t AS (SELECT source, length(text) AS nc, "

@@ -175,6 +175,51 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Version diff between two corpus snapshots (crawls, cleaning runs):
+    returns (``id_col``, ``status``) with status ``added`` (id only in
+    new), ``removed`` (only in old), or ``changed`` (both, text differs).
+    Unchanged docs are omitted — the diff is change-sized, not
+    corpus-sized.
+
+    Scale shape: both sides project to (id, 128-bit text digest) BEFORE
+    the full-outer join — the join shuffles 24-byte rows, never document
+    text, and the digest comparison avoids shipping either text for the
+    'changed' test (same digest-first rule as exact_dedup; the two seeded
+    xxhash64 halves make a collision — a real change reported as
+    unchanged — a 2^-128-scale event).
+    """
+
+    def digested(df: DataFrame, tag: str) -> DataFrame:
+        t = F.col(text_col)
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(t, t.isNull()).alias(f"__{tag}0"),
+            F.xxhash64(t, t.isNull(), F.lit(1)).alias(f"__{tag}1"),
+        )
+
+    joined = digested(old, "o").join(digested(new, "n"), id_col, "full_outer")
+    status = (
+        F.when(F.col("__o0").isNull(), F.lit("added"))
+        .when(F.col("__n0").isNull(), F.lit("removed"))
+        .when(
+            (F.col("__o0") != F.col("__n0")) | (F.col("__o1") != F.col("__n1")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_col: str,

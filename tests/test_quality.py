@@ -144,6 +144,28 @@ def test_inverted_index_matches_python(spark, docs):
         inverted_index(docs, "doc_id", "text", max_postings=0)
 
 
+def test_corpus_diff(spark):
+    from elephantdb_spark.operators.quality import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (5, "brand new"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    # 1 unchanged (omitted), 4 null->null unchanged (omitted)
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    # null -> text counts as changed
+    old2 = spark.createDataFrame([(4, None)], "doc_id long, text string")
+    new2 = spark.createDataFrame([(4, "text now")], "doc_id long, text string")
+    assert {r.doc_id: r.status for r in corpus_diff(old2, new2, "doc_id", "text").collect()} == {
+        4: "changed"
+    }
+
+
 def test_grouped_percentiles_matches_python(spark):
     import numpy as np
 

@@ -45,6 +45,7 @@ from elephantdb_spark.operators.ann import (
 )
 from elephantdb_spark.operators.dedup import (
     exact_dedup,
+    hot_shingle_report,
     jaccard_shingle_pairs,
     minhash_lsh_pairs,
     simhash_neardup_pairs,
@@ -279,6 +280,16 @@ def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible (and hence oracle-hashable)."""
     emb = _table(spark, sf_dir, "embeddings")
     return group_centroids(emb, "label", "embedding").orderBy("label", "dim")
+
+
+HOT_SHINGLE_TOP_N = 25
+
+
+def q71_hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate report: top-N most shared 3-gram shingles with doc
+    frequencies — the empirical basis for max_shingle_freq."""
+    docs = _table(spark, sf_dir, "documents")
+    return hot_shingle_report(docs, "doc_id", "text", 3, HOT_SHINGLE_TOP_N)
 
 
 DIFF_ADD_SHIFT = 300_000
@@ -613,6 +624,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_label_centroids": q68_label_centroids,
     "q69_corpus_stats": q69_corpus_stats,
     "q70_corpus_diff": q70_corpus_diff,
+    "q71_hot_shingle_report": q71_hot_shingle_report,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -848,6 +860,12 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT prefix, next_token, c, "
         "  round(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY prefix) AS DOUBLE), 6) AS prob "
         "FROM c ORDER BY prefix, next_token"
+    ),
+    "q71_hot_shingle_report": (
+        f"WITH sh AS (SELECT doc_id, unnest({_SHINGLES_EXPR}) AS shingle "
+        "  FROM documents) "
+        "SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY shingle "
+        f"ORDER BY doc_freq DESC, shingle ASC LIMIT {HOT_SHINGLE_TOP_N}"
     ),
     "q70_corpus_diff": (
         "WITH o AS (SELECT doc_id, text FROM documents), "

@@ -180,6 +180,31 @@ def jaccard_shingle_pairs(
     )
 
 
+def hot_shingle_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    top_n: int = 100,
+) -> DataFrame:
+    """The boilerplate report: the ``top_n`` most widely shared shingles
+    with their document frequencies — the empirical input for choosing
+    ``max_shingle_freq`` (and for finding template text worth stripping
+    upstream). Returns (``shingle``, ``doc_freq``) ordered by
+    (doc_freq desc, shingle asc).
+
+    One map-side-combinable count on the shingle plus a top-n — the
+    report is heavy-hitter-sized output from a single index scan, safe at
+    any corpus size (this is the read side of the same index every
+    near-dup detector already builds).
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return freq.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc()).limit(top_n)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

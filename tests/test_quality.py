@@ -222,3 +222,21 @@ def test_split_corpus_validates_fractions(spark):
     assert out.collect()[0].split == "all"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hot_shingle_report(spark, docs):
+    from collections import Counter
+
+    from elephantdb_spark.operators.dedup import hot_shingle_report
+
+    freq = Counter()
+    for d, text in DOCS:
+        toks = text.split()
+        sh = {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+        for s in sh:
+            freq[s] += 1
+    got = [(r.shingle, r.doc_freq) for r in hot_shingle_report(docs, "doc_id", "text", 2, 5).collect()]
+    want = sorted(freq.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert got == want
+    with pytest.raises(ValueError):
+        hot_shingle_report(docs, "doc_id", "text", 2, 0)

@@ -11,8 +11,10 @@ rounds scale with log(diameter), not diameter). Each round is two joins
 + a map-side-combinable min-aggregation — all DataFrame ops, shuffling
 only (node, label) pairs, never documents; every round's result is
 ``localCheckpoint``-ed to truncate the otherwise-exponential iterative
-plan lineage. Convergence is checked with a count aggregate, not a
-collect of data; ``max_iter`` bounds pathology.
+plan lineage. Convergence is detected by the monotone label sum (labels
+only ever decrease, so an unchanged exact-decimal sum IS the fixpoint) —
+one scalar aggregate per round, no new-vs-old join and no collect of
+data; ``max_iter`` bounds pathology.
 
 At 100 TB: the edge set is the output of an LSH-style detector —
 proportional to true duplicates, orders of magnitude smaller than the
@@ -27,6 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _label_sum(labels: DataFrame):
+    """Exact decimal sum of all labels (the monotone convergence metric)."""
+    return labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
 
 
 def connected_components(
@@ -63,6 +72,7 @@ def connected_components(
             .select("u", F.least("u", "mv").alias("label"))
             .localCheckpoint(eager=True)
         )
+        prev_sum = None
         for _ in range(max_iter):
             # hash-min step: adopt the minimum label in the neighborhood
             nbr = (
@@ -92,14 +102,16 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "u")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            # convergence: labels only ever DECREASE (every update is a
+            # least()), so fixpoint ⟺ the label sum is unchanged. A
+            # scalar aggregate over the checkpointed frame — no
+            # per-round join of new-vs-old labels (an O(nodes) shuffle
+            # at cluster scale). Decimal sum: exact, overflow-free.
+            new_sum = _label_sum(new_labels)
+            old_sum = prev_sum if prev_sum is not None else _label_sum(labels)
+            prev_sum = new_sum
             labels = new_labels
-            if changed == 0:
+            if new_sum == old_sum:
                 return labels.select(
                     F.col("u").alias("node"), F.col("label").alias("cluster")
                 )

@@ -884,10 +884,10 @@ EXT_ORACLES: dict[str, str] = {
     "q69_corpus_stats": (
         "WITH t AS (SELECT source, length(text) AS nc, "
         f"  CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n FROM documents) "
-        "SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens, "
+        "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens, "
         "  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens, "
-        "  SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS n_empty, "
-        "  SUM(CAST(nc AS BIGINT)) AS n_chars "
+        "  CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, "
+        "  CAST(SUM(CAST(nc AS BIGINT)) AS BIGINT) AS n_chars "
         "FROM t GROUP BY source ORDER BY source"
     ),
     "q68_label_centroids": (

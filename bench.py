@@ -61,6 +61,16 @@ def main() -> None:
 
             def __exit__(self, *a):
                 timings[name] = round(time.perf_counter() - self.t0, 3)
+                # cache hygiene between entries (round-2 verdict: a leaked
+                # shingle-index persist taxed every subsequent entry with
+                # storage-memory eviction/GC pressure). Outside the timed
+                # window; both calls are no-ops when nothing is cached.
+                from elephantdb_spark.operators.dedup import (
+                    release_shingle_caches,
+                )
+
+                release_shingle_caches()
+                spark.catalog.clearCache()
 
         return _T()
 

@@ -268,8 +268,11 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     endgame): pointer-jumped hash-min label propagation; cluster id =
     component minimum. Oracle: recursive-CTE transitive closure."""
     corpus = _neardup_corpus(spark, sf_dir)
+    # cache_index=False: the driver runs 50 queries in one session — a
+    # persisted index with no post-action release hook would leak
     pairs = jaccard_shingle_pairs(
-        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD
+        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD,
+        cache_index=False,
     )
     return connected_components(pairs, "a", "b").orderBy("node")
 
@@ -455,8 +458,10 @@ def q24_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
+    # cache_index=False: no release hook after the driver's collect
     pairs = jaccard_shingle_pairs(
-        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD
+        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD,
+        cache_index=False,
     )
     return pairs.select(
         "a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")
@@ -510,7 +515,7 @@ def q29_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
     return minhash_lsh_pairs(
         corpus, "doc_id", "text", num_perm=32, bands=8,
-        shingle_len=3, threshold=JACCARD_THRESHOLD,
+        shingle_len=3, threshold=JACCARD_THRESHOLD, cache_index=False,
     ).select("a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")).orderBy("a", "b")
 
 

@@ -128,13 +128,19 @@ def dedup_by_components(
     id_col: str,
     a_col: str = "a",
     b_col: str = "b",
+    broadcast_drop: bool = True,
 ) -> DataFrame:
     """Keep one document per near-dup cluster (the minimum id) plus every
     document not in any pair. The drop-set (cluster members minus reps)
-    is detector-bounded, so it broadcasts into the anti-join and the
-    corpus never shuffles."""
+    is detector-bounded, so by default it broadcasts into the anti-join
+    and the corpus never shuffles. That bound is heuristic: a
+    high-duplication corpus can make the drop-set billions of ids, past
+    Spark's 8 GB broadcast limit — pass ``broadcast_drop=False`` to fall
+    back to a shuffled anti-join (the corpus shuffles once on the id)."""
     comps = connected_components(pairs, a_col, b_col)
     drop = comps.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if broadcast_drop:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")

@@ -31,6 +31,37 @@ from elephantdb_spark.functions.text import tokens_col
 #: already collide).
 _DIGEST_SEED = 1
 
+#: Shingle indexes persisted by the near-dup operators, awaiting release.
+#: Spark's LRU eviction never proactively frees these, so in a long session
+#: (a bench run, the driver's 50-query sweep) they squat on storage memory
+#: and tax every later job with eviction/GC pressure — call
+#: :func:`release_shingle_caches` after the consuming action.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _TRACKED_CACHES.append(out)
+    return out
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle index the near-dup operators have persisted
+    (``cache_index=True`` paths). Deterministic cache lifecycle for long
+    sessions: call after the action that consumes the operator's output.
+    Safe to call any time — unpersisting a never-materialized DataFrame is
+    a no-op, and the result recomputes if re-used. Returns the number of
+    caches released."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str, digest: bool = True
@@ -149,11 +180,12 @@ def jaccard_shingle_pairs(
     that never counts boilerplate as similarity. Pairs whose overlap is
     pure boilerplate score 0; below the cut the metric is exact Jaccard.
     ``cache_index`` persists the shingle index consumed by the
-    sizes/self-join branches.
+    sizes/self-join branches; release it with
+    :func:`release_shingle_caches` after the consuming action.
     """
     inv = _shingle_index(df, id_col, text_col, shingle_len)
     if cache_index:
-        inv = inv.persist()
+        inv = _persist_tracked(inv)
     # sizes from the unfiltered index: the denominator stays |A ∪ B| even
     # when the hot-shingle cut shrinks the intersection (ADVICE r1)
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
@@ -251,15 +283,17 @@ def minhash_lsh_pairs(
     ``cache_index`` persists the exploded shingle index (MEMORY_AND_DISK),
     which both the signature pass and the verification join consume —
     without it the shingle explode runs twice (measured 1.7x slower at
-    sf0.1). Eviction is left to Spark's LRU; at extreme scale write the
-    index to a table instead and pass it through.
+    sf0.1). Release it with :func:`release_shingle_caches` after the
+    consuming action (round-2 verdict: a leaked index squats on storage
+    memory for the rest of the session); at extreme scale write the index
+    to a table instead and pass it through.
     """
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
     inv = _shingle_index(df, id_col, text_col, shingle_len)
     if cache_index:
-        inv = inv.persist()
+        inv = _persist_tracked(inv)
     # sizes from the unfiltered index (see jaccard_shingle_pairs)
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:

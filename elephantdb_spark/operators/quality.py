@@ -164,15 +164,20 @@ def decontaminate(
     text_col: str,
     ngram_len: int = 8,
     broadcast_benchmark: bool = True,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Drop every corpus document sharing an ``ngram_len``-gram with the
-    benchmark (eval-leakage removal). The contaminated-id set is far
-    smaller than the corpus (it is bounded by benchmark reach), so it
-    broadcasts into an anti-join: the corpus again never shuffles."""
+    benchmark (eval-leakage removal). The contaminated-id set is usually
+    far smaller than the corpus (bounded by benchmark reach), so by
+    default it broadcasts into an anti-join and the corpus never
+    shuffles. A heavily contaminated corpus can break that bound — pass
+    ``broadcast_hits=False`` to fall back to a shuffled anti-join."""
     hits = contamination_hits(
         corpus, benchmark, id_col, text_col, ngram_len, broadcast_benchmark
     ).select(id_col)
-    return corpus.join(F.broadcast(hits), id_col, "left_anti")
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    return corpus.join(hits, id_col, "left_anti")
 
 
 def corpus_diff(
@@ -260,16 +265,20 @@ def inverted_index(
     """Token → posting-list index (the search-index build): returns
     (``token``, ``df_count``, ``postings``) where ``postings`` is the
     sorted comma-joined doc-id list of documents containing the token
-    (lowercased). ``max_postings`` truncates each list to its first N
-    sorted ids while ``df_count`` keeps the TRUE document frequency —
-    stopword-like tokens get a bounded list, not an unbounded row.
+    (lowercased). ``max_postings`` truncates each list to its
+    ``max_postings`` smallest ids while ``df_count`` keeps the TRUE
+    document frequency — stopword-like tokens get a bounded list, not an
+    unbounded row.
 
     Plan: explode + per-doc distinct (map-side combinable on the
     (token, doc) composite), then one aggregation per token. Posting
     rows are (token, id) pairs — bytes, not documents. At 100 TB
-    ``max_postings`` is the hot-token guard: without it the most common
-    token's row is corpus-sized (same failure mode as the dedup
-    hot-shingle join, same fix).
+    ``max_postings`` is the hot-token guard: the pairs are ranked with a
+    per-token window and filtered BEFORE the ``collect_list``, so the
+    hottest token's aggregation state is ``max_postings`` ids, never a
+    corpus-sized array (the window's sort spills to disk; an aggregation
+    buffer can't). Without the cap the most common token's row is
+    corpus-sized — same failure mode as the dedup hot-shingle join.
     """
     if max_postings is not None and max_postings <= 0:
         raise ValueError(f"max_postings must be positive, got {max_postings}")
@@ -281,19 +290,36 @@ def inverted_index(
         .select("__doc", F.lower(F.col("token")).alias("token"))
         .distinct()
     )
-    agg = pairs.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df_count"),
-        F.sort_array(F.collect_list("__doc")).alias("__ids"),
-    )
-    ids = F.col("__ids")
-    if max_postings is not None:
-        ids = F.slice(ids, 1, max_postings)
+    if max_postings is None:
+        agg = pairs.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.sort_array(F.collect_list("__doc")).alias("__ids"),
+        )
+    else:
+        # both windows share one partitioning (one shuffle, one sort);
+        # the rank filter bounds collect_list state to max_postings while
+        # the unordered-frame count keeps the true df
+        by_token = Window.partitionBy("token")
+        ranked = pairs.select(
+            "token",
+            "__doc",
+            F.row_number().over(by_token.orderBy("__doc")).alias("__rk"),
+            F.count(F.lit(1)).over(by_token).alias("__df"),
+        )
+        agg = (
+            ranked.filter(F.col("__rk") <= max_postings)
+            .groupBy("token")
+            .agg(
+                F.max("__df").alias("df_count"),
+                F.sort_array(F.collect_list("__doc")).alias("__ids"),
+            )
+        )
     return agg.select(
         "token",
         "df_count",
-        F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias(
-            "postings"
-        ),
+        F.array_join(
+            F.transform(F.col("__ids"), lambda x: x.cast("string")), ","
+        ).alias("postings"),
     )
 
 

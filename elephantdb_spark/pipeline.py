@@ -40,6 +40,8 @@ def clean_corpus(
     shingle_len: int = 3,
     max_hamming: int = 3,
     neardup_scope: str = "components",
+    broadcast_losers: bool = True,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Quality-gate, dedup, and near-dup-clean a document corpus.
 
@@ -60,6 +62,14 @@ def clean_corpus(
        keeps both 1 and 3 — cheaper, one fewer iterative stage, but a
        weaker guarantee).
 
+    ``broadcast_losers`` broadcasts the near-dup loser set into the final
+    anti-join (default: it is detector-bounded ≪ corpus); pass ``False``
+    on a high-duplication corpus where the loser set could exceed the
+    8 GB broadcast limit — the anti-join then shuffles on the id.
+    ``cache_index`` is forwarded to the minhash/jaccard detectors; when
+    left on, call ``operators.dedup.release_shingle_caches()`` after the
+    action that consumes this pipeline's output.
+
     Returns the surviving rows of ``docs`` (all original columns).
     """
     if neardup not in (None, "minhash", "jaccard", "simhash"):
@@ -79,11 +89,13 @@ def clean_corpus(
             out, id_col, text_col,
             num_perm=num_perm, bands=bands,
             shingle_len=shingle_len, threshold=neardup_threshold,
+            cache_index=cache_index,
         )
     elif neardup == "jaccard":
         pairs = jaccard_shingle_pairs(
             out, id_col, text_col,
             shingle_len=shingle_len, threshold=neardup_threshold,
+            cache_index=cache_index,
         )
     elif neardup == "simhash":
         pairs = simhash_neardup_pairs(
@@ -102,5 +114,7 @@ def clean_corpus(
             losers = pairs.select(F.greatest("a", "b").alias(id_col)).distinct()
         # losers are detector-bounded (≪ corpus): broadcast the anti-join
         # so the surviving corpus never shuffles
-        out = out.join(F.broadcast(losers), id_col, "left_anti")
+        if broadcast_losers:
+            losers = F.broadcast(losers)
+        out = out.join(losers, id_col, "left_anti")
     return out

@@ -282,3 +282,111 @@ def test_grain_rejects_zero(spark):
     with pytest.raises(ValueError, match="unsupported grain"):
         multi_grain_rollup(df, F.timestamp_micros(F.col("ts")), [], "value",
                            grains=["0 hours", "1 day"])
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_shingle_caches_frees_all(spark):
+    """Round-2 verdict: near-dup operators persisted their shingle index
+    with no unpersist path, so long sessions (bench, the driver sweep)
+    accumulated storage-memory pressure. release_shingle_caches() is the
+    deterministic lifecycle."""
+    from elephantdb_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_shingle_caches,
+    )
+
+    release_shingle_caches()  # drain anything a previous test left behind
+    base = _n_persistent_rdds(spark)
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3 + str(i % 5))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=8, bands=4,
+                              threshold=0.5)
+    pairs.count()
+    assert _n_persistent_rdds(spark) > base  # the index really was cached
+    assert release_shingle_caches() >= 1
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_clean_corpus_cache_index_off_leaves_no_persisted_rdds(spark):
+    from elephantdb_spark.operators.dedup import release_shingle_caches
+    from elephantdb_spark.pipeline import clean_corpus
+
+    release_shingle_caches()
+    base = _n_persistent_rdds(spark)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 5 + str(i))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    clean_corpus(docs, min_tokens=5, neardup="minhash", num_perm=8, bands=4,
+                 neardup_scope="pairs", cache_index=False).count()
+    # connected_components/edge persists release themselves; with
+    # cache_index=False nothing else should persist either
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_broadcast_toggles_match_broadcast_path(spark):
+    """broadcast_drop/broadcast_hits/broadcast_losers=False (ADVICE r2:
+    escape hatch for drop-sets past the 8 GB broadcast limit) must return
+    identical rows to the broadcast default."""
+    from elephantdb_spark.operators.components import dedup_by_components
+    from elephantdb_spark.operators.quality import decontaminate
+    from elephantdb_spark.pipeline import clean_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine ten " * 2 + str(i % 4))
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 4), (4, 8), (1, 5), (2, 6)], "a long, b long"
+    )
+    kept_b = {r.doc_id for r in dedup_by_components(docs, pairs, "doc_id").collect()}
+    kept_s = {r.doc_id for r in
+              dedup_by_components(docs, pairs, "doc_id", broadcast_drop=False).collect()}
+    assert kept_b == kept_s and {4, 8, 5, 6}.isdisjoint(kept_s)
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corp = docs.filter(F.col("doc_id") % 7 != 0)
+    d_b = {r.doc_id for r in decontaminate(corp, bench, "doc_id", "text", 3).collect()}
+    d_s = {r.doc_id for r in
+           decontaminate(corp, bench, "doc_id", "text", 3,
+                         broadcast_hits=False).collect()}
+    assert d_b == d_s
+
+    c_b = {r.doc_id for r in
+           clean_corpus(docs, min_tokens=5, neardup="minhash", num_perm=8,
+                        bands=4, neardup_scope="pairs").collect()}
+    from elephantdb_spark.operators.dedup import release_shingle_caches
+    release_shingle_caches()
+    c_s = {r.doc_id for r in
+           clean_corpus(docs, min_tokens=5, neardup="minhash", num_perm=8,
+                        bands=4, neardup_scope="pairs",
+                        broadcast_losers=False).collect()}
+    release_shingle_caches()
+    assert c_b == c_s
+
+
+def test_inverted_index_bounded_state_plan(spark):
+    """ADVICE r2: with max_postings the (token, doc) pairs must be ranked
+    and filtered BEFORE collect_list so no aggregation buffer holds a
+    corpus-sized posting array — the plan should contain a Window above
+    the pair-distinct and below the final aggregate."""
+    from elephantdb_spark.operators.quality import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common word unique" + str(i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = inverted_index(docs, "doc_id", "text", max_postings=3)
+    assert "Window" in out._jdf.queryExecution().optimizedPlan().toString()
+    rows = {r.token: (r.df_count, r.postings) for r in out.collect()}
+    assert rows["common"] == (10, "0,1,2")
+    assert rows["word"] == (10, "0,1,2")
+    assert rows["unique7"] == (1, "7")

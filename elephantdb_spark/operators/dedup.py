@@ -103,6 +103,33 @@ def exact_dedup(
     )
 
 
+def _md5_long_col(col, seed: int | None = None):
+    """Signed int64 from the high 64 bits of ``md5(col [ || ':seed' ])`` —
+    byte-exact DuckDB parity via the same unsigned-decimal → signed
+    two-halves trick as ``sharding.md5_mod_col`` (the hex high half is
+    interpreted as an unsigned 64-bit value, then wrapped to signed).
+    Slower than xxhash64 (md5 + base conversion per value) but
+    SQL-replicable: the oracle mode for the signature pipelines. The
+    seed suffix is fixed per permutation, so within a permutation two
+    inputs collide iff the strings are equal."""
+    if seed is not None:
+        col = F.concat(col, F.lit(f":{seed}"))
+    d = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit(str(1 << 63)).cast("decimal(20,0)")
+    two64 = F.lit(str(1 << 64)).cast("decimal(21,0)")
+    return F.when(d >= two63, d - two64).otherwise(d).cast("long")
+
+
+def _signature_hash(col, seed: int | None, hash_fn: str):
+    """The per-permutation signature hash: ``xxhash64`` (default, fastest,
+    engine-specific) or ``md5`` (DuckDB-replicable oracle mode)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5":
+        return _md5_long_col(col, seed)
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def _shingles_from_tokens(toks, shingle_len: int):
     """Distinct word n-gram shingles from a (materialized) token array."""
     n = F.size(toks)
@@ -243,13 +270,17 @@ def minhash_signatures(
     text_col: str,
     num_perm: int = 32,
     shingle_len: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for permutation i, the min of
-    ``xxhash64(shingle, i)`` over the doc's shingles — num_perm aggregates
-    in one pass over the exploded shingle index (single shuffle)."""
+    ``hash(shingle, i)`` over the doc's shingles — num_perm aggregates
+    in one pass over the exploded shingle index (single shuffle).
+    ``hash_fn='md5'`` swaps the permutation hash for the DuckDB-replicable
+    md5 high half (see :func:`_md5_long_col`) so the whole signature
+    pipeline becomes SQL-oracle-able; xxhash64 stays the fast default."""
     inv = _shingle_index(df, id_col, text_col, shingle_len)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        F.min(_signature_hash(F.col("shingle"), i, hash_fn)).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     return inv.groupBy("doc").agg(*aggs)
@@ -265,6 +296,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     cache_index: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard. The LSH bucket join generates candidates proportional to the
@@ -287,6 +319,12 @@ def minhash_lsh_pairs(
     consuming action (round-2 verdict: a leaked index squats on storage
     memory for the rest of the session); at extreme scale write the index
     to a table instead and pass it through.
+
+    ``hash_fn='md5'`` makes every stage DuckDB-replicable (oracle mode):
+    the permutation hash becomes the md5 high half and the LSH bucket key
+    becomes the band's raw min-vector (a joined string) instead of its
+    xxhash64 — candidates are then EXACTLY band-vector equality, with no
+    engine-specific band-hash collisions for the oracle to miss.
     """
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
@@ -299,17 +337,19 @@ def minhash_lsh_pairs(
     if max_shingle_freq is not None:
         inv = _drop_hot_shingles(inv, max_shingle_freq)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        F.min(_signature_hash(F.col("shingle"), i, hash_fn)).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     sigs = inv.groupBy("doc").agg(*aggs)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+
+    def band_key(b: int):
+        vals = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            # oracle mode: the raw vector IS the key (exact band equality)
+            return F.concat_ws(",", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals, F.lit(b))
+
+    band_cols = [band_key(b).alias(f"band{b}") for b in range(bands)]
     banded = sigs.select("doc", *band_cols)
     bucket = banded.select(
         "doc",
@@ -349,14 +389,19 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, shingle_len: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: per bit position, sum ±1 over the
     distinct token/shingle hashes; bit set iff the sum is positive.
     Expressed as 64 conditional aggregates over the exploded index —
-    map-side combinable, single shuffle."""
+    map-side combinable, single shuffle. ``hash_fn='md5'`` swaps the
+    feature hash for the DuckDB-replicable md5 high half (oracle mode)."""
     inv = _shingle_index(df, id_col, text_col, shingle_len)
-    h = F.xxhash64(F.col("shingle"))
+    h = _signature_hash(F.col("shingle"), None, hash_fn)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -377,11 +422,12 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     shingle_len: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, candidates
     from banded 16-bit chunks (pigeonhole: distance <= bands-1 guarantees an
     equal band; with bands=4, distance <= 3 is exact, larger is recall<1)."""
-    fps = simhash_fingerprints(df, id_col, text_col, shingle_len)
+    fps = simhash_fingerprints(df, id_col, text_col, shingle_len, hash_fn)
     width = 64 // bands
     mask = (1 << width) - 1
     chunks = fps.select(

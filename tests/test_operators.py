@@ -355,3 +355,82 @@ def test_hot_shingle_guard_default_is_finite():
     for fn in (jaccard_shingle_pairs, minhash_lsh_pairs):
         default = inspect.signature(fn).parameters["max_shingle_freq"].default
         assert default == DEFAULT_MAX_SHINGLE_FREQ and default is not None
+
+
+def test_md5_long_col_matches_hashlib(spark):
+    """hash_fn='md5' oracle mode: the Spark column must equal the signed
+    big-endian int64 of the first 8 md5 bytes (what the DuckDB oracle
+    computes from the hex high half)."""
+    import hashlib
+
+    from elephantdb_spark.operators.dedup import _md5_long_col
+
+    vals = ["hello world", "a", "ünïcode tëst", "x y z", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for seed in (None, 0, 7):
+        got = {
+            r.s: r.h
+            for r in df.select("s", _md5_long_col(F.col("s"), seed).alias("h")).collect()
+        }
+        for v in vals:
+            raw = v if seed is None else f"{v}:{seed}"
+            want = int.from_bytes(
+                hashlib.md5(raw.encode()).digest()[:8], "big", signed=True
+            )
+            assert got[v] == want, (v, seed)
+
+
+def test_simhash_md5_mode_matches_python(spark, neardup_corpus):
+    """md5-mode fingerprints replay exactly in python (same bit sums)."""
+    import hashlib
+
+    from elephantdb_spark.operators.dedup import simhash_fingerprints
+
+    sample = neardup_corpus.filter(F.col("doc_id") < 10)
+    got = {
+        r.doc: r.simhash
+        for r in simhash_fingerprints(sample, "doc_id", "text", 1, "md5").collect()
+    }
+    for r in sample.collect():
+        toks = set(r.text.split())
+        if not toks:
+            continue
+        sums = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big", signed=True)
+            for i in range(64):
+                sums[i] += 1 if (h >> i) & 1 == 1 else -1
+        fp = 0
+        for i in range(64):
+            if sums[i] > 0:
+                fp += 2**i if i < 63 else -(2**63)
+        assert got[r.doc_id] == fp
+
+
+def test_minhash_md5_mode_precision_and_planted_recall(spark, neardup_corpus):
+    """md5 mode keeps the operator's semantics: every emitted pair is a
+    true >=threshold pair and the planted near-dups are found."""
+    from elephantdb_spark.operators.dedup import (
+        jaccard_shingle_pairs,
+        minhash_lsh_pairs,
+        release_shingle_caches,
+    )
+
+    exact = {
+        (r.a, r.b)
+        for r in jaccard_shingle_pairs(
+            neardup_corpus, "doc_id", "text", 3, 0.5, cache_index=False
+        ).collect()
+    }
+    lsh = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            neardup_corpus, "doc_id", "text", num_perm=32, bands=8,
+            shingle_len=3, threshold=0.5, cache_index=False, hash_fn="md5",
+        ).collect()
+    }
+    release_shingle_caches()
+    assert lsh <= exact
+    assert len(lsh & exact) >= int(0.9 * len(exact))
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(neardup_corpus, "doc_id", "text", hash_fn="sha9000")

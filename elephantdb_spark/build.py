@@ -301,7 +301,13 @@ class StagedBuild:
     def resume(
         cls, spark: SparkSession, domain_root: str, version: int
     ) -> "StagedBuild":
-        """Reopen an unpublished staged version (e.g. after a restart)."""
+        """Reopen an unpublished staged version (e.g. after a restart).
+
+        Also recovers from a crash inside ``publish()``'s move-aside
+        window: if the version dir is gone but the
+        ``<root>/.staging-<version>`` aside exists, the staged batches
+        are moved back into a recreated version dir and staging
+        continues as if the publish had never started."""
         self = cls.__new__(cls)
         self.spark = spark
         self.store = DomainStore.open(domain_root)
@@ -309,9 +315,12 @@ class StagedBuild:
         self._published = False
         if self.store.versioned_store.has_version(self.version):
             raise RuntimeError(f"version {version} is already published")
-        self._staging = os.path.join(
-            self.store.version_path(self.version), STAGING_DIRNAME
-        )
+        vpath = self.store.version_path(self.version)
+        self._staging = os.path.join(vpath, STAGING_DIRNAME)
+        aside = self.store.versioned_store.staging_aside_path(self.version)
+        if not os.path.isdir(self._staging) and os.path.isdir(aside):
+            os.makedirs(vpath, exist_ok=True)
+            os.rename(aside, self._staging)
         if not os.path.isdir(self._staging):
             raise RuntimeError(f"no staged version {version} at {domain_root}")
         return self
@@ -360,7 +369,7 @@ class StagedBuild:
         # errorifexists writer refuses a non-empty target, and the lazy
         # batch reads must keep pointing at live files until the job runs.
         vpath = self.store.version_path(self.version)
-        aside = os.path.join(self.store.root, f".staging-{self.version}")
+        aside = self.store.versioned_store.staging_aside_path(self.version)
         if os.path.exists(aside):
             shutil.rmtree(aside)
         os.rename(self._staging, aside)

@@ -146,6 +146,18 @@ class Domain:
     def is_failed(self) -> bool:
         return self.status() == "failed"
 
+    def can_serve(self) -> bool:
+        """True iff a published version exists to read from (and the
+        handle is not shut down) — independent of the failure marker.
+        The durable ``_failed.json`` keeps ``status()`` at 'failed' until
+        the next successful publish, which is stricter than the
+        reference (there failure is process state that a restart
+        clears); the serving surfaces (``Engine.register_views``,
+        ``is_fully_loaded``) therefore route on ``can_serve`` so a
+        transient update failure never takes a healthy published
+        version out of the catalog."""
+        return not self._is_shutdown and self.current_version() is not None
+
     def is_shutdown(self) -> bool:
         return self.status() == "shutdown"
 
@@ -533,8 +545,15 @@ class Engine:
     def is_fully_loaded(self) -> bool:
         """fully-loaded? (common/database.clj:56-60): every domain ready?
         — which, per the reference's IStatus, includes 'updating' (an
-        updating domain keeps serving its published version)."""
-        return all(self.domain(name).is_ready() for name in self.list_domains())
+        updating domain keeps serving its published version). A domain
+        whose last update FAILED but which still has a published version
+        counts as loaded (Domain.can_serve): the reference reaches the
+        same steady state after a restart clears its in-process failure
+        flag, while our failure marker is durable."""
+        return all(
+            dom.is_ready() or dom.can_serve()
+            for dom in (self.domain(name) for name in self.list_domains())
+        )
 
     def metadata(
         self, hosts: list[str] | None = None, replication: int = 1
@@ -583,7 +602,10 @@ class Engine:
         names = []
         for name in self.list_domains():
             dom = self.domain(name)
-            if not dom.is_ready():  # ready? includes 'updating'
+            # ready? includes 'updating'; can_serve additionally keeps a
+            # failed-update domain with a healthy published version in
+            # the catalog (see Domain.can_serve)
+            if not (dom.is_ready() or dom.can_serve()):
                 continue
             view = f"{prefix}{name}"
             dom.scan().createOrReplaceTempView(view)

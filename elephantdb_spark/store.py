@@ -155,6 +155,16 @@ class VersionedStore:
     def fail_version(self, version: int) -> None:
         self.delete_version(version)
 
+    def staging_aside_path(self, version: int) -> str:
+        """Where StagedBuild.publish parks staged batches while it clears
+        and rebuilds the version dir. A crash in that window leaves this
+        dir as the only copy of the staged data — StagedBuild.resume()
+        recovers it; cleanup() GCs it. delete_version deliberately does
+        NOT touch it: the build-failure rollback inside publish() runs
+        fail_version while the aside still holds the staged batches that
+        publish's except-path is about to restore."""
+        return os.path.join(self.root, f".staging-{int(version)}")
+
     def delete_version(self, version: int) -> None:
         path = self.version_path(version)
         if os.path.exists(path):
@@ -178,6 +188,14 @@ class VersionedStore:
             stem = name
             if name.endswith(FINISHED_VERSION_SUFFIX):
                 stem = name[: -len(FINISHED_VERSION_SUFFIX)]
+            elif name.startswith(".staging-"):
+                # a mid-publish staging aside (StagedBuild): if its version
+                # is published the aside is a crash leftover from after the
+                # token write; if unpublished it is "unpublished junk" by
+                # this method's contract (recover first via
+                # StagedBuild.resume if the data matters) — GC either way
+                shutil.rmtree(full)
+                continue
             try:
                 v = int(stem)
             except ValueError:

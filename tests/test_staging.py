@@ -149,3 +149,69 @@ def test_abort_and_empty_publish_guardrails(spark, tmp_path):
     assert not os.path.exists(DomainStore.open(root).version_path(1))
     with pytest.raises(RuntimeError):
         sb.stage(_kv(spark, [(2, "b")]))
+
+
+def test_resume_recovers_mid_publish_crash_window(spark, tmp_path):
+    """ADVICE r2: a crash after publish() moves staging aside (and rmtree's
+    the version dir) used to strand the staged data where neither resume()
+    nor cleanup() could see it. resume() now moves the aside back."""
+    import shutil
+
+    root = str(tmp_path / "d")
+    sb = StagedBuild(spark, root, DomainSpec(num_shards=4), version=1)
+    sb.stage(_kv(spark, [(1, "a"), (2, "b")]))
+
+    # simulate the crash window: staging moved aside, version dir cleared
+    store = DomainStore.open(root)
+    aside = store.versioned_store.staging_aside_path(1)
+    vpath = store.version_path(1)
+    os.rename(os.path.join(vpath, "_staging"), aside)
+    shutil.rmtree(vpath)
+
+    recovered = StagedBuild.resume(spark, root, 1)
+    recovered.stage(_kv(spark, [(3, "c")]))
+    assert recovered.publish() == 1
+    dom = Domain(spark, root)
+    assert dom.get(b"1") == b"a" and dom.get(b"3") == b"c"
+    assert not os.path.exists(aside)
+
+
+def test_cleanup_gcs_orphaned_staging_aside(spark, tmp_path):
+    root = str(tmp_path / "d")
+    build_domain(spark, _kv(spark, [(1, "a")]), root,
+                 DomainSpec(num_shards=4), version=1)
+    store = DomainStore.open(root)
+    # orphan aside for a published version (crash after token, before rm)
+    aside = store.versioned_store.staging_aside_path(1)
+    os.makedirs(aside)
+    # orphan aside for a version that never published
+    aside9 = store.versioned_store.staging_aside_path(9)
+    os.makedirs(aside9)
+    store.cleanup(versions_to_keep=1)
+    assert not os.path.exists(aside) and not os.path.exists(aside9)
+    assert Domain(spark, root).get(b"1") == b"a"  # kept version untouched
+
+
+def test_failed_update_keeps_domain_serving_in_catalog(spark, tmp_path):
+    """ADVICE r2: the durable failure marker must not take a domain with
+    a healthy published version out of register_views/is_fully_loaded."""
+    from elephantdb_spark.build import update_domain
+    from elephantdb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "eng"))
+    root = eng.domain_root("d")
+    build_domain(spark, _kv(spark, [(1, "a")]), root,
+                 DomainSpec(num_shards=4), version=1)
+
+    def exploding_indexer(df):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        update_domain(spark, _kv(spark, [(2, "b")]), root, version=2,
+                      indexer=exploding_indexer)
+    dom = eng.domain("d")
+    assert dom.status() == "failed"       # status machine unchanged
+    assert dom.can_serve()                # but the published version serves
+    assert eng.is_fully_loaded()
+    assert eng.register_views() == ["edb_d"]
+    assert spark.sql("SELECT count(*) c FROM edb_d").first().c == 1

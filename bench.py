@@ -180,7 +180,9 @@ def main() -> None:
     from elephantdb_spark.analytics import sessionize, ts_from_nanos, tumbling_window_agg
     from elephantdb_spark.operators.ann import ivf_topk, train_ivf_centroids
 
-    events = read("events")
+    from elephantdb_spark.analytics import load_events
+
+    events = load_events(spark, SF_DIR)  # ts normalized to long nanos
     with timed("event_window_agg"):
         tumbling_window_agg(
             events, ts_from_nanos(F.col("ts")), ["event_type"],
@@ -279,18 +281,24 @@ def main() -> None:
     from elephantdb_spark.operators.dedup import jaccard_shingle_pairs
     from elephantdb_spark.operators.lm import train_ngram_lm
 
-    # iterative pointer-jumped label propagation over the near-dup graph
+    # near-dup graph → clusters, timed in two stages (round-2 verdict: the
+    # single 14.6 s entry hid whether pair generation or the iterative CC
+    # rounds dominate). Pair-gen materializes via eager localCheckpoint
+    # (RDD-level storage — survives the between-entry clearCache) so the
+    # components entry times ONLY the label-propagation rounds.
     neardup_corpus = documents.select("doc_id", "text").unionByName(
         documents.filter(F.col("doc_id") < 250).select(
             (F.col("doc_id") + 200_000).alias("doc_id"),
             F.expr("substring(text, 12)").alias("text"),
         )
     )
-    cc_pairs = jaccard_shingle_pairs(
-        neardup_corpus, "doc_id", "text", shingle_len=3, threshold=0.5
-    )
+    with timed("neardup_pairgen"):
+        cc_pairs = jaccard_shingle_pairs(
+            neardup_corpus, "doc_id", "text", shingle_len=3, threshold=0.5
+        ).localCheckpoint(eager=True)
     with timed("neardup_components"):
         connected_components(cc_pairs, "a", "b").count()
+    cc_pairs.unpersist()
 
     # bigram LM training: explode + count + per-prefix window
     with timed("lm_train_bigram"):

@@ -211,12 +211,34 @@ def multi_grain_rollup(
 # Driver-checked queries + oracles
 # ---------------------------------------------------------------------------
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts_any_to_nanos(df: DataFrame, col: str) -> Column:
+    """``col`` as long epoch NANOSECONDS whatever its physical type.
+
+    The driver's synthetic events table has shipped two representations
+    across rounds: TIMESTAMP(NANOS) (readable only as long, via
+    ``nanosAsLong``) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    Everything downstream works in nanos longs, so normalize at the read.
+    The NTZ wall time is interpreted in the session timezone (pinned to
+    UTC by :func:`load_events`), matching DuckDB's ``epoch_us`` on the
+    same naive timestamp."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.col(col)
+    return (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` normalized to long epoch nanos."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", ts_any_to_nanos(df, "ts"))
+
+
+_events = load_events
 
 
 def q32_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,11 @@ V1, V2 = 1, 2
 #: every sf: sf0.001 has 150 customers, sf0.01 has 1500).
 VERSION_SPLIT = 100
 
+#: Q72 staged-build fixtures: batch 1 of V1 overwrites keys <= STAGED_OVERLAP
+#: (later batch wins), the V2 staged update overwrites keys <= STAGED_V2_MAX.
+STAGED_OVERLAP = 20
+STAGED_V2_MAX = 10
+
 #: keys for Q5: those of 1..30 that hash to shard 3 of 8 (precomputed with
 #: the same md5-mod both engines implement; SQL side is a plain IN-list).
 DIRECT_SHARD = 3
@@ -146,6 +151,42 @@ def domains_root(spark: SparkSession, sf_dir: str) -> str:
             version_fn=lambda bid, i=i: V1 + i,
         )
         q.awaitTermination(300)
+
+    # customer_staged: StagedBuild (A20 openPersistenceForAppend analogue,
+    # Q72; Coordinator.java:12-23, ElephantOutputFormat.java:60-77) — two
+    # batches staged invisibly into reserved V1, one shard/sort/publish at
+    # commit with later-batch-wins on the key overlap; then a second
+    # StagedBuild publishes V2 as a staged update (copy-forward merge).
+    from elephantdb_spark.build import StagedBuild
+
+    staged_root = eng.domain_root("customer_staged")
+    sb = StagedBuild(spark, staged_root, spec, version=V1)
+    sb.stage(
+        _as_kv(
+            customer.filter(F.col("c_custkey") <= VERSION_SPLIT),
+            "c_custkey", "c_name",
+        )
+    )
+    sb.stage(
+        _as_kv(
+            customer.filter(F.col("c_custkey") > VERSION_SPLIT),
+            "c_custkey", "c_name",
+        ).unionByName(
+            customer.filter(F.col("c_custkey") <= STAGED_OVERLAP).select(
+                F.col("c_custkey").cast("string").cast("binary").alias("key"),
+                F.upper(F.col("c_name")).cast("binary").alias("value"),
+            )
+        )
+    )
+    sb.publish()
+    sb2 = StagedBuild(spark, staged_root, version=V2)
+    sb2.stage(
+        customer.filter(F.col("c_custkey") <= STAGED_V2_MAX).select(
+            F.col("c_custkey").cast("string").cast("binary").alias("key"),
+            F.concat(F.lit("staged:"), F.col("c_name")).cast("binary").alias("value"),
+        )
+    )
+    sb2.publish()
 
     _ROOTS[sf_dir] = root
     return root
@@ -310,6 +351,19 @@ def q15_streaming_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def q72_staged_build_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 StagedBuild end-to-end (VERDICT r2 item 7): batches staged
+    invisibly into a reserved version, one shard/sort/publish at commit
+    (later batch wins per key), then a second staged publish merging into
+    the live version with copy-forward. Reads resolve the hot-swapped V2.
+    Reference: Coordinator.java:12-23, ElephantOutputFormat.java:60-77."""
+    dom = _engine(spark, sf_dir).domain("customer_staged")
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    ).orderBy("k")
+
+
 PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_point_get_hit": q01_point_get_hit,
     "q02_point_get_miss": q02_point_get_miss,
@@ -326,6 +380,7 @@ PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_version_pinned_scan": q13_version_pinned_scan,
     "q14_count_after_update": q14_count_after_update,
     "q15_streaming_update": q15_streaming_update,
+    "q72_staged_build_update": q72_staged_build_update,
 }
 
 
@@ -392,5 +447,12 @@ PART_C_ORACLES: dict[str, str] = {
         "           FROM events WHERE event_id % 2 = 1 GROUP BY user_id) "
         "SELECT COALESCE(n.k, o.k) AS k, COALESCE(n.v, o.v) AS v "
         "FROM o FULL JOIN n ON o.k = n.k ORDER BY k"
+    ),
+    "q72_staged_build_update": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS k, "
+        f"  CASE WHEN c_custkey <= {STAGED_V2_MAX} THEN 'staged:' || c_name "
+        f"       WHEN c_custkey <= {STAGED_OVERLAP} THEN upper(c_name) "
+        "       ELSE c_name END AS v "
+        "FROM customer ORDER BY k"
     ),
 }

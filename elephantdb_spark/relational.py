@@ -381,7 +381,9 @@ RELATIONAL_ORACLES = {
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
     ),
     "q37_window_topk": (
-        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk "
+        # CAST rk: DuckDB ROW_NUMBER is BIGINT, Spark's is INT
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, "
+        "CAST(rk AS INTEGER) AS rk "
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) "
         "WHERE rk <= 3 ORDER BY o_custkey, rk"

@@ -22,9 +22,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{SF}/events.parquet").cache()
+    from elephantdb_spark.analytics import load_events
+
+    return load_events(spark, SF).cache()
 
 
 @pytest.fixture(scope="module")

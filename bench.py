@@ -95,6 +95,15 @@ def main() -> None:
     # the timed multiget compiles
     wdom.multi_get([str(i).encode() for i in range(40)])
     customer.groupBy("c_mktsegment").count().collect()
+    # compile the big text-profile expression (stopword filter lambda +
+    # rolling-hash fold): its whole-stage-codegen compilation alone is
+    # ~2.5 s and would land on the timed entry (measured: first call
+    # 3.4 s, steady state 0.7-0.9 s at sf0.1)
+    from elephantdb_spark.functions.text import text_profile as _tp
+
+    _tp(documents.limit(50), "text").agg(
+        F.sum("n_tokens"), F.max("fp"), F.avg("stop_ratio"), F.avg("avg_tok_len")
+    ).collect()
 
     # --- 1. bulk build: the reference's core workload (A4-A8) -------------
     li_kv = lineitem.select(

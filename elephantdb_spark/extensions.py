@@ -50,6 +50,7 @@ from elephantdb_spark.operators.dedup import (
     jaccard_shingle_pairs,
     minhash_lsh_pairs,
     simhash_neardup_pairs,
+    strip_duplicate_lines,
 )
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 from elephantdb_spark.operators.quality import (
@@ -276,6 +277,33 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_index=False,
     )
     return connected_components(pairs, "a", "b").orderBy("node")
+
+
+#: q73: footers planted per doc_id % N — each shared by ~1/N of the corpus,
+#: far above the hot-line threshold.
+BOILERPLATE_MOD = 3
+BOILERPLATE_MAX_DOCS = 5
+
+
+def q73_strip_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate-line removal: plant a footer
+    line shared by ~1/3 of documents, then strip every line appearing in
+    more than BOILERPLATE_MAX_DOCS docs. The digest-keyed internal
+    shuffle never leaks into the output, so the oracle replays the whole
+    operator on raw line strings."""
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncommon footer "),
+            (F.col("doc_id") % BOILERPLATE_MOD).cast("string"),
+        ).alias("text"),
+    )
+    out = strip_duplicate_lines(
+        corpus, "doc_id", "text", max_line_docs=BOILERPLATE_MAX_DOCS
+    )
+    return out.orderBy("doc_id")
 
 
 def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +663,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_corpus_stats": q69_corpus_stats,
     "q70_corpus_diff": q70_corpus_diff,
     "q71_hot_shingle_report": q71_hot_shingle_report,
+    "q73_strip_duplicate_lines": q73_strip_duplicate_lines,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -960,6 +989,25 @@ EXT_ORACLES: dict[str, str] = {
         "  FROM documents) "
         "SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY shingle "
         f"ORDER BY doc_freq DESC, shingle ASC LIMIT {HOT_SHINGLE_TOP_N}"
+    ),
+    "q73_strip_duplicate_lines": (
+        "WITH corpus AS (SELECT doc_id, text || chr(10) || 'common footer ' "
+        f"  || CAST(doc_id % {BOILERPLATE_MOD} AS VARCHAR) AS text FROM documents), "
+        "ls AS (SELECT doc_id, str_split(text, chr(10)) AS arr FROM corpus), "
+        "l AS (SELECT doc_id, unnest(arr) AS line, "
+        "      generate_subscripts(arr, 1) AS pos FROM ls), "
+        "n AS (SELECT doc_id, line, pos, trim(line) AS nl FROM l), "
+        "hot AS (SELECT nl FROM (SELECT nl, COUNT(DISTINCT doc_id) AS d "
+        f"        FROM n WHERE nl <> '' GROUP BY nl) WHERE d > {BOILERPLATE_MAX_DOCS}), "
+        "kept AS (SELECT * FROM n WHERE nl = '' "
+        "         OR nl NOT IN (SELECT nl FROM hot)), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text, "
+        "            COUNT(*) AS kept_n FROM kept GROUP BY doc_id) "
+        "SELECT c.doc_id, COALESCE(r.text, '') AS text, "
+        "  CAST(len(str_split(c.text, chr(10))) - COALESCE(r.kept_n, 0) AS BIGINT) "
+        "    AS n_lines_removed "
+        "FROM corpus c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id "
+        "ORDER BY c.doc_id"
     ),
     "q70_corpus_diff": (
         "WITH o AS (SELECT doc_id, text FROM documents), "

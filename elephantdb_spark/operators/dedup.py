@@ -388,6 +388,81 @@ def minhash_lsh_pairs(
     )
 
 
+def strip_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_docs: int = 2,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the C4/RefinedWeb cleaning
+    step): delete every line whose trimmed form appears in more than
+    ``max_line_docs`` distinct documents, preserving the remaining lines'
+    order and original bytes. Returns (``id_col``, ``text_col``,
+    ``n_lines_removed``) — one row per input document (a document whose
+    every line is boilerplate comes back with empty text).
+
+    Whitespace-only lines are formatting, not boilerplate: they are never
+    counted or removed.
+
+    Scale shape: the line-frequency count and the hot-line anti-join key
+    on a 128-bit digest of the trimmed line (two seeded xxhash64 halves,
+    same rule as :func:`exact_dedup`) so the shuffle carries 16-byte
+    keys, never line text; the hot set is heavy-hitter-sized and
+    broadcasts (``broadcast_hot=False`` falls back to a shuffled
+    anti-join for pathological thresholds). Reassembly aggregates only a
+    document's OWN lines — state is bounded by document size. Internal
+    hashing never leaks into the output, so the operator stays
+    SQL-oracle-able end to end.
+    """
+    if max_line_docs < 1:
+        raise ValueError(f"max_line_docs must be >= 1, got {max_line_docs}")
+    norm = F.trim(F.col("line"))
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__d0", F.xxhash64(norm)).withColumn(
+        "__d1", F.xxhash64(norm, F.lit(_DIGEST_SEED))
+    ).withColumn("__blank", norm == "")
+    hot = (
+        lines.filter(~F.col("__blank"))
+        .select("__doc", "__d0", "__d1")
+        .distinct()
+        .groupBy("__d0", "__d1")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") > max_line_docs)
+        .select("__d0", "__d1")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    # blank lines bypass the anti-join (they are never counted, so they
+    # can never be hot — and must survive even if their digest collides)
+    kept = lines.filter(~F.col("__blank")).join(
+        hot, ["__d0", "__d1"], "left_anti"
+    ).unionByName(lines.filter(F.col("__blank")))
+    rebuilt = kept.groupBy("__doc").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__doc"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            (n_lines - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -260,6 +260,10 @@ def q06_multi_get_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 multiGet as a semi-join: key set from another table's FK."""
     eng = _engine(spark, sf_dir)
     orders = _table(spark, sf_dir, "orders")
+    # bounded driver-side collect — faithful to the reference's
+    # client-supplies-keys multiGet shape (core.clj:118-134), and capped
+    # by the o_orderkey <= 100 filter (~100 keys at any sf). Do NOT lift
+    # the cap: an unbounded key list belongs in a join, not a multiGet.
     keys = sorted(
         r.o_custkey
         for r in orders.filter(F.col("o_orderkey") <= 100)

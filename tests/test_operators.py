@@ -434,3 +434,51 @@ def test_minhash_md5_mode_precision_and_planted_recall(spark, neardup_corpus):
     assert len(lsh & exact) >= int(0.9 * len(exact))
     with pytest.raises(ValueError):
         minhash_lsh_pairs(neardup_corpus, "doc_id", "text", hash_fn="sha9000")
+
+
+def test_strip_duplicate_lines(spark):
+    """C4-style boilerplate removal: lines in > max_line_docs distinct
+    docs are stripped, order and original bytes preserved, blank lines
+    always survive, all-boilerplate docs come back empty."""
+    from elephantdb_spark.operators.dedup import strip_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nfooter\nbody 1"),
+            (2, "footer\n\nbody 2"),
+            (3, "  footer  \nbody 3"),   # trims to the same hot line
+            (4, "footer"),               # all-boilerplate doc
+            (5, "body 5\nfooter"),
+            (6, ""),                     # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in strip_duplicate_lines(docs, "doc_id", "text",
+                                       max_line_docs=2).collect()
+    }
+    assert got[1] == ("unique one\nbody 1", 1)
+    assert got[2] == ("\nbody 2", 1)          # blank line kept
+    assert got[3] == ("body 3", 1)            # '  footer  ' trimmed == hot
+    assert got[4] == ("", 1)                  # every line stripped
+    assert got[5] == ("body 5", 1)
+    assert got[6] == ("", 0)                  # empty text untouched
+    # threshold respected: at max_line_docs=5 nothing is hot (footer is in
+    # 5 docs, not > 5)
+    untouched = {
+        r.doc_id: r.n_lines_removed
+        for r in strip_duplicate_lines(docs, "doc_id", "text",
+                                       max_line_docs=5).collect()
+    }
+    assert set(untouched.values()) == {0}
+    # shuffled anti-join fallback matches the broadcast default
+    got_s = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in strip_duplicate_lines(docs, "doc_id", "text",
+                                       max_line_docs=2,
+                                       broadcast_hot=False).collect()
+    }
+    assert got_s == got
+    with pytest.raises(ValueError):
+        strip_duplicate_lines(docs, "doc_id", "text", max_line_docs=0)

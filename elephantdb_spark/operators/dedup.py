@@ -450,16 +450,17 @@ def strip_duplicate_lines(
         ).alias("__clean"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
-    return (
-        df.join(rebuilt, df[id_col] == rebuilt["__doc"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
-            (n_lines - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_lines_removed"),
-        )
+    # per-doc line totals from the SAME exploded frame (co-partitioned
+    # with the reassembly on __doc) rather than joining back to df — the
+    # original text would otherwise ride a second corpus-wide exchange
+    # just to count its lines and catch all-boilerplate docs
+    totals = lines.groupBy("__doc").agg(F.count(F.lit(1)).alias("__total"))
+    return totals.join(rebuilt, "__doc", "left").select(
+        F.col("__doc").alias(id_col),
+        F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+        (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
     )
 
 

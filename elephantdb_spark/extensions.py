@@ -1135,7 +1135,8 @@ EXT_ORACLES: dict[str, str] = {
         f"  SELECT l.vec_id AS a, r.vec_id AS b, {_dot_sql('l.embedding', 'r.embedding')} / "
         f"    (sqrt({_dot_sql('l.embedding', 'l.embedding')}) * sqrt({_dot_sql('r.embedding', 'r.embedding')})) AS sim_raw "
         "  FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id) "
-        "SELECT a, b, round(sim_raw, 6) AS sim, rk FROM ("
+        # CAST rk: DuckDB ROW_NUMBER is BIGINT, Spark's is INT
+        "SELECT a, b, round(sim_raw, 6) AS sim, CAST(rk AS INTEGER) AS rk FROM ("
         "  SELECT a, b, sim_raw, ROW_NUMBER() OVER "
         "    (PARTITION BY a ORDER BY sim_raw DESC, b ASC) AS rk FROM s) "
         "WHERE rk <= 3 ORDER BY a, rk"

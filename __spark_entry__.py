@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q03_multi_get_hits(spark, "/root/testdata/sf0.001")
 
 
-def _last_verified_round(oracles: dict[str, str]) -> dict[str, int]:
+def _last_verified_round(
+    oracles: dict[str, str], here: str | None = None
+) -> dict[str, int]:
     """Map query name -> latest round in which the driver verified it.
 
     "Verified" means the CORRECTNESS_r{N}.json row hash-matched, or was a
@@ -43,7 +45,8 @@ def _last_verified_round(oracles: dict[str, str]) -> dict[str, int]:
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", path)

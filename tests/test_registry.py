@@ -108,3 +108,55 @@ def test_indexer_by_dotted_name(spark, tmp_path):
     assert Domain(spark, root).get(b"k3") == b"V3"
     with pytest.raises(TypeError):
         resolve_indexer("collections.abc")  # resolvable but not callable
+
+
+def test_query_rotation_orders_by_verification_age(tmp_path):
+    """queries() must present never/least-recently-verified entries first
+    so the driver's bounded per-round window covers the stalest rows."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry = importlib.import_module("__spark_entry__")
+
+    oracles = {"a": "SELECT 1", "b": "SELECT 1", "c": "SELECT 1"}
+    rows_r1 = {
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }
+    rows_r2 = {
+        # a re-verified in r2; b hash-FAILED in r2; d rows-only no oracle
+        "a": {"hash_match": True},
+        "b": {"hash_match": False},
+        "d": {"hash_match": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows_r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(rows_r2))
+    last = entry._last_verified_round(oracles, here=str(tmp_path))
+    # a: green r2. b: green r1 only (r2 red). c: never. d: rows-only and
+    # STILL no oracle -> counts as verified r2
+    assert last == {"a": 2, "b": 1, "d": 2}
+    # with an oracle added for d, its rows-only history stops counting
+    assert "d" not in entry._last_verified_round(
+        {**oracles, "d": "SELECT 1"}, here=str(tmp_path)
+    )
+
+
+def test_ts_any_to_nanos_both_representations(spark):
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.analytics import ts_any_to_nanos
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # long passthrough
+    df_long = spark.createDataFrame([(1_700_000_000_123_456_789,)], "ts long")
+    assert df_long.select(
+        ts_any_to_nanos(df_long, "ts").alias("n")
+    ).first().n == 1_700_000_000_123_456_789
+    # TIMESTAMP_NTZ: wall time treated as UTC -> epoch nanos
+    df_ts = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2023-11-14 22:13:20.123456' AS ts"
+    )
+    got = df_ts.select(ts_any_to_nanos(df_ts, "ts").alias("n")).first().n
+    assert got == 1_700_000_000_123_456_000  # micros precision * 1000

@@ -59,3 +59,53 @@ def test_large_values_roundtrip(spark, tmp_path, size):
     dom = Domain(spark, root)
     assert dom.get(b"big") == payload
     assert dom.local_get(b"big") == payload
+
+
+# strip_duplicate_lines: arbitrary corpora must match a pure-python replay
+# of the spec (trim-based hotness, blanks always kept, order/bytes
+# preserved). Lines drawn from a small alphabet so collisions are common;
+# tabs included because Spark's trim strips SPACES only (python
+# str.strip() would over-normalize — the replay uses strip(' ')).
+_line_st = st.text(alphabet=" \tabX", min_size=0, max_size=6)
+_doc_st = st.lists(_line_st, min_size=1, max_size=5).map("\n".join)
+_corpus_st = st.lists(_doc_st, min_size=1, max_size=8)
+
+
+def _python_strip(docs: list[str], max_line_docs: int):
+    from collections import Counter
+
+    df = Counter()
+    for text in docs:
+        seen = {ln.strip(" ") for ln in text.split("\n") if ln.strip(" ")}
+        df.update(seen)
+    hot = {ln for ln, n in df.items() if n > max_line_docs}
+    out = {}
+    for i, text in enumerate(docs):
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln.strip(" ") == "" or ln.strip(" ") not in hot
+        ]
+        out[i] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=_corpus_st, threshold=st.integers(min_value=1, max_value=3))
+def test_strip_duplicate_lines_matches_python_replay(spark, docs, threshold):
+    from elephantdb_spark.operators.dedup import strip_duplicate_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in strip_duplicate_lines(
+            df, "doc_id", "text", max_line_docs=threshold
+        ).collect()
+    }
+    assert got == _python_strip(docs, threshold)

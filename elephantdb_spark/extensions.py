@@ -279,6 +279,25 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "a", "b").orderBy("node")
 
 
+def q74_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the report that tunes dedup
+    thresholds at scale: per cluster size, how many clusters. Output is
+    histogram-sized (tiny) no matter the corpus; two combinable
+    aggregations over the CC labels."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = jaccard_shingle_pairs(
+        corpus, "doc_id", "text", shingle_len=3, threshold=JACCARD_THRESHOLD,
+        cache_index=False,
+    )
+    comps = connected_components(pairs, "a", "b")
+    sizes = comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 #: q73: footers planted per doc_id % N — each shared by ~1/N of the corpus,
 #: far above the hot-line threshold.
 BOILERPLATE_MOD = 3
@@ -664,6 +683,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_corpus_diff": q70_corpus_diff,
     "q71_hot_shingle_report": q71_hot_shingle_report,
     "q73_strip_duplicate_lines": q73_strip_duplicate_lines,
+    "q74_cluster_size_report": q74_cluster_size_report,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -1062,6 +1082,26 @@ EXT_ORACLES: dict[str, str] = {
         "  UNION SELECT reach.u, edges.v FROM reach JOIN edges ON reach.r = edges.u) "
         "SELECT u AS node, least(u, MIN(r)) AS cluster FROM reach "
         "GROUP BY u ORDER BY node"
+    ),
+    "q74_cluster_size_report": (
+        f"WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}), "
+        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM corpus), "
+        "sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc), "
+        "inter AS (SELECT l.doc AS a, r.doc AS b, COUNT(*) AS inter "
+        "          FROM sh l JOIN sh r USING (shingle) WHERE l.doc < r.doc "
+        "          GROUP BY l.doc, r.doc), "
+        "pairs AS (SELECT a, b FROM inter "
+        "  JOIN sz sza ON sza.doc = a JOIN sz szb ON szb.doc = b "
+        "  WHERE CAST(inter AS DOUBLE) / CAST(sza.sz + szb.sz - inter AS DOUBLE) "
+        f"    >= {JACCARD_THRESHOLD}), "
+        "edges AS (SELECT a AS u, b AS v FROM pairs "
+        "  UNION SELECT b AS u, a AS v FROM pairs), "
+        "reach(u, r) AS (SELECT u, v FROM edges "
+        "  UNION SELECT reach.u, edges.v FROM reach JOIN edges ON reach.r = edges.u), "
+        "comp AS (SELECT u AS node, least(u, MIN(r)) AS cluster FROM reach GROUP BY u), "
+        "cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY cluster) "
+        "SELECT cluster_size, COUNT(*) AS n_clusters FROM cs "
+        "GROUP BY cluster_size ORDER BY cluster_size"
     ),
     "q63_chunk_documents": (
         f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, length(trim(text)) AS tl "

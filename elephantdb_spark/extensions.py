@@ -279,6 +279,20 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "a", "b").orderBy("node")
 
 
+#: q75 profiles the string/bigint document columns (floats excluded: their
+#: string rendering is engine-specific).
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q75_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column ingest profile (nulls / exact distincts / min-max) in
+    one combinable aggregation pass — the Deequ-style data-quality gate."""
+    from elephantdb_spark.operators.profile import profile_table
+
+    docs = _table(spark, sf_dir, "documents")
+    return profile_table(docs, PROFILE_COLS, exact_distinct=True)
+
+
 def q74_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram — the report that tunes dedup
     thresholds at scale: per cluster size, how many clusters. Output is
@@ -684,6 +698,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_hot_shingle_report": q71_hot_shingle_report,
     "q73_strip_duplicate_lines": q73_strip_duplicate_lines,
     "q74_cluster_size_report": q74_cluster_size_report,
+    "q75_profile_table": q75_profile_table,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -846,9 +861,23 @@ def _q30_oracle_sql(max_hamming: int = 3) -> str:
     )
 
 
+def _q75_oracle_sql() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_val, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_val FROM documents"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 EXT_ORACLES: dict[str, str] = {
     "q29_minhash_lsh_neardup": _q29_oracle_sql(),
     "q30_simhash_neardup": _q30_oracle_sql(),
+    "q75_profile_table": _q75_oracle_sql(),
     "q20_exact_dedup": (
         f"WITH corpus AS ({_DUP_CORPUS_SQL}) "
         "SELECT md5(text) AS grp, MIN(doc_id) AS keep_id, "

@@ -482,3 +482,34 @@ def test_strip_duplicate_lines(spark):
     assert got_s == got
     with pytest.raises(ValueError):
         strip_duplicate_lines(docs, "doc_id", "text", max_line_docs=0)
+
+
+def test_profile_table(spark):
+    from elephantdb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 10), (3, None, 10), (4, "a", None)],
+        "id long, s string, v long",
+    )
+    rows = {r.col_name: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in rows.values())
+    assert (rows["id"].n_nulls, rows["id"].n_distinct) == (0, 4)
+    assert (rows["s"].n_nulls, rows["s"].n_distinct) == (1, 2)
+    assert (rows["v"].n_nulls, rows["v"].n_distinct) == (2, 1)
+    assert (rows["id"].min_val, rows["id"].max_val) == ("1", "4")
+    assert (rows["s"].min_val, rows["s"].max_val) == ("a", "b")
+    assert (rows["v"].min_val, rows["v"].max_val) == ("10", "10")
+    # approx mode: sketch result exact at tiny cardinality, schema identical
+    approx = {r.col_name: r for r in profile_table(df).collect()}
+    assert approx["id"].n_distinct == 4
+    # all-null column profiles to NULL min/max, zero distinct
+    dfn = spark.createDataFrame([(None,), (None,)], "x string")
+    rn = profile_table(dfn, exact_distinct=True).first()
+    assert (rn.n_nulls, rn.n_distinct, rn.min_val, rn.max_val) == (2, 0, None, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError):
+        profile_table(df, [])

@@ -274,16 +274,28 @@ class DomainStore:
     def synchronize_versions(self, old_version: int | None, new_version: int) -> list[int]:
         """Copy-forward: for each shard present in ``old_version`` but absent
         in ``new_version``, file-copy the shard directory — never recompute
-        (DomainStore.java:156-180). Returns the copied shard ids."""
+        (DomainStore.java:156-180). Returns the copied shard ids.
+
+        Shard copies run in a small thread pool: the work is pure file
+        I/O, so parallel copies overlap on any real filesystem. (At
+        cluster scale the version root lives on a shared store and the
+        same copy-forward would be a distributed copy or manifest-level
+        reuse — see SCALE.md; the shard-set/ordering semantics here are
+        what the reference's per-shard rsync loop provides.)"""
         if old_version is None:
             return []
+        from concurrent.futures import ThreadPoolExecutor
+
         old_path = self.version_path(old_version)
         new_path = self.version_path(new_version)
-        copied = []
+        todo = []
         for i in range(self.spec.num_shards):
             src = os.path.join(old_path, shard_dirname(i))
             dst = os.path.join(new_path, shard_dirname(i))
             if os.path.isdir(src) and not os.path.exists(dst):
-                shutil.copytree(src, dst)
-                copied.append(i)
-        return copied
+                todo.append((i, src, dst))
+        if not todo:
+            return []
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            list(pool.map(lambda t: shutil.copytree(t[1], t[2]), todo))
+        return [i for i, _, _ in todo]

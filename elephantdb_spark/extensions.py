@@ -279,6 +279,44 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "a", "b").orderBy("node")
 
 
+#: q76 synthesizes one WAV per document with n_frames = n_chars at this
+#: rate, so the REAL decoder's outputs are pure arithmetic for the oracle.
+WAV_RATE = 8000
+
+
+def q76_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the driver: synthesize a PCM16 WAV per
+    document (n_frames = n_chars), run the format-dispatching
+    mapInPandas feature extractor (stdlib wave decode — no fakes on this
+    path), and return the SQL-predictable audio properties."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        synth_wav,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [synth_wav(int(n), WAV_RATE) for n in pdf["n_chars"]],
+                    "meta": [
+                        {"media_type": "audio/wav", "lang": None, "source": "synth"}
+                    ] * len(pdf),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    return extract_media_features(mm).select(
+        "id", "n_channels", "sample_rate", "duration_ms"
+    ).orderBy("id")
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -699,6 +737,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_strip_duplicate_lines": q73_strip_duplicate_lines,
     "q74_cluster_size_report": q74_cluster_size_report,
     "q75_profile_table": q75_profile_table,
+    "q76_wav_decode_features": q76_wav_decode_features,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -878,6 +917,12 @@ EXT_ORACLES: dict[str, str] = {
     "q29_minhash_lsh_neardup": _q29_oracle_sql(),
     "q30_simhash_neardup": _q30_oracle_sql(),
     "q75_profile_table": _q75_oracle_sql(),
+    "q76_wav_decode_features": (
+        "SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "
+        f"CAST({WAV_RATE} AS BIGINT) AS sample_rate, "
+        f"CAST((n_chars * 1000) // {WAV_RATE} AS BIGINT) AS duration_ms "
+        "FROM documents ORDER BY id"
+    ),
     "q20_exact_dedup": (
         f"WITH corpus AS ({_DUP_CORPUS_SQL}) "
         "SELECT md5(text) AS grp, MIN(doc_id) AS keep_id, "

@@ -100,6 +100,19 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def synth_wav(n_frames: int, rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Deterministic silent PCM16 WAV of ``n_frames`` frames — the
+    ingestion-side fixture generator for driving the REAL decode path
+    (q76, tests) without external media files."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * (n_frames * n_channels))
+    return buf.getvalue()
+
+
 def decode_bmp(payload: bytes) -> dict:
     """REAL BMP header decode (pure struct): width/height/bpp."""
     if payload[:2] != b"BM":

@@ -225,6 +225,33 @@ def main() -> None:
             attach_payload(documents, "doc_id", "text", "lang", "source")
         ).agg(F.sum("n_bytes")).collect()
 
+    # real media decode throughput: synthesize one PCM16 WAV per document
+    # and decode with the stdlib-wave extractor (the q76 path)
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        synth_wav,
+    )
+
+    def _gen_wavs(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [synth_wav(int(n)) for n in pdf["n_chars"]],
+                "meta": [
+                    {"media_type": "audio/wav", "lang": None, "source": "synth"}
+                ] * len(pdf),
+            })
+
+    with timed("wav_decode_features"):
+        extract_media_features(
+            documents.select("doc_id", "n_chars").mapInPandas(
+                _gen_wavs, MULTIMODAL_SCHEMA
+            )
+        ).agg(F.sum("duration_ms")).collect()
+
     from elephantdb_spark.operators.temporal import asof_join
 
     # as-of join at both plan shapes: the per-key window plan and the

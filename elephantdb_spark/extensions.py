@@ -953,11 +953,16 @@ EXT_ORACLES: dict[str, str] = {
         f"SELECT doc_id, {_FP_EXPR} AS fp FROM documents ORDER BY doc_id"
     ),
     "q25_jaccard_neardup": (
+        # shf mirrors the Spark hot-shingle cut (DEFAULT_MAX_SHINGLE_FREQ)
+        # on the intersection stage; sz stays unfiltered, matching
+        # jaccard_shingle_pairs' lower-bound metric (ADVICE r3)
         f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "
         f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM corpus), "
         "sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc), "
+        "shf AS (SELECT doc, shingle FROM sh WHERE shingle NOT IN ("
+        f"  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_FREQ})), "
         "inter AS (SELECT l.doc AS a, r.doc AS b, COUNT(*) AS inter "
-        "          FROM sh l JOIN sh r USING (shingle) WHERE l.doc < r.doc "
+        "          FROM shf l JOIN shf r USING (shingle) WHERE l.doc < r.doc "
         "          GROUP BY l.doc, r.doc) "
         "SELECT a, b, round(j, 6) AS jaccard FROM ("
         "  SELECT a, b, CAST(inter AS DOUBLE) / CAST(sza.sz + szb.sz - inter AS DOUBLE) AS j "
@@ -1140,11 +1145,14 @@ EXT_ORACLES: dict[str, str] = {
         "FROM pairs GROUP BY token ORDER BY token"
     ),
     "q65_neardup_components": (
+        # shf = Spark hot-shingle cut on the intersection stage (ADVICE r3)
         f"WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}), "
         f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM corpus), "
         "sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc), "
+        "shf AS (SELECT doc, shingle FROM sh WHERE shingle NOT IN ("
+        f"  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_FREQ})), "
         "inter AS (SELECT l.doc AS a, r.doc AS b, COUNT(*) AS inter "
-        "          FROM sh l JOIN sh r USING (shingle) WHERE l.doc < r.doc "
+        "          FROM shf l JOIN shf r USING (shingle) WHERE l.doc < r.doc "
         "          GROUP BY l.doc, r.doc), "
         "pairs AS (SELECT a, b FROM inter "
         "  JOIN sz sza ON sza.doc = a JOIN sz szb ON szb.doc = b "
@@ -1158,11 +1166,14 @@ EXT_ORACLES: dict[str, str] = {
         "GROUP BY u ORDER BY node"
     ),
     "q74_cluster_size_report": (
+        # shf = Spark hot-shingle cut on the intersection stage (ADVICE r3)
         f"WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}), "
         f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM corpus), "
         "sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc), "
+        "shf AS (SELECT doc, shingle FROM sh WHERE shingle NOT IN ("
+        f"  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_FREQ})), "
         "inter AS (SELECT l.doc AS a, r.doc AS b, COUNT(*) AS inter "
-        "          FROM sh l JOIN sh r USING (shingle) WHERE l.doc < r.doc "
+        "          FROM shf l JOIN shf r USING (shingle) WHERE l.doc < r.doc "
         "          GROUP BY l.doc, r.doc), "
         "pairs AS (SELECT a, b FROM inter "
         "  JOIN sz sza ON sza.doc = a JOIN sz szb ON szb.doc = b "

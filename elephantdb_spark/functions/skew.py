@@ -46,6 +46,13 @@ def salted_join(
     Semantics equal ``left.join(right, on, how)`` for how in
     {inner, left, left_outer}. The right side grows ×num_salts — prefer
     salting the *smaller* side as ``right``.
+
+    NULL-key caveat: the salt hashes the WHOLE left row, so a left/left
+    join where many ``on`` values are NULL spreads those rows across salts
+    only as far as their other columns differ — identical full rows share
+    one salt bucket. NULLs never match in the join anyway; if the skew IS
+    a null bucket, filter the NULLs out, join the rest, and union the
+    null rows back (cheaper than salting them through the join).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")

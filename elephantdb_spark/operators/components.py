@@ -72,7 +72,9 @@ def connected_components(
             .select("u", F.least("u", "mv").alias("label"))
             .localCheckpoint(eager=True)
         )
-        prev_sum = None
+        # initial sum taken here, once — each round then adds exactly one
+        # scalar aggregate (the r3 shape computed it twice on round one)
+        prev_sum = _label_sum(labels)
         for _ in range(max_iter):
             # hash-min step: adopt the minimum label in the neighborhood
             nbr = (
@@ -108,7 +110,7 @@ def connected_components(
             # per-round join of new-vs-old labels (an O(nodes) shuffle
             # at cluster scale). Decimal sum: exact, overflow-free.
             new_sum = _label_sum(new_labels)
-            old_sum = prev_sum if prev_sum is not None else _label_sum(labels)
+            old_sum = prev_sum
             prev_sum = new_sum
             labels = new_labels
             if new_sum == old_sum:

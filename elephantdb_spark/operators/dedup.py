@@ -418,9 +418,14 @@ def strip_duplicate_lines(
     if max_line_docs < 1:
         raise ValueError(f"max_line_docs must be >= 1, got {max_line_docs}")
     norm = F.trim(F.col("line"))
+    # NULL text coalesces to '' so the document still explodes to one
+    # (blank, never-hot) line and keeps its one-row-per-input contract —
+    # split(NULL) would posexplode to zero rows and silently drop the doc
     lines = df.select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn("__d0", F.xxhash64(norm)).withColumn(
         "__d1", F.xxhash64(norm, F.lit(_DIGEST_SEED))
     ).withColumn("__blank", norm == "")

@@ -326,8 +326,11 @@ def resize_images(
                     try:
                         payloads.append(_resize_bmp24(data, width, height))
                         continue
-                    except ValueError:
-                        pass  # non-24bpp/compressed BMP: fall back to fake
+                    except (ValueError, struct.error):
+                        # non-24bpp/compressed/truncated BMP (struct.error =
+                        # header shorter than its fixed offsets): fall back
+                        # to the fake re-encode instead of failing the task
+                        pass
                 seed = hashlib.md5(data).digest()
                 reps = out_len // len(seed) + 1
                 payloads.append((seed * reps)[:out_len])

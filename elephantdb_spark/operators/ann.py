@@ -73,6 +73,39 @@ def _bucket_udf(planes: np.ndarray):
     return bucket
 
 
+def _bucket_col_fold(planes: np.ndarray, vec_col: str):
+    """Bucket id as a pure JVM expression: per plane, a sequential-fold
+    dot product (functions.similarity.dot_col) whose sign sets one bit.
+    Bit-identical to an equivalent left-fold in SQL, so the whole LSH
+    pipeline becomes oracle-replicable (the q29 md5-mode pattern applied
+    to hyperplane bucketing). The arrow mode's BLAS matmul may round
+    differently at sign boundaries; fold mode trades its batch speed for
+    exact cross-engine determinism."""
+    from elephantdb_spark.functions.similarity import dot_col
+
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(
+            dot_col(F.col(vec_col), plane_arr) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def fold_bucket_of(vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side twin of :func:`_bucket_col_fold` for the query vector:
+    plain left-to-right float64 accumulation, matching the JVM/SQL folds
+    operation-for-operation."""
+    bucket = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc += float(x) * float(y)
+        if acc > 0:
+            bucket |= 1 << i
+    return bucket
+
+
 def add_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -80,11 +113,18 @@ def add_lsh_bucket(
     seed: int = 42,
     dim: int | None = None,
     out_col: str = "bucket",
+    bucket_mode: str = "arrow",
 ) -> DataFrame:
-    """Attach the random-hyperplane LSH bucket id (vectorized Arrow UDF)."""
+    """Attach the random-hyperplane LSH bucket id. ``bucket_mode="arrow"``
+    (default) uses the vectorized Arrow UDF; ``"fold"`` uses the
+    sequential-fold JVM expression (oracle-parity mode)."""
+    if bucket_mode not in ("arrow", "fold"):
+        raise ValueError(f"bucket_mode must be 'arrow' or 'fold', got {bucket_mode!r}")
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_bits, seed)
+    if bucket_mode == "fold":
+        return df.withColumn(out_col, _bucket_col_fold(planes, vec_col))
     return df.withColumn(out_col, _bucket_udf(planes)(F.col(vec_col)))
 
 
@@ -97,19 +137,29 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_hamming: int = 1,
+    bucket_mode: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: restrict the exact re-rank to vectors whose LSH
     bucket is within ``max_hamming`` sign-flips of the query's bucket.
 
     At scale, bucket is a partition/cluster key: the candidate read prunes
     to a handful of buckets out of 2^n_bits instead of scanning the corpus.
+
+    ``bucket_mode="fold"`` computes every bucket (query's included) by
+    sequential-fold dot products, making the result exactly replicable by
+    a SQL oracle with the plane constants inlined (q31).
     """
     planes = hyperplanes(len(query_vec), n_bits, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qbits = (planes @ q) > 0
-    qbucket = int((qbits * (1 << np.arange(n_bits, dtype=np.int64))).sum())
+    if bucket_mode == "fold":
+        qbucket = fold_bucket_of(query_vec, planes)
+    else:
+        q = np.asarray(query_vec, dtype=np.float64)
+        qbits = (planes @ q) > 0
+        qbucket = int((qbits * (1 << np.arange(n_bits, dtype=np.int64))).sum())
 
-    bucketed = add_lsh_bucket(df, vec_col, n_bits, seed, dim=len(query_vec))
+    bucketed = add_lsh_bucket(
+        df, vec_col, n_bits, seed, dim=len(query_vec), bucket_mode=bucket_mode
+    )
     candidates = bucketed.filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
     )

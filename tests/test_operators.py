@@ -181,6 +181,35 @@ def test_hyperplanes_deterministic():
     assert not np.array_equal(a, c)
 
 
+def test_lsh_bucket_fold_mode_matches_arrow(spark, emb):
+    """q31's oracle-parity mode: the sequential-fold JVM bucket expression
+    must assign the same buckets as the arrow matmul path (signs only
+    differ if a dot product sits within one ulp of zero — not a real
+    data shape), and the fold-mode topk must equal the arrow topk."""
+    arrow = {
+        (r.vec_id, r.bucket)
+        for r in add_lsh_bucket(emb, n_bits=8).select("vec_id", "bucket").collect()
+    }
+    fold = {
+        (r.vec_id, r.bucket)
+        for r in add_lsh_bucket(emb, n_bits=8, bucket_mode="fold")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert arrow == fold
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    a = [r.id for r in lsh_bucket_topk(emb, q, k=10, n_bits=8, max_hamming=2).collect()]
+    f = [
+        r.id
+        for r in lsh_bucket_topk(
+            emb, q, k=10, n_bits=8, max_hamming=2, bucket_mode="fold"
+        ).collect()
+    ]
+    assert a == f
+    with pytest.raises(ValueError):
+        add_lsh_bucket(emb, n_bits=8, bucket_mode="nope")
+
+
 def test_multimodal_features_and_stubs(spark, docs):
     mm = attach_payload(docs.limit(10), "doc_id", "text", "lang", "source")
     assert [f.name for f in mm.schema.fields] == ["id", "payload", "meta"]

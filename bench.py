@@ -170,6 +170,19 @@ def main() -> None:
     with timed("incremental_update_5k"):
         update_domain(spark, batch, eng.domain_root("lineitem_kv"), version=2)
 
+    # --- 3b. compaction (round-4): merge fragmented shard files ----------
+    from elephantdb_spark import compact_domain
+
+    frag_root = eng.domain_root("orders_kv_frag")
+    build_domain(  # untimed fixture: ~5 small files per shard
+        spark, orders_kv, frag_root,
+        DomainSpec(num_shards=NUM_SHARDS,
+                   persistence_opts={"maxRecordsPerFile": 1000}),
+        version=1, dedup="none",
+    )
+    with timed("compact_domain"):
+        compact_domain(spark, frag_root, version=2)
+
     # --- 4. extension operators -------------------------------------------
     from elephantdb_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
     from elephantdb_spark.operators.ann import brute_force_topk
@@ -215,6 +228,19 @@ def main() -> None:
     with timed("ann_knn_join_ivf"):
         ivf_knn_join(embeddings, k=10, n_cells=16, n_probe=4,
                      centroids=cents).count()
+
+    # persisted-index serving surface (round-4): train+publish once, then
+    # probe as a partition-pruned read — the build amortizes across probes
+    from elephantdb_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_probe,
+    )
+
+    idx_root = os.path.join(work, "emb_ivf_idx")
+    with timed("ann_index_build"):
+        build_ivf_index(spark, embeddings, idx_root, n_cells=16, version=1)
+    with timed("ann_index_probe"):
+        ivf_index_probe(spark, idx_root, qvec, k=10, n_probe=4).collect()
 
     from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 

@@ -19,7 +19,13 @@ commit protocol.
 from elephantdb_spark.spec import DomainSpec
 from elephantdb_spark.sharding import shard_index, md5_mod_col, duckdb_md5_mod_sql
 from elephantdb_spark.store import VersionedStore, DomainStore
-from elephantdb_spark.build import StagedBuild, build_domain, update_domain, reshard
+from elephantdb_spark.build import (
+    StagedBuild,
+    build_domain,
+    compact_domain,
+    reshard,
+    update_domain,
+)
 from elephantdb_spark.engine import Engine, Domain, WrongHostError, DomainNotFoundError, DomainNotLoadedError
 from elephantdb_spark.registry import register_scheme, resolve_scheme, class_for_name
 
@@ -34,6 +40,7 @@ __all__ = [
     "build_domain",
     "update_domain",
     "reshard",
+    "compact_domain",
     "Engine",
     "Domain",
     "WrongHostError",

@@ -413,6 +413,94 @@ class StagedBuild:
         return self.version
 
 
+def compact_domain(
+    spark: SparkSession,
+    domain_root: str,
+    version: int | None = None,
+    max_files_per_shard: int = 1,
+) -> int:
+    """Rewrite the current version merging fragmented shard directories
+    into ``max_files_per_shard`` key-sorted files each, published as a NEW
+    version (VERDICT r3 item 4). Shards already at or under the target
+    file count are never recomputed — they ride the same file-level
+    copy-forward incremental updates use (A20, DomainStore.java:156-180);
+    compaction is reshard's same-shard-count degenerate case
+    (cascalog/keyval.clj:55-64) restricted to the fragmented shards.
+
+    Fragmentation accrues from ``maxRecordsPerFile`` splits, staged
+    builds, and (on a cluster) per-task output files; each extra file per
+    shard is an extra open+footer-read on every probe of that shard.
+    Returns the new version id, or the CURRENT version unchanged when no
+    shard exceeds the target (no-op — no job, no new version).
+
+    Non-shard version artifacts (e.g. an index domain's ``_centroids.json``)
+    are carried into the new version verbatim.
+    """
+    store = DomainStore.open(domain_root)
+    current = store.most_recent_version()
+    if current is None:
+        raise RuntimeError(f"domain at {domain_root} has no published version")
+    cur_path = store.version_path(current)
+
+    def _data_files(shard_dir: str) -> list[str]:
+        return [
+            f for f in os.listdir(shard_dir)
+            if not f.startswith(("_", "."))
+        ]
+
+    fragmented = []
+    extras = []
+    for name in os.listdir(cur_path):
+        full = os.path.join(cur_path, name)
+        if name.startswith("shard="):
+            if len(_data_files(full)) > max_files_per_shard:
+                fragmented.append(int(name.split("=", 1)[1]))
+        elif name not in ("_SUCCESS",) and name != STAGING_DIRNAME:
+            extras.append(name)
+    if not fragmented:
+        return current
+
+    if version is None:
+        version = int(time.time() * 1000)
+    vpath = store.create_version(version)
+    n = store.spec.num_shards
+    fmt = resolve_format(store.spec.persistence_format)
+    try:
+        sub = (
+            spark.read.option("basePath", cur_path)
+            .format(fmt)
+            .load(cur_path)
+            .filter(F.col("shard").isin(fragmented))  # partition-pruned
+            .select("key", "value", F.col("shard").cast("int").alias("shard"))
+        )
+        writer = (
+            with_slot_column(spark, sub, n)
+            .repartition(n, F.col("__slot"))
+            .sortWithinPartitions("shard", "key")
+            .drop("__slot")
+            .write.mode("errorifexists")
+            .partitionBy("shard")
+            .format(fmt)
+        )
+        # deliberately NOT re-applying persistence_opts like
+        # maxRecordsPerFile here — those splits are what compaction undoes
+        writer.save(vpath)
+        for name in extras:
+            src = os.path.join(cur_path, name)
+            dst = os.path.join(vpath, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
+        store.synchronize_versions(current, version)
+        store.succeed_version(version)
+    except Exception as exc:
+        store.fail_version(version)
+        store.record_failure(version, repr(exc))
+        raise
+    return version
+
+
 def reshard(
     spark: SparkSession,
     src_root: str,

@@ -20,6 +20,9 @@ dropped.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -712,6 +715,45 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INDEX_ROOTS: dict[str, str] = {}
+
+
+def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the persisted IVF index domain
+    over the embeddings table — the q77 fixture, mirroring parity.py's
+    domains_root build-once-serve-many shape."""
+    from elephantdb_spark.operators.ann_index import build_ivf_index
+
+    sf_dir = os.path.abspath(sf_dir)
+    cached = _INDEX_ROOTS.get(sf_dir)
+    if cached is not None:
+        return cached
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"edb_ivfidx_{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # pid-reuse leftovers
+    root = os.path.join(base, "emb_ivf")
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    build_ivf_index(spark, emb, root, n_cells=8, version=1)
+    _INDEX_ROOTS[sf_dir] = root
+    return root
+
+
+def q77_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a PERSISTED IVF index domain (operators/ann_index — VERDICT r3
+    item 3: the serving-style ANN surface). The index is built and
+    published once through the versioned-store machinery (A17 token
+    publish; cell = shard, so the probe is a partition-pruned read); this
+    driver row probes it in exact mode (n_probe == n_cells), so the result
+    must equal brute force and the q17 SQL oracle applies verbatim.
+    Approximate-probe guarantees are covered by q35's bounds booleans."""
+    from elephantdb_spark.operators.ann_index import ivf_index_probe
+
+    root = _ivf_index_root(spark, sf_dir)
+    return ivf_index_probe(
+        spark, root, _query_vec(spark, sf_dir), k=10, n_probe=8
+    ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
+
+
 def q46_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword pre-token count per document
     (functions/text.subword_count_col) — the LLM token-budget estimate."""
@@ -779,6 +821,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_cluster_size_report": q74_cluster_size_report,
     "q75_profile_table": q75_profile_table,
     "q76_wav_decode_features": q76_wav_decode_features,
+    "q77_ann_index_probe": q77_ann_index_probe,
     "q29_minhash_lsh_neardup": q29_minhash_lsh_neardup,
     "q30_simhash_neardup": q30_simhash_neardup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
@@ -1331,7 +1374,16 @@ EXT_ORACLES: dict[str, str] = {
         "  FROM embeddings e, q WHERE e.vec_id != 0) "
         "ORDER BY sim_raw DESC, vec_id ASC LIMIT 10"
     ),
-    # q29/q30/q31: engine-hash-based (xxhash64 / hyperplane LSH) — rows-only.
+    # q77: exact-mode probe of the persisted index == brute force, so the
+    # q17 oracle applies verbatim.
+    "q77_ann_index_probe": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, round(sim_raw, 6) AS sim FROM ("
+        f"  SELECT e.vec_id, {_dot_sql('e.embedding', 'q.qv')} / "
+        f"    (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS sim_raw "
+        "  FROM embeddings e, q WHERE e.vec_id != 0) "
+        "ORDER BY sim_raw DESC, vec_id ASC LIMIT 10"
+    ),
     "q46_subword_count": (
         "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
         + BPE_SPLIT_PATTERN.replace("'", "''")

@@ -427,8 +427,22 @@ def ivf_knn_join(
             F.explode("__cells").alias("cell"),
         )
     )
+    return score_probes_against_cells(probes, data, k, dict(df.dtypes)[id_col], scorer)
+
+
+def score_probes_against_cells(
+    probes: DataFrame,
+    data: DataFrame,
+    k: int,
+    id_type: str,
+    scorer: str = "arrow",
+) -> DataFrame:
+    """Shared kNN-join tail: ``probes`` (a, va, cell — one row per probed
+    cell) against ``data`` (b, vb, cell — each vector in its home cell),
+    per-cell scoring, then a global top-k window per query. Used by both
+    :func:`ivf_knn_join` (cells computed in-plan) and the persisted-index
+    probe path (cells read from the index domain's partition layout)."""
     if scorer == "arrow":
-        id_type = dict(df.dtypes)[id_col]
         scored = (
             probes.groupBy("cell")
             .cogroup(data.groupBy("cell"))

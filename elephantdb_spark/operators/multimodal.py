@@ -74,13 +74,19 @@ def attach_payload(
 def decode_wav(payload: bytes) -> dict:
     """REAL WAV/PCM decode (stdlib ``wave`` + numpy, no external codecs):
     returns channel count, sample rate/width, frame count, duration, and
-    the peak absolute sample amplitude."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_channels = w.getnchannels()
-        samp_width = w.getsampwidth()
-        rate = w.getframerate()
-        n_frames = w.getnframes()
-        frames = w.readframes(n_frames)
+    the peak absolute sample amplitude. Malformed payloads raise
+    ``ValueError`` — the stdlib parser's zoo of failure types
+    (wave.Error, EOFError, even bare RuntimeError from the chunk reader,
+    found by fuzzing) is normalized so callers have one clean contract."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            samp_width = w.getsampwidth()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as exc:
+        raise ValueError(f"malformed WAV payload: {exc!r}") from exc
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(samp_width)
     peak = 0
     if dtype is not None and frames:

@@ -1,0 +1,188 @@
+"""Persisted IVF index domain: build → versioned layout → pruned probes.
+
+The index composes E2 similarity search with the engine's versioned-store
+machinery — these tests pin the composition: exact-mode equivalence to
+brute force, physical partition pruning on probes, version pinning and
+token visibility, and knn-join equivalence to the in-plan operator.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark.operators.ann import (
+    brute_force_topk,
+    ivf_knn_join,
+    train_ivf_centroids,
+)
+from elephantdb_spark.operators.ann_index import (
+    CENTROIDS_FILENAME,
+    build_ivf_index,
+    ivf_index_knn_join,
+    ivf_index_probe,
+    load_ivf_index,
+)
+from elephantdb_spark.store import DomainStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivfidx") / "emb_ivf")
+    build_ivf_index(spark, emb, root, n_cells=8, version=1)
+    return root
+
+
+def _qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_layout_and_spec(index_root):
+    store = DomainStore.open(index_root)
+    assert store.spec.num_shards == 8
+    assert store.spec.shard_scheme == "ivf-cell"
+    assert store.spec.persistence_opts["id_col"] == "vec_id"
+    assert store.all_versions() == [1]
+    vpath = store.version_path(1)
+    assert os.path.exists(os.path.join(vpath, CENTROIDS_FILENAME))
+    cells = [d for d in os.listdir(vpath) if d.startswith("shard=")]
+    assert 0 < len(cells) <= 8
+
+
+def test_exact_mode_probe_equals_brute_force(spark, emb, index_root):
+    q = _qvec(emb)
+    got = [
+        (r.id, round(r.sim, 9))
+        for r in ivf_index_probe(spark, index_root, q, k=10, n_probe=8).collect()
+    ]
+    want = [
+        (r.id, round(r.sim, 9)) for r in brute_force_topk(emb, q, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_probe_plan_prunes_to_probed_cells(spark, emb, index_root):
+    """The serving property: a probe's scan Location must list only the
+    probed shard=<cell> dirs (partition pruning, O1 applied to cells)."""
+    import numpy as np
+
+    q = _qvec(emb)
+    centroids, _, _, _ = load_ivf_index(spark, index_root)
+    d2 = ((centroids - np.asarray(q)[None, :]) ** 2).sum(axis=1)
+    probe = {int(c) for c in np.argsort(d2, kind="stable")[:2]}
+    df = ivf_index_probe(spark, index_root, q, k=5, n_probe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the probe must reach the scan as a PartitionFilter (shard IN (...))
+    # over exactly the probed cells — that is what prunes the read
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    in_list = pf[0].split(" IN ")[1]
+    listed = {int(x) for x in in_list.strip(" ()[]").split(",")}
+    assert listed == probe, (listed, probe, pf[0])
+
+
+def test_probe_beats_training_free_and_matches_in_plan_operator(
+    spark, emb, index_root
+):
+    """Index probe at n_probe<n_cells equals ivf_topk with the SAME
+    centroids (the persisted quantizer IS the one-shot quantizer)."""
+    from elephantdb_spark.operators.ann import ivf_topk
+
+    q = _qvec(emb)
+    centroids, _, _, _ = load_ivf_index(spark, index_root)
+    got = [(r.id, round(r.sim, 9)) for r in
+           ivf_index_probe(spark, index_root, q, k=10, n_probe=3).collect()]
+    want = [(r.id, round(r.sim, 9)) for r in
+            ivf_topk(emb, q, k=10, n_cells=8, n_probe=3,
+                     centroids=centroids).collect()]
+    assert got == want
+
+
+def test_version_pinning_and_hot_swap(spark, emb, index_root):
+    """A new published version becomes the default; the old stays
+    pin-readable (A18/A24 semantics on the index domain)."""
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    build_ivf_index(spark, half, index_root, n_cells=8, version=2)
+    try:
+        _, vecs_v2, _, v2 = load_ivf_index(spark, index_root)
+        assert v2 == 2
+        assert vecs_v2.count() == half.count()
+        _, vecs_v1, _, v1 = load_ivf_index(spark, index_root, version=1)
+        assert v1 == 1
+        assert vecs_v1.count() == emb.count()
+        q = _qvec(emb)
+        ids_v2 = {r.id for r in
+                  ivf_index_probe(spark, index_root, q, k=10, n_probe=8).collect()}
+        assert all(i % 2 == 0 for i in ids_v2)
+    finally:
+        DomainStore.open(index_root).delete_version(2)
+
+
+def test_unpublished_version_invisible(spark, emb, tmp_path):
+    root = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, root, n_cells=4, version=1)
+    store = DomainStore.open(root)
+    # reserve-but-never-publish: readers must keep resolving v1
+    store.create_version(7)
+    _, _, _, v = load_ivf_index(spark, root)
+    assert v == 1
+    with pytest.raises(RuntimeError):
+        load_ivf_index(spark, root, version=7)
+
+
+def test_knn_join_against_index_matches_in_plan(spark, emb, index_root):
+    """ivf_index_knn_join (data-side cells from the partition layout)
+    equals ivf_knn_join with the same centroids (cells computed in-plan)."""
+    centroids, _, _, _ = load_ivf_index(spark, index_root)
+    queries = emb.limit(20)
+    got = {
+        (r.a, r.b, r.rk)
+        for r in ivf_index_knn_join(
+            spark, index_root, queries, k=3, n_probe=3
+        ).collect()
+    }
+    # in-plan twin: same centroids, but probes restricted to the same 20
+    want_rows = ivf_knn_join(
+        emb, k=3, n_cells=8, n_probe=3, centroids=centroids
+    ).join(queries.select(F.col("vec_id").alias("a")), "a").collect()
+    want = {(r.a, r.b, r.rk) for r in want_rows}
+    assert got == want
+
+
+def test_build_failure_rolls_back(spark, emb, tmp_path):
+    import numpy as np
+
+    root = str(tmp_path / "idx")
+    # a column typo fails BEFORE any disk mutation (no poisoned spec that
+    # would block the corrected retry via the A30 equality check)
+    with pytest.raises(ValueError):
+        build_ivf_index(spark, emb, root, n_cells=4, version=1, vec_col="nope")
+    assert not os.path.exists(root)
+    # a mid-job failure (wrong-dim quantizer breaks the cell UDF) rolls the
+    # reserved version back and records the durable failure marker
+    with pytest.raises(Exception):
+        build_ivf_index(
+            spark, emb, root, n_cells=4, version=1,
+            centroids=np.zeros((4, 3)),
+        )
+    store = DomainStore.open(root)
+    assert store.all_versions() == []
+    assert store.last_failure() is not None
+    # retry succeeds and clears the failure
+    build_ivf_index(spark, emb, root, n_cells=4, version=2)
+    assert DomainStore.open(root).all_versions() == [2]
+    assert DomainStore.open(root).last_failure() is None

@@ -338,6 +338,15 @@ def main() -> None:
             token_count_col(F.col("text")), 512,
         ).count()
 
+    # reproducible global shuffle into balanced training shards: one
+    # exchange (exact file→partition slots) + in-partition sort + write
+    from elephantdb_spark.operators.sampling import write_shuffled_export
+
+    export_dir = os.path.join(tempfile.mkdtemp(prefix="edb_bench_exp_"), "shards")
+    with timed("shuffled_export_write"):
+        write_shuffled_export(spark, documents, export_dir, "doc_id", 16, "ep0")
+    shutil.rmtree(os.path.dirname(export_dir), ignore_errors=True)
+
     from elephantdb_spark.functions.redact import pii_count_col, redact_pii
     from elephantdb_spark.operators.components import connected_components
     from elephantdb_spark.operators.dedup import jaccard_shingle_pairs

@@ -85,6 +85,7 @@ from elephantdb_spark.operators.sampling import (
     duckdb_md5_u32_sql,
     mix_corpus,
     pack_sequences,
+    shuffle_assignments,
     split_corpus,
     stratified_sample,
 )
@@ -180,6 +181,23 @@ def q19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, ["lang"], "doc_id", STRATA_N).select(
         "doc_id", "lang"
     ).orderBy("lang", "doc_id")
+
+
+SHUFFLE_FILES = 8
+SHUFFLE_SALT = "epoch0"
+
+
+def q78_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle into balanced training shards: every
+    document gets (file_id, pos) — a pseudo-random permutation that is a
+    pure function of (doc_id, salt), so the epoch order survives reruns,
+    task retries, and engine swaps. One shuffle on file_id."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        shuffle_assignments(docs, "doc_id", SHUFFLE_FILES, SHUFFLE_SALT)
+        .select("doc_id", "file_id", "pos")
+        .orderBy("file_id", "pos")
+    )
 
 
 def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +821,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_deterministic_sample": q18_deterministic_sample,
     "q19_stratified_sample": q19_stratified_sample,
     "q56_sequence_packing": q56_sequence_packing,
+    "q78_shuffled_export": q78_shuffled_export,
     "q57_repetition_profile": q57_repetition_profile,
     "q58_contamination_hits": q58_contamination_hits,
     "q59_corpus_split": q59_corpus_split,
@@ -1124,6 +1143,15 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT doc_id FROM documents "
         f"WHERE {duckdb_md5_u32_sql('doc_id', SAMPLE_SALT)} < "
         f"{int(SAMPLE_RATE * (1 << 32))} ORDER BY doc_id"
+    ),
+    "q78_shuffled_export": (
+        "WITH h AS (SELECT doc_id, "
+        f"{duckdb_md5_u32_sql('doc_id', SHUFFLE_SALT)} AS hv FROM documents) "
+        f"SELECT doc_id, CAST(hv % {SHUFFLE_FILES} AS INT) AS file_id, "
+        "CAST(ROW_NUMBER() OVER ("
+        f"  PARTITION BY hv % {SHUFFLE_FILES} ORDER BY hv ASC, doc_id ASC"
+        ") AS INT) AS pos "
+        "FROM h ORDER BY file_id, pos"
     ),
     "q19_stratified_sample": (
         "SELECT doc_id, lang FROM ("

@@ -186,13 +186,20 @@ def train_ivf_centroids(
     )
     rng = np.random.default_rng(digest_seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    # BLAS formulation: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via one matmul,
+    # centroid update via add.at/bincount. The broadcasted (sample, cells,
+    # dim) temporary + per-cell Python loop it replaces made training scale
+    # ~linearly in n_cells with a huge constant — the 10x scale run measured
+    # 10.8 s at 160 cells vs 0.2 s for this form (same assignments).
+    x2 = (mat * mat).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = x2 - 2.0 * (mat @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(centroids)).astype(np.float64)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
     return centroids
 
 

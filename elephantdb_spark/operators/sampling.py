@@ -18,6 +18,12 @@ bytes, so each operator has an exact cross-engine SQL oracle.
 * :func:`mix_corpus` — per-source downsampling to token budgets (data
   mixing): a tiny per-source totals aggregate broadcast into the same
   md5-threshold filter. The corpus never shuffles.
+* :func:`shuffle_assignments` / :func:`write_shuffled_export` — a
+  reproducible global shuffle into ``num_files`` balanced training
+  shards: ``file_id = hash % num_files``, in-file order by (hash, id).
+  One shuffle; files balance by hash uniformity, and the same corpus +
+  salt always produces the identical epoch order (``orderBy(rand())``
+  does not survive a task retry, let alone a re-run).
 * :func:`pack_sequences` — greedy contiguous sequence packing: assign each
   document to a token bin of ``capacity`` within its group, filling bins
   in id order (the LLM pre-training batch-packing shape). One shuffle on
@@ -201,4 +207,72 @@ def pack_sequences(
         "*",
         F.floor(before / F.lit(capacity)).cast("long").alias("bin"),
         (before % F.lit(capacity)).cast("long").alias("bin_offset"),
+    )
+
+
+def shuffle_assignments(
+    df: DataFrame, id_col: str, num_files: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle: assign every row a ``file_id`` in
+    ``[0, num_files)`` and a 1-based ``pos`` within its file, such that
+    (file_id, pos) is a pseudo-random permutation of the corpus that is a
+    pure function of (id, salt, num_files).
+
+    Training-data export wants a global shuffle (decorrelate neighboring
+    source documents) that is *reproducible*: the same corpus + seed must
+    yield byte-identical epoch order across reruns, task retries, and
+    engines — ``orderBy(rand())`` gives none of that. Here
+    ``file_id = hash(id, salt) % num_files`` and ``pos`` ranks by
+    ``(hash, id)`` inside the file, so the permutation is md5-determined.
+
+    One shuffle (on ``file_id``) + per-file sort. Files are balanced by
+    hash uniformity — no sampled range boundaries (``repartitionByRange``
+    samples, breaking determinism). At 100 TB: size
+    ``num_files ≈ corpus_bytes / 512 MB``; each window task sorts one
+    file's worth (~512 MB), never the corpus. Disjoint salts give
+    independent epoch orders.
+    """
+    if num_files <= 0:
+        raise ValueError(f"num_files must be positive, got {num_files}")
+    h = _md5_u32(F.col(id_col), salt)
+    with_file = df.withColumn("file_id", F.pmod(h, F.lit(num_files)).cast("int"))
+    w = Window.partitionBy("file_id").orderBy(
+        _md5_u32(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return with_file.withColumn("pos", F.row_number().over(w))
+
+
+def write_shuffled_export(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    num_files: int,
+    salt: str = "",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize :func:`shuffle_assignments` order to disk: one
+    ``file=<i>/`` directory per file, rows stored in shuffle order (the
+    on-disk row order IS the training order — no ``pos`` column needed).
+
+    Exact 1:1 file→partition placement (the build path's
+    ``exact_partition_slots`` trick) then an in-partition sort on
+    ``(hash, id)``: one exchange, one sort, a partitioned write — the
+    same single-shuffle shape as a KV domain build.
+    """
+    from elephantdb_spark.sharding import with_slot_column
+
+    h = _md5_u32(F.col(id_col), salt)
+    assigned = df.withColumn("file", F.pmod(h, F.lit(num_files)).cast("int")).withColumn(
+        "__h", h
+    )
+    (
+        with_slot_column(spark, assigned, num_files, shard_col_name="file")
+        .repartition(num_files, F.col("__slot"))
+        .sortWithinPartitions("file", "__h", id_col)
+        .drop("__slot", "__h")
+        .write.mode("errorifexists")
+        .partitionBy("file")
+        .format(fmt)
+        .save(out_dir)
     )

@@ -87,3 +87,62 @@ def test_pack_sequences_invariants(spark, corpus):
 def test_pack_sequences_validates_capacity(spark, corpus):
     with pytest.raises(ValueError):
         pack_sequences(corpus, ["lang"], "doc_id", "n_tokens", 0)
+
+
+def test_shuffle_assignments_is_deterministic_permutation(spark, corpus):
+    from elephantdb_spark.operators.sampling import shuffle_assignments
+
+    out = shuffle_assignments(corpus, "doc_id", 8, "ep0")
+    rows = out.select("doc_id", "file_id", "pos").collect()
+    # every row kept exactly once
+    assert sorted(r.doc_id for r in rows) == list(range(600))
+    # python replay: file = md5 % 8, pos = rank of (hash, id) within file
+    by_file = {}
+    for i in range(600):
+        h = _py_md5_u32(i, "ep0")
+        by_file.setdefault(h % 8, []).append((h, i))
+    want = {}
+    for f, members in by_file.items():
+        for pos, (_, i) in enumerate(sorted(members), start=1):
+            want[i] = (f, pos)
+    got = {r.doc_id: (r.file_id, r.pos) for r in rows}
+    assert got == want
+    # balanced within binomial noise (600/8 = 75 expected)
+    sizes = [len(m) for m in by_file.values()]
+    assert max(sizes) < 2 * min(sizes)
+    # rerun identical; different salt produces a different permutation
+    again = {r.doc_id: (r.file_id, r.pos)
+             for r in shuffle_assignments(corpus, "doc_id", 8, "ep0").collect()}
+    assert again == got
+    other = {r.doc_id: (r.file_id, r.pos)
+             for r in shuffle_assignments(corpus, "doc_id", 8, "ep1").collect()}
+    assert other != got
+    with pytest.raises(ValueError):
+        shuffle_assignments(corpus, "doc_id", 0)
+
+
+def test_write_shuffled_export_order_on_disk(spark, corpus, tmp_path):
+    import os
+
+    from elephantdb_spark.operators.sampling import (
+        shuffle_assignments,
+        write_shuffled_export,
+    )
+
+    out_dir = str(tmp_path / "export")
+    write_shuffled_export(spark, corpus, out_dir, "doc_id", 4, "ep0")
+    # one directory per file, each holding exactly one part file
+    dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("file="))
+    assert dirs == [f"file={i}" for i in range(4)]
+    for d in dirs:
+        parts = [f for f in os.listdir(os.path.join(out_dir, d))
+                 if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{d}: expected one part file, got {parts}"
+    # on-disk row order within each file == the manifest's pos order
+    manifest = shuffle_assignments(corpus, "doc_id", 4, "ep0")
+    for i in range(4):
+        disk = [r.doc_id for r in
+                spark.read.parquet(os.path.join(out_dir, f"file={i}")).collect()]
+        want = [r.doc_id for r in manifest.filter(F.col("file_id") == i)
+                .orderBy("pos").collect()]
+        assert disk == want

@@ -166,6 +166,39 @@ def lsh_bucket_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _kmeans(mat: np.ndarray, k: int, seed_tag: str, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means on an in-memory sample, BLAS form:
+    ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via one matmul per iteration,
+    centroid update via add.at/bincount. The broadcasted (sample, cells,
+    dim) temporary + per-cell Python loop this replaced made training
+    scale ~linearly in n_cells with a huge constant — the 10x scale run
+    measured 10.8 s at 160 cells vs 0.2 s for this form (same
+    assignments)."""
+    digest_seed = int.from_bytes(hashlib.sha256(seed_tag.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(digest_seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    x2 = (mat * mat).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d2 = x2 - 2.0 * (mat @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(centroids)).astype(np.float64)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
+    return centroids
+
+
+def _collect_sample(
+    df: DataFrame, vec_col: str, id_col: str, sample_size: int
+) -> np.ndarray:
+    """Deterministic bounded sample: the sample_size lowest-id vectors
+    (TakeOrderedAndProject — one corpus pass with a per-partition top-k
+    heap, never a full sort)."""
+    sample = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
+    return np.array([list(r[0]) for r in sample], dtype=np.float64)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int,
@@ -178,29 +211,83 @@ def train_ivf_centroids(
     """Train IVF coarse-quantizer centroids: deterministic driver-side
     Lloyd's k-means on a bounded sample (the FAISS pattern — IVF training
     never reads the full corpus; at 100 TB the sample is the only
-    driver-side data, everything after is distributed)."""
-    sample = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
-    mat = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    digest_seed = int.from_bytes(
-        hashlib.sha256(f"edb-ivf-{seed}".encode()).digest()[:8], "big"
+    driver-side data, everything after is distributed).
+
+    Flat training is O(sample · n_cells · dim) per iteration — right up
+    to a few thousand cells. For production cell counts (the 100 TB
+    sizing rule gives n_cells ≈ corpus_bytes / 512 MB ≈ 200k) use
+    :func:`train_ivf_centroids_hierarchical`, which is
+    O(sample · sqrt(n_cells) · dim).
+    """
+    mat = _collect_sample(df, vec_col, id_col, sample_size)
+    return _kmeans(mat, n_cells, f"edb-ivf-{seed}", iters)
+
+
+def train_ivf_centroids_hierarchical(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int | None = None,
+    seed: int = 42,
+    iters: int = 10,
+    branch: int | None = None,
+) -> np.ndarray:
+    """Two-level k-means for large cell counts: train ``branch``
+    (default ceil(sqrt(n_cells))) super-cells, then split each
+    super-cell's sub-cell budget proportionally to its sample membership
+    (largest-remainder allocation) and run k-means inside it.
+
+    Cost is O(sample · sqrt(n_cells) · dim) per iteration vs the flat
+    trainer's O(sample · n_cells · dim) — at the 100 TB sizing
+    (n_cells ≈ 200k) that is the difference between minutes and a week
+    of driver time. Fully deterministic: the sample, the super-cell
+    seeds, the per-super-cell sub-seeds, and the allocation are all pure
+    functions of (data, seed). Returns up to ``n_cells`` centroids
+    (fewer only when the sample has fewer distinct points than cells).
+
+    ``sample_size`` defaults to ``max(10_000, 8 · n_cells)`` — cells
+    need a handful of training points each (FAISS warns below ~39/cell;
+    8/cell keeps the driver sample bounded while staying usable — raise
+    it when training production indexes).
+    """
+    if sample_size is None:
+        sample_size = max(10_000, 8 * n_cells)
+    mat = _collect_sample(df, vec_col, id_col, sample_size)
+    if branch is None:
+        branch = int(np.ceil(np.sqrt(n_cells)))
+    branch = max(1, min(branch, n_cells, len(mat)))
+    supers = _kmeans(mat, branch, f"edb-ivf-{seed}-super", iters)
+    # assign the sample to super-cells (one matmul)
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ supers.T)
+        + (supers * supers).sum(axis=1)[None, :]
     )
-    rng = np.random.default_rng(digest_seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
-    # BLAS formulation: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via one matmul,
-    # centroid update via add.at/bincount. The broadcasted (sample, cells,
-    # dim) temporary + per-cell Python loop it replaces made training scale
-    # ~linearly in n_cells with a huge constant — the 10x scale run measured
-    # 10.8 s at 160 cells vs 0.2 s for this form (same assignments).
-    x2 = (mat * mat).sum(axis=1)[:, None]
-    for _ in range(iters):
-        d2 = x2 - 2.0 * (mat @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
-        sums = np.zeros_like(centroids)
-        np.add.at(sums, assign, mat)
-        counts = np.bincount(assign, minlength=len(centroids)).astype(np.float64)
-        nz = counts > 0
-        centroids[nz] = sums[nz] / counts[nz, None]
-    return centroids
+    assign = d2.argmin(axis=1)
+    counts = np.bincount(assign, minlength=len(supers))
+    # proportional sub-cell budgets over non-empty super-cells,
+    # largest-remainder rounding, each capped at its member count
+    nonempty = np.flatnonzero(counts)
+    quota = n_cells * counts[nonempty] / counts[nonempty].sum()
+    alloc = np.maximum(1, np.floor(quota).astype(int))
+    alloc = np.minimum(alloc, counts[nonempty])
+    remainder = n_cells - int(alloc.sum())
+    if remainder > 0:
+        # hand leftover cells to the largest fractional remainders with
+        # membership headroom (ties broken by super-cell index: stable)
+        order = np.argsort(-(quota - np.floor(quota)), kind="stable")
+        for idx in list(order) * 2:  # two passes bound the loop
+            if remainder == 0:
+                break
+            if alloc[idx] < counts[nonempty][idx]:
+                alloc[idx] += 1
+                remainder -= 1
+    out = []
+    for j, sc in enumerate(nonempty):
+        members = mat[assign == sc]
+        out.append(_kmeans(members, int(alloc[j]), f"edb-ivf-{seed}-sub-{sc}", iters))
+    return np.vstack(out)
 
 
 def _cell_udf(centroids: np.ndarray):

@@ -49,7 +49,12 @@ from elephantdb_spark.operators.ann import (
     brute_force_topk,
     score_probes_against_cells,
     train_ivf_centroids,
+    train_ivf_centroids_hierarchical,
 )
+
+#: At/above this cell count build_ivf_index trains with the two-level
+#: (hierarchical) k-means instead of flat Lloyd's.
+HIERARCHICAL_CELLS_MIN = 2048
 from elephantdb_spark.sharding import with_slot_column
 from elephantdb_spark.spec import DomainSpec
 from elephantdb_spark.store import DomainStore
@@ -71,7 +76,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_size: int = 10_000,
+    sample_size: int | None = None,
     centroids: np.ndarray | None = None,
 ) -> int:
     """Train (or accept) IVF centroids and publish centroids + cell-assigned
@@ -103,9 +108,18 @@ def build_ivf_index(
     vpath = store.create_version(version)
     try:
         if centroids is None:
-            centroids = train_ivf_centroids(
-                df, n_cells, vec_col, id_col, sample_size=sample_size, seed=seed
-            )
+            # flat Lloyd's is O(sample·n_cells·dim)/iter — fine to a few
+            # thousand cells; production counts (100 TB → ~200k cells)
+            # switch to the two-level trainer, O(sample·sqrt(n_cells)·dim)
+            if n_cells >= HIERARCHICAL_CELLS_MIN:
+                centroids = train_ivf_centroids_hierarchical(
+                    df, n_cells, vec_col, id_col, sample_size=sample_size, seed=seed
+                )
+            else:
+                centroids = train_ivf_centroids(
+                    df, n_cells, vec_col, id_col,
+                    sample_size=sample_size or 10_000, seed=seed,
+                )
         assigned = add_ivf_cell(df, centroids, vec_col, out_col="shard").select(
             id_col, vec_col, "shard"
         )

@@ -186,3 +186,53 @@ def test_build_failure_rolls_back(spark, emb, tmp_path):
     build_ivf_index(spark, emb, root, n_cells=4, version=2)
     assert DomainStore.open(root).all_versions() == [2]
     assert DomainStore.open(root).last_failure() is None
+
+
+def test_hierarchical_trainer_matches_contract(spark, emb):
+    import numpy as np
+
+    from elephantdb_spark.operators.ann import (
+        train_ivf_centroids_hierarchical,
+    )
+
+    n_cells = 24
+    h = train_ivf_centroids_hierarchical(emb, n_cells, seed=7)
+    assert h.shape[0] == n_cells
+    # deterministic: bit-identical on rerun
+    h2 = train_ivf_centroids_hierarchical(emb, n_cells, seed=7)
+    assert np.array_equal(h, h2)
+    # different seed → different quantizer
+    h3 = train_ivf_centroids_hierarchical(emb, n_cells, seed=8)
+    assert not np.array_equal(h, h3)
+
+    # quantization quality comparable to flat training on the same data:
+    # mean distance to nearest centroid within 1.5x of flat's
+    flat = train_ivf_centroids(emb, n_cells, seed=7)
+    sample = emb.select("embedding").orderBy("vec_id").limit(2000).collect()
+    mat = np.array([list(r[0]) for r in sample])
+
+    def mean_q_err(cents):
+        d2 = ((mat * mat).sum(1)[:, None] - 2 * (mat @ cents.T)
+              + (cents * cents).sum(1)[None, :])
+        return float(np.sqrt(np.maximum(d2.min(axis=1), 0)).mean())
+
+    assert mean_q_err(h) < 1.5 * mean_q_err(flat)
+
+
+def test_hierarchical_trainer_large_cell_count(spark, emb):
+    # the production-shape call: n_cells far above the flat comfort zone
+    # must stay fast (the flat form at this count would dominate build
+    # time) and still return the full quantizer
+    import time
+
+    from elephantdb_spark.operators.ann import (
+        train_ivf_centroids_hierarchical,
+    )
+
+    t0 = time.perf_counter()
+    cents = train_ivf_centroids_hierarchical(
+        emb, 300, sample_size=3000, seed=7
+    )
+    dt = time.perf_counter() - t0
+    assert cents.shape[0] == 300
+    assert dt < 30, f"hierarchical training too slow: {dt:.1f}s"

@@ -331,6 +331,18 @@ def main() -> None:
     with timed("quality_tfidf_topk"):
         tfidf_topk(documents, "doc_id", "text", 3).count()
 
+    # BM25 probe-query ranking: broadcast query terms, one token-stream
+    # scan + 1-row stats scan, fixed-point scores, two-stage top-k
+    from elephantdb_spark.extensions import _BM25_QUERIES
+    from elephantdb_spark.operators.retrieval import bm25_topk
+
+    with timed("bm25_search"):
+        bm25_topk(
+            documents,
+            spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string"),
+            "doc_id", "text", k=10,
+        ).count()
+
     # windowed cumulative-sum sequence packing per language
     with timed("sampling_pack_sequences"):
         pack_sequences(

@@ -59,6 +59,7 @@ from elephantdb_spark.operators.dedup import (
     strip_duplicate_lines,
 )
 from elephantdb_spark.operators.multimodal import attach_payload, extract_features
+from elephantdb_spark.operators.retrieval import bm25_topk
 from elephantdb_spark.operators.quality import (
     contamination_hits,
     corpus_diff,
@@ -806,7 +807,44 @@ def q45_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1_000_000
+
+#: Probe queries over the synthetic corpus vocabulary; 'shuffle' and
+#: 'pipeline' appear in no document, exercising the unmatched-token path.
+_BM25_QUERIES = [
+    (1, "spark shuffle join window"),
+    (2, "hash table scan"),
+    (3, "stream batch data pipeline"),
+    (4, "vector merge sort"),
+]
+
+
+def q79_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.bm25_topk) in rational-IDF
+    mode — fixed-point term sums make the score bit-exact cross-engine, so
+    the DuckDB oracle replays the full ranking including the score column.
+    The lucene (ln) IDF mode is rank-identical per term and covered by
+    pytest against this mode."""
+    docs = _table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return bm25_topk(
+        docs,
+        qdf,
+        "doc_id",
+        "text",
+        k=BM25_K,
+        k1=BM25_K1,
+        b=BM25_B,
+        idf="rational",
+        score_scale=BM25_SCALE,
+    ).orderBy("query_id", "rank")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q79_bm25_search": q79_bm25_search,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
     "q22_quality_score": q22_quality_score,
@@ -1056,7 +1094,51 @@ def _q75_oracle_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def _q79_oracle_sql() -> str:
+    """Full BM25 replay: same tokenizer, same rational IDF, same
+    fixed-point floor — every float op is +,-,*,/ on integer-derived
+    doubles with the identical association order as the Spark expression
+    in retrieval.bm25_topk, so score_fp is bit-equal, not just close.
+    Constants are injected via repr() from the SAME Python floats the
+    Spark plan uses (k1+1 computed once, here, for both engines)."""
+    values = ", ".join(f"({qid}, '{qt}')" for qid, qt in _BM25_QUERIES)
+    k1, b, k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    scale = repr(float(BM25_SCALE))
+    idf = "((CAST(n_docs AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5) / (CAST(dfc AS DOUBLE) + 0.5))"
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    tfn = (
+        f"((CAST(tf AS DOUBLE) * {k1p1}) / (CAST(tf AS DOUBLE) + {k1} * "
+        f"(1.0 - {b} + {b} * CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+    return (
+        f"WITH q(query_id, query_text) AS (VALUES {values}), "
+        "qt0 AS (SELECT query_id, "
+        "  unnest(regexp_split_to_array(trim(query_text), '\\s+')) AS tok FROM q), "
+        "qt AS (SELECT DISTINCT query_id, lower(tok) AS token FROM qt0), "
+        f"toksrc AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 "
+        f"  THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS toks FROM documents), "
+        "stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_dl FROM toksrc), "
+        "dt0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toksrc), "
+        "dt AS (SELECT doc_id, dl, lower(tok) AS token FROM dt0), "
+        "tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM dt "
+        "  WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, dl, token), "
+        "dfc AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token), "
+        "scored AS (SELECT qt.query_id, tf.doc_id, "
+        f"  CAST(FLOOR({idf} * {tfn} * {scale}) AS BIGINT) AS fp "
+        "  FROM tf JOIN dfc USING (token) JOIN qt USING (token) CROSS JOIN stats), "
+        "agg AS (SELECT query_id, doc_id, SUM(fp) AS score_fp FROM scored "
+        "  GROUP BY query_id, doc_id), "
+        "ranked AS (SELECT query_id, doc_id, score_fp, "
+        "  ROW_NUMBER() OVER (PARTITION BY query_id "
+        "    ORDER BY score_fp DESC, doc_id) AS rk FROM agg) "
+        'SELECT query_id, CAST(rk AS INTEGER) AS "rank", doc_id, '
+        f"  CAST(score_fp AS DOUBLE) / {scale} AS score "
+        f"FROM ranked WHERE rk <= {BM25_K} ORDER BY query_id, rk"
+    )
+
+
 EXT_ORACLES: dict[str, str] = {
+    "q79_bm25_search": _q79_oracle_sql(),
     "q29_minhash_lsh_neardup": _q29_oracle_sql(),
     "q30_simhash_neardup": _q30_oracle_sql(),
     "q31_ann_lsh_topk": _q31_oracle_sql(),

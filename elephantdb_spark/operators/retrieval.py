@@ -1,0 +1,183 @@
+"""Full-text retrieval over the corpus: BM25 ranked search.
+
+The reference engine (nathanmarz/elephantdb) serves opaque key/value
+pairs only (elephantdb-core/src/jvm/elephantdb/document/KeyValDocument.java:6-7);
+ranked text retrieval extends the engine with the search surface a
+training-data pipeline needs — "which documents match this probe query"
+is how contamination audits, targeted corpus inspection, and eval-set
+mining are actually run against a 100 TB corpus.
+
+Design (Spark-first, one corpus scan):
+
+* The query set is tiny by construction (human-authored probes), so every
+  query-side frame — query terms, per-term document frequencies — rides a
+  ``broadcast()`` join. The corpus is scanned exactly ONCE; only
+  ``(doc, token, tf, dl)`` rows — bytes, not documents — reach the
+  aggregation, and only tokens that appear in some query survive past the
+  scan stage (the broadcast semi-join prunes the token stream before it
+  touches an exchange).
+* Document frequencies are computed over the *matched* tf frame (one
+  row per (doc, token) by construction) via a count window over token —
+  NOT a second aggregation consumer, which would recompute the frame's
+  lineage and re-scan the corpus. Ranking Q probe queries never builds
+  the full inverted index (contrast :func:`~elephantdb_spark.operators.
+  quality.inverted_index`, the index-build path); the corpus is read
+  twice in total (token stream + the 1-row dl stats), never more.
+* Top-k is TWO-STAGE: a first window over ``(query_id, salt-bucket)``
+  cuts each query's candidate set to ``prefilter_buckets * k`` rows
+  before the final per-query window. A single window partitioned by
+  query_id is the classic skew trap — with 4 queries over a 100 TB
+  corpus all candidates funnel into 4 partitions; the salted pre-pass
+  bounds the final window's input to a driver-trivial size while
+  computing exactly the same top-k (per-bucket top-k is a superset of
+  the global top-k members in that bucket).
+* Scores are summed in FIXED POINT: each term's BM25 contribution is
+  floored to ``score_scale`` units and summed as a BIGINT, so the
+  per-(query, doc) total is independent of Spark's partition-level
+  addition order (float sums are not associative; integer sums are).
+  This is the same order-invariance trick as
+  :func:`~elephantdb_spark.operators.vectors.group_centroids`.
+
+IDF modes:
+
+* ``idf="lucene"`` (default) — ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
+  the standard Lucene/BM25+ form. ``ln`` is the one operation IEEE
+  doubles do NOT guarantee bit-identical across engines (Java Math.log
+  vs libm), so this mode is for users, not for the SQL oracle.
+* ``idf="rational"`` — the raw Robertson–Spärck-Jones odds ratio
+  ``(N - df + 0.5)/(df + 0.5)`` without the log. Every operation is
+  +,-,*,/ on doubles derived from integers — bit-exact in every engine —
+  so the DuckDB oracle matches the fixed-point score exactly (q79).
+  Per-term rankings are identical to lucene mode (ln is monotone);
+  multi-term totals weight rare terms more steeply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elephantdb_spark.functions.text import tokens_col
+
+#: Default fixed-point scale: micro-units keep six decimal digits of the
+#: score while fitting ~9e12 term-contributions in a BIGINT sum.
+DEFAULT_SCORE_SCALE = 1_000_000
+
+#: Default salt-bucket count for the two-stage top-k (stage-2 input is
+#: bounded by prefilter_buckets * k rows per query).
+DEFAULT_PREFILTER_BUCKETS = 32
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "lucene",
+    score_scale: int = DEFAULT_SCORE_SCALE,
+    prefilter_buckets: int = DEFAULT_PREFILTER_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25, whitespace-tokenized and
+    lowercased (the :mod:`functions.text` tokenizer, matching
+    ``inverted_index``).
+
+    Returns ``(query_id, rank, doc_id, score)`` with ``rank`` 1-based by
+    ``(score desc, doc_id asc)`` — the doc-id tiebreak makes the ranking
+    fully deterministic. ``score`` is the fixed-point total re-scaled to
+    a double (``sum(floor(term * scale)) / scale``): deterministic under
+    any partitioning. Queries whose tokens match no document produce no
+    rows. Empty/whitespace-only documents never match (dl = 0 ⇒ no
+    token rows).
+    """
+    if idf not in ("lucene", "rational"):
+        raise ValueError(f"idf must be 'lucene' or 'rational', got {idf!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if score_scale < 1 or prefilter_buckets < 1:
+        raise ValueError("score_scale and prefilter_buckets must be >= 1")
+
+    did = F.col(id_col)
+    qid = F.col(qid_col)
+
+    # query terms: tiny, distinct, lowercased — broadcast everywhere below
+    qterms = queries.select(
+        qid.alias("query_id"),
+        F.explode(tokens_col(F.col(qtext_col))).alias("__t"),
+    ).select("query_id", F.lower("__t").alias("token")).distinct()
+    qtokens = qterms.select("token").distinct()
+
+    # ONE corpus scan: doc length + matched-token stream. The broadcast
+    # join prunes non-query tokens in the scan stage, before any shuffle.
+    toks = tokens_col(F.col(text_col))
+    dtok = docs.select(
+        did.alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("__t"),
+    ).select("doc_id", "dl", F.lower("__t").alias("token"))
+    matched = dtok.join(F.broadcast(qtokens), "token")
+
+    # corpus stats ride a 1-row broadcast cross join (no collect)
+    stats = docs.select(F.size(toks).cast("long").alias("__dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dl").alias("total_dl"),
+    )
+
+    # tf per (doc, query-token): the only corpus-sized shuffle, and its
+    # rows are (id, token, counts) — document text never leaves the scan.
+    # df rides a window over the SAME aggregated frame (tf is one row per
+    # (doc, token), so count-over-token IS the df): a second aggregation
+    # consumer would recompute tf's lineage and re-scan the corpus; the
+    # window re-shuffles only the tiny matched-tf frame.
+    tf = matched.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).withColumn("dfc", F.count(F.lit(1)).over(Window.partitionBy("token")))
+
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("dfc").cast("double")
+    idf_rational = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    idf_col = F.log(F.lit(1.0) + idf_rational) if idf == "lucene" else idf_rational
+    avgdl = F.col("total_dl").cast("double") / n_d
+    tf_d = F.col("tf").cast("double")
+    tfn = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    term_fp = F.floor(idf_col * tfn * F.lit(float(score_scale))).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term_fp.alias("__fp"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__fp").alias("score_fp"))
+    )
+
+    # two-stage top-k: per-(query, salt) cut, then the global window over
+    # at most prefilter_buckets * k survivors per query
+    order = [F.col("score_fp").desc(), F.col("doc_id").asc()]
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(prefilter_buckets))
+    local = Window.partitionBy("query_id", salt).orderBy(*order)
+    pruned = (
+        scored.withColumn("__rn", F.row_number().over(local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("score_fp").cast("double") / F.lit(float(score_scale))).alias(
+                "score"
+            ),
+        )
+    )

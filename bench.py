@@ -157,7 +157,9 @@ def main() -> None:
 
     with timed("local_multiget_1000"):
         got = dom.local_multi_get(li_keys)
-        assert sum(v is not None for v in got.values()) == len(li_keys)
+        # li_keys may repeat (lineitem (orderkey, linenumber) is not unique
+        # in the synthetic data) and the result is keyed by key
+        assert sum(v is not None for v in got.values()) == len(set(li_keys))
 
     with timed("scan_count"):
         dom.count()
@@ -189,6 +191,28 @@ def main() -> None:
 
     with timed("dedup_exact_documents"):
         exact_dedup(documents, ["text"], "doc_id").count()
+
+    # incremental dedup: persist the corpus seen-set as a digest domain,
+    # then flag an ingestion batch with broadcast joins (q80 shape)
+    from elephantdb_spark.operators.history import (
+        build_dedup_history,
+        filter_against_history,
+    )
+
+    hist_root = eng.domain_root("doc_digest_history")
+    with timed("dedup_history_build"):
+        build_dedup_history(
+            spark, documents, hist_root, ["text"], "doc_id",
+            DomainSpec(num_shards=NUM_SHARDS), version=1,
+        )
+    hist_batch = documents.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" fresh"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    with timed("dedup_history_filter"):
+        filter_against_history(spark, hist_batch, hist_root, ["text"]).count()
 
     with timed("minhash_lsh_documents"):
         minhash_lsh_pairs(documents, "doc_id", "text",
@@ -398,8 +422,11 @@ def main() -> None:
         "value",
     )
     user_dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # hot-key floor scales with the SF so the bench also runs at sf0.01
+    # (~1/3 of event rows land on user_id 1 at any SF)
+    hot_floor = max(100, events.count() // 6)
     with timed("skew_hot_keys_salted_join"):
-        assert 1 in hot_keys(skewed, "user_id", min_rows=10_000)
+        assert 1 in hot_keys(skewed, "user_id", min_rows=hot_floor)
         salted_join(skewed, user_dim, "user_id", num_salts=8).count()
 
     # regex-chain redaction sweep (JVM regexp, scan-stage)

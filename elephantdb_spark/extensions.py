@@ -807,6 +807,68 @@ def q45_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q80 incremental batch: every 5th doc re-ingested under a shifted id,
+#: every 3rd of those with fresh text (genuinely new content).
+_HISTORY_BATCH_ID_SHIFT = 1_000_000
+
+
+def _history_batch(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.filter(did % 5 == 0).select(
+        (did + _HISTORY_BATCH_ID_SHIFT).alias("doc_id"),
+        F.when(did % 3 == 0, F.concat(F.col("text"), F.lit(" fresh content")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_HISTORY_BATCH_SQL = (
+    f"SELECT doc_id + {_HISTORY_BATCH_ID_SHIFT} AS doc_id, "
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' fresh content' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 5 = 0"
+)
+
+
+def _dedup_history_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process seen-set domain over the documents corpus
+    (the q80 fixture — same shape as _ivf_index_root)."""
+    from elephantdb_spark.operators.history import build_dedup_history
+    from elephantdb_spark.spec import DomainSpec
+
+    sf_dir = os.path.abspath(sf_dir)
+    key = f"dedup_history::{sf_dir}"
+    cached = _INDEX_ROOTS.get(key)
+    if cached is not None:
+        return cached
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"edb_dedup_hist_{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # pid-reuse leftovers
+    root = os.path.join(base, "doc_digests")
+    docs = _table(spark, sf_dir, "documents")
+    build_dedup_history(
+        spark, docs, root, ["text"], "doc_id", DomainSpec(num_shards=8), version=1
+    )
+    _INDEX_ROOTS[key] = root
+    return root
+
+
+def q80_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/history): the corpus's content
+    digests live in a persisted KV domain; an ingestion batch (20% re-ingests,
+    a third of them with fresh text) is flagged new-vs-seen with broadcast
+    joins — the history is scanned once, never shuffled. The oracle replays
+    membership on raw text (digest equivalence, the q20 convention)."""
+    from elephantdb_spark.operators.history import filter_against_history
+
+    root = _dedup_history_root(spark, sf_dir)
+    batch = _history_batch(_table(spark, sf_dir, "documents"))
+    return (
+        filter_against_history(spark, batch, root, ["text"])
+        .select("doc_id", "is_new")
+        .orderBy("doc_id")
+    )
+
+
 BM25_K = 10
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -845,6 +907,7 @@ def q79_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_bm25_search": q79_bm25_search,
+    "q80_dedup_against_history": q80_dedup_against_history,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
     "q22_quality_score": q22_quality_score,
@@ -1139,6 +1202,14 @@ def _q79_oracle_sql() -> str:
 
 EXT_ORACLES: dict[str, str] = {
     "q79_bm25_search": _q79_oracle_sql(),
+    "q80_dedup_against_history": (
+        # membership replayed on raw text — digest-equivalence convention
+        # established by q20 (xxhash128 collision-free at corpus scale)
+        f"WITH batch AS ({_HISTORY_BATCH_SQL}) "
+        "SELECT b.doc_id, NOT EXISTS("
+        "  SELECT 1 FROM documents d WHERE d.text = b.text) AS is_new "
+        "FROM batch b ORDER BY b.doc_id"
+    ),
     "q29_minhash_lsh_neardup": _q29_oracle_sql(),
     "q30_simhash_neardup": _q30_oracle_sql(),
     "q31_ann_lsh_topk": _q31_oracle_sql(),

@@ -429,6 +429,31 @@ def main() -> None:
         assert 1 in hot_keys(skewed, "user_id", min_rows=hot_floor)
         salted_join(skewed, user_dim, "user_id", num_salts=8).count()
 
+    # curation stages (operators/curation): scan-stage normalize + rule
+    # filter; skew-aware per-source cap; vocab build + broadcast encode
+    from elephantdb_spark.operators.curation import (
+        build_vocab,
+        cap_per_source,
+        encode_documents,
+        gopher_filter,
+        normalize_text,
+    )
+
+    with timed("curation_normalize_gopher"):
+        gopher_filter(
+            normalize_text(documents, "text"), "doc_id", "text"
+        ).agg(F.sum(F.col("kept").cast("long"))).collect()
+    skew_docs = documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("big"))
+        .otherwise(F.col("source")).alias("source"),
+    )
+    with timed("curation_cap_per_source"):
+        cap_per_source(skew_docs, "doc_id", "source", cap=100, salt="b").count()
+    with timed("curation_vocab_encode"):
+        vocab = build_vocab(documents, "text", min_count=2, max_size=5000)
+        encode_documents(documents, "doc_id", "text", vocab).count()
+
     # regex-chain redaction sweep (JVM regexp, scan-stage)
     with timed("redact_pii_sweep"):
         documents.select(

@@ -905,8 +905,137 @@ def q79_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Curation stage operators (operators/curation): normalize / quality-rule
+# filter / per-source caps / vocab + encoding, and the end-to-end pipeline.
+# ---------------------------------------------------------------------------
+
+#: q81 fixture: the synthetic corpus is already clean, so the query first
+#: dirties it deterministically (tab runs, CRLF/CR, a BEL control char,
+#: trailing junk) with string ops both engines replay, then normalizes.
+_MESSY_SUFFIX = " \r\n\x07\r\n\r\nend \r"
+
+
+def _messy_text(text):
+    return F.concat(
+        F.lit(" \t"),
+        F.regexp_replace(text, " ", "\t \t"),
+        F.lit(_MESSY_SUFFIX),
+    )
+
+
+def q81_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization (operators/curation.NORMALIZATION_STEPS
+    — ordered regex rewrites in the Java-regex ∩ RE2 dialect, so the DuckDB
+    oracle replays them verbatim via duckdb_normalize_sql)."""
+    from elephantdb_spark.operators.curation import normalize_text_col
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text_col(_messy_text(F.col("text"))).alias("text_norm"),
+    ).orderBy("doc_id")
+
+
+def _skewed_sources(docs: DataFrame) -> DataFrame:
+    """q82 fixture: fold every even doc into one hot 'big' source (~50% of
+    the corpus) so the cap exercises both the pass-through (under-cap) and
+    the threshold-thinned rank (over-cap) paths."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("big"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+
+
+def q82_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (operators/curation.cap_per_source): at most
+    15 docs per source by deterministic (md5, id) order. The plan thins hot
+    sources by hash threshold before ranking (the 100 TB shape); the oracle
+    is the plain ROW_NUMBER formulation the semantics promise."""
+    from elephantdb_spark.operators.curation import cap_per_source
+
+    docs = _skewed_sources(_table(spark, sf_dir, "documents"))
+    return cap_per_source(docs, "doc_id", "source", cap=15, salt="cap").orderBy(
+        "doc_id"
+    )
+
+
+VOCAB_MIN_COUNT = 2
+VOCAB_MAX_SIZE = 50
+
+
+def q83_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary with dense deterministic ids
+    (operators/curation.build_vocab): one count shuffle, id assignment by
+    (count DESC, token ASC) over the Zipf-bounded vocabulary."""
+    from elephantdb_spark.operators.curation import build_vocab
+
+    docs = _table(spark, sf_dir, "documents")
+    return build_vocab(
+        docs, "text", min_count=VOCAB_MIN_COUNT, max_size=VOCAB_MAX_SIZE
+    ).orderBy("token_id")
+
+
+def q84_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → token-id stream (operators/curation.encode_documents):
+    posexplode + broadcast vocabulary join, OOV → 0. Encodes the doc_id<100
+    slice against the full-corpus vocabulary."""
+    from elephantdb_spark.operators.curation import build_vocab, encode_documents
+
+    docs = _table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_count=VOCAB_MIN_COUNT, max_size=VOCAB_MAX_SIZE)
+    sample = docs.filter(F.col("doc_id") < 100)
+    return encode_documents(sample, "doc_id", "text", vocab).orderBy("doc_id", "pos")
+
+
+def q85_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (operators/curation.gopher_filter): named
+    per-rule booleans + kept verdict, all scan-stage array expressions."""
+    from elephantdb_spark.operators.curation import gopher_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    return gopher_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
+CURATION_CAP = 10
+CURATION_SPLITS = {"train": 0.9, "val": 0.1}
+
+
+def q86_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: normalize → gopher quality gate → exact dedup
+    (smallest doc_id per normalized text, digest-grouped) → per-source cap →
+    deterministic train/val split. Every stage is an engine operator; the
+    oracle replays the whole DAG as one CTE chain — the flagship
+    hash-checked training-data pipeline."""
+    from elephantdb_spark.operators.curation import (
+        cap_per_source,
+        gopher_filter,
+        normalize_text,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    norm = normalize_text(docs, "text", out_col="text_norm").drop("text")
+    verdicts = gopher_filter(norm, "doc_id", "text_norm")
+    kept = norm.join(verdicts.filter(F.col("kept")).select("doc_id"), "doc_id")
+    keep_ids = exact_dedup(kept, ["text_norm"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    uniq = kept.join(keep_ids, "doc_id")
+    capped = cap_per_source(uniq, "doc_id", "source", cap=CURATION_CAP, salt="cur")
+    out = split_corpus(capped, "doc_id", CURATION_SPLITS, salt="curspl")
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_bm25_search": q79_bm25_search,
+    "q81_normalize_text": q81_normalize_text,
+    "q82_cap_per_source": q82_cap_per_source,
+    "q83_build_vocab": q83_build_vocab,
+    "q84_encode_documents": q84_encode_documents,
+    "q85_gopher_filter": q85_gopher_filter,
+    "q86_curation_pipeline": q86_curation_pipeline,
     "q80_dedup_against_history": q80_dedup_against_history,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
@@ -1200,8 +1329,160 @@ def _q79_oracle_sql() -> str:
     )
 
 
+# --- curation oracles (q81-q86) --------------------------------------------
+
+def _sql_chr_str(s: str) -> str:
+    """A DuckDB string expression for ``s``, spelling control chars and
+    quotes as chr(n) concatenations (DuckDB literals have no escapes)."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 127 or ch == "'":
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append(f"'{buf}'")
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+def _curation_sql_parts() -> dict[str, str]:
+    from elephantdb_spark.operators.curation import (
+        GOPHER_DEFAULTS,
+        duckdb_normalize_sql,
+    )
+
+    prefix_sql = _sql_chr_str(" \t")
+    suffix_sql = _sql_chr_str(_MESSY_SUFFIX)
+    messy = (
+        f"({prefix_sql} || "
+        "regexp_replace(text, ' ', chr(9) || ' ' || chr(9), 'g') || "
+        f"{suffix_sql})"
+    )
+
+    def ctoks(expr: str) -> str:
+        return (
+            f"list_filter(regexp_split_to_array(trim(coalesce({expr}, ''))"
+            ", '\\s+'), t -> t <> '')"
+        )
+
+    g = GOPHER_DEFAULTS
+
+    def gopher_measures(toks: str) -> str:
+        """The m-CTE body: per-doc counts feeding the rule booleans."""
+        return (
+            f"len({toks}) AS n, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({toks}, x -> CAST(length(x) AS BIGINT))), "
+            "(a, b) -> a + b) AS total_len, "
+            f"len(list_filter({toks}, x -> starts_with(x, '#') OR "
+            "contains(x, '...'))) AS n_sym, "
+            f"len(list_filter({toks}, x -> regexp_matches(x, '[A-Za-z]')))"
+            " AS n_alpha, "
+            f"len(list_filter({toks}, x -> lower(x) IN ({_STOPLIST})))"
+            " AS n_stop"
+        )
+
+    rules = {
+        "rule_word_count": f"(n >= {g['min_words']} AND n <= {g['max_words']})",
+        "rule_mean_word_len": (
+            f"(CASE WHEN n > 0 THEN (total_len / n >= {g['min_mean_word_len']}"
+            f" AND total_len / n <= {g['max_mean_word_len']}) ELSE FALSE END)"
+        ),
+        "rule_symbol_ratio": (
+            "(CASE WHEN n > 0 THEN (CAST(n_sym AS DOUBLE) / n <= "
+            f"{g['max_symbol_ratio']}) ELSE FALSE END)"
+        ),
+        "rule_alpha_words": (
+            "(CASE WHEN n > 0 THEN (CAST(n_alpha AS DOUBLE) / n >= "
+            f"{g['min_alpha_word_ratio']}) ELSE FALSE END)"
+        ),
+        "rule_stopwords": f"(n_stop >= {g['min_stopword_hits']})",
+    }
+    kept = " AND ".join(rules.values())
+    vocab_cte = (
+        "c AS (SELECT token, COUNT(*) AS count FROM "
+        f"(SELECT unnest({ctoks('text')}) AS token FROM documents) "
+        f"GROUP BY token HAVING COUNT(*) >= {VOCAB_MIN_COUNT}), "
+        "v AS (SELECT token, count, ROW_NUMBER() OVER (ORDER BY count DESC, "
+        "token ASC) AS token_id FROM c ORDER BY count DESC, token ASC "
+        f"LIMIT {VOCAB_MAX_SIZE})"
+    )
+    return {
+        "messy": messy,
+        "norm_messy": duckdb_normalize_sql(messy),
+        "norm_text": duckdb_normalize_sql("text"),
+        "ctoks": ctoks,
+        "gopher_measures": gopher_measures,
+        "rules": rules,
+        "kept": kept,
+        "vocab_cte": vocab_cte,
+    }
+
+
+_CUR = _curation_sql_parts()
+
+_Q85_ORACLE = (
+    f"WITH t AS (SELECT doc_id, {_CUR['ctoks']('text')} AS toks FROM documents), "
+    f"m AS (SELECT doc_id, {_CUR['gopher_measures']('toks')} FROM t) "
+    "SELECT doc_id, CAST(n AS INTEGER) AS n_words, "
+    + ", ".join(f"{expr} AS {name}" for name, expr in _CUR["rules"].items())
+    + f", ({_CUR['kept']}) AS kept FROM m ORDER BY doc_id"
+)
+
+_Q86_ORACLE = (
+    f"WITH norm AS (SELECT doc_id, source, {_CUR['norm_text']} AS text_norm "
+    "FROM documents), "
+    f"t AS (SELECT doc_id, source, text_norm, {_CUR['ctoks']('text_norm')} "
+    "AS toks FROM norm), "
+    f"m AS (SELECT doc_id, source, text_norm, {_CUR['gopher_measures']('toks')} FROM t), "
+    f"k AS (SELECT doc_id, source, text_norm FROM m WHERE {_CUR['kept']}), "
+    "ded AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY "
+    "text_norm ORDER BY doc_id) AS rn FROM k), "
+    "u AS (SELECT doc_id, source FROM ded WHERE rn = 1), "
+    "c AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+    f"ORDER BY {duckdb_md5_u32_sql('doc_id', 'cur')}, doc_id) AS rk FROM u) "
+    "SELECT doc_id, source, CASE WHEN "
+    f"{duckdb_md5_u32_sql('doc_id', 'curspl')} < "
+    f"{int(CURATION_SPLITS['train'] * (1 << 32))} THEN 'train' ELSE 'val' "
+    f"END AS split FROM c WHERE rk <= {CURATION_CAP} ORDER BY doc_id"
+)
+
+
 EXT_ORACLES: dict[str, str] = {
     "q79_bm25_search": _q79_oracle_sql(),
+    "q81_normalize_text": (
+        f"SELECT doc_id, {_CUR['norm_messy']} AS text_norm "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q82_cap_per_source": (
+        "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'big' "
+        "ELSE source END AS source FROM documents), "
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+        f"ORDER BY {duckdb_md5_u32_sql('doc_id', 'cap')}, doc_id) AS rk FROM d) "
+        "SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id"
+    ),
+    "q83_build_vocab": (
+        f"WITH {_CUR['vocab_cte']} "
+        "SELECT token, CAST(token_id AS INTEGER) AS token_id, count FROM v "
+        "ORDER BY token_id"
+    ),
+    "q84_encode_documents": (
+        f"WITH tk AS (SELECT doc_id, {_CUR['ctoks']('text')} AS toks "
+        "FROM documents WHERE doc_id < 100), "
+        "flat AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+        "len(toks)), i -> {'pos': i - 1, 'token': toks[i]})) AS u FROM tk), "
+        f"{_CUR['vocab_cte']} "
+        "SELECT f.doc_id, CAST(struct_extract(f.u, 'pos') AS INTEGER) AS pos, "
+        "CAST(COALESCE(v.token_id, 0) AS INTEGER) AS token_id "
+        "FROM flat f LEFT JOIN v ON v.token = struct_extract(f.u, 'token') "
+        "ORDER BY doc_id, pos"
+    ),
+    "q85_gopher_filter": _Q85_ORACLE,
+    "q86_curation_pipeline": _Q86_ORACLE,
     "q80_dedup_against_history": (
         # membership replayed on raw text — digest-equivalence convention
         # established by q20 (xxhash128 collision-free at corpus scale)

@@ -27,6 +27,13 @@ from elephantdb_spark.operators.multimodal import (
     sample_frames_df,
 )
 from elephantdb_spark.operators.temporal import asof_join, range_join
+from elephantdb_spark.operators.curation import (
+    build_vocab,
+    cap_per_source,
+    encode_documents,
+    gopher_filter,
+    normalize_text,
+)
 
 __all__ = [
     "exact_dedup",
@@ -48,4 +55,9 @@ __all__ = [
     "sample_frames_df",
     "asof_join",
     "range_join",
+    "normalize_text",
+    "cap_per_source",
+    "build_vocab",
+    "encode_documents",
+    "gopher_filter",
 ]

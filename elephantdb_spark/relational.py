@@ -345,7 +345,112 @@ def q55_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit (adapted: testdata ships no
+    partsupp, so profit omits supply cost): revenue on 'widget' parts
+    grouped by the supplier's nation and the order year. Exercises a
+    5-way star join — three broadcast dimensions (filtered part,
+    supplier, nation) hanging off the lineitem fact, one fact⋈fact join
+    to orders, and a derived grouping key (year)."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    supplier = _table(spark, sf_dir, "supplier")
+    part = _table(spark, sf_dir, "part")
+    nation = _table(spark, sf_dir, "nation")
+    widgets = part.filter(F.col("p_name").contains("widget"))
+    return (
+        li.join(F.broadcast(widgets), li["l_partkey"] == widgets["p_partkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            # exact integer-cents sum (per-row rounding, then a long sum):
+            # a float SUM is partition-order-dependent and can flip the
+            # 2-decimal rounding at a .005 boundary cross-engine
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q88_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier revenue over Q1 1998,
+    then the supplier(s) achieving the maximum (the view + scalar-subquery
+    shape). Revenue is aggregated in exact integer cents (per-row rounding
+    before a long sum) so the argmax equality is order-independent and
+    hash-stable cross-engine — a float-sum compare would be
+    partitioning-dependent."""
+    li = _table(spark, sf_dir, "lineitem")
+    supplier = _table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-04-01 00:00:00'"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("total_cents"))
+    )
+    top = rev.agg(F.max("total_cents").alias("m"))
+    return (
+        rev.join(F.broadcast(top), rev["total_cents"] == top["m"])
+        .join(F.broadcast(supplier), rev["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q89_red_parts_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped correlated-aggregate semi-join: suppliers whose
+    1998+ shipped quantity of red-named parts exceeds 1.05x the
+    per-supplier average — the nested `> (SELECT avg ...)` shape
+    flattened into agg → scalar-subquery cross join → left-semi join.
+    The threshold is relative so the query stays non-trivial at every
+    scale factor; quantities are integer-valued doubles, so sums and the
+    average are exact cross-engine."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    supplier = _table(spark, sf_dir, "supplier")
+    red = part.filter(F.col("p_name").startswith("red"))
+    qty = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .filter(F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg = qty.agg(F.avg("qty").alias("avg_qty"))
+    heavy = qty.join(F.broadcast(avg), F.col("qty") > F.col("avg_qty") * 1.05)
+    return (
+        supplier.join(
+            heavy, supplier["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 RELATIONAL_QUERIES = {
+    "q87_product_type_profit": q87_product_type_profit,
+    "q88_top_supplier": q88_top_supplier,
+    "q89_red_parts_heavy_shippers": q89_red_parts_heavy_shippers,
     "q36_rollup_agg": q36_rollup_agg,
     "q37_window_topk": q37_window_topk,
     "q38_set_ops": q38_set_ops,
@@ -363,6 +468,45 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLES = {
+    "q87_product_type_profit": (
+        # CAST o_year: DuckDB year() is BIGINT, Spark's year() is INT
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+        "round(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) "
+        "AS BIGINT)) / 100.0, 2) AS profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE contains(p_name, 'widget') "
+        "GROUP BY n_name, year(o_orderdate) "
+        "ORDER BY nation, o_year DESC"
+    ),
+    "q88_top_supplier": (
+        # integer-cents aggregation mirrors the Spark side: per-row
+        # round-half-away (positive values: == Spark's HALF_UP) then a
+        # BIGINT sum, so the MAX equality is exact
+        "WITH rev AS (SELECT l_suppkey, "
+        "SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) "
+        "AS total_cents FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00' "
+        "GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, round(total_cents / 100.0, 2) AS total_revenue "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_cents = (SELECT MAX(total_cents) FROM rev) "
+        "ORDER BY s_suppkey"
+    ),
+    "q89_red_parts_heavy_shippers": (
+        "WITH qty AS (SELECT l_suppkey, SUM(l_quantity) AS qty "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE starts_with(p_name, 'red') "
+        "AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name FROM supplier "
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM qty "
+        "WHERE qty > (SELECT AVG(qty) FROM qty) * 1.05) "
+        "ORDER BY s_suppkey"
+    ),
     "q40_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "round(SUM(l_quantity), 2) AS sum_qty, "

@@ -122,6 +122,10 @@ def cap_per_source(
        fluctuation) is ranked over ALL of its rows instead. Rows with the
        ``cap`` smallest (h, id) all satisfy ``h < t`` whenever >= cap rows
        do, so the threshold never changes the selected set.
+
+    Rows with a NULL source pass through uncapped (the over-cap flag join
+    is an equality join, and NULL = NULL is never true) — cap the NULLs
+    too by coalescing the source column to a sentinel first.
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
@@ -272,6 +276,60 @@ GOPHER_DEFAULTS = {
 }
 
 
+def gopher_rule_cols(
+    text: Column,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    **thresholds: float,
+) -> dict[str, Column]:
+    """The Gopher rules as reusable Column expressions over a text column:
+    ``{"n_words", "rule_*", "kept"}``. Pure scan-stage expressions — this
+    is what lets :func:`gopher_filter` (batch) and
+    ``streaming.pipeline.clean_stream`` (continuous) share one rule
+    definition with zero drift."""
+    cfg = dict(GOPHER_DEFAULTS)
+    unknown = set(thresholds) - set(cfg)
+    if unknown:
+        raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+    cfg.update(thresholds)
+
+    toks = _clean_tokens(text)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_symbol = F.size(F.filter(toks, lambda t: t.startswith("#") | t.contains("...")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+
+    nonempty = n > 0
+    mean_len = F.when(nonempty, total_len / n)
+    symbol_ratio = F.when(nonempty, n_symbol / n)
+    alpha_ratio = F.when(nonempty, n_alpha / n)
+
+    r_count = (n >= F.lit(cfg["min_words"])) & (n <= F.lit(cfg["max_words"]))
+    r_mean = F.coalesce(
+        (mean_len >= F.lit(cfg["min_mean_word_len"]))
+        & (mean_len <= F.lit(cfg["max_mean_word_len"])),
+        F.lit(False),
+    )
+    r_sym = F.coalesce(symbol_ratio <= F.lit(cfg["max_symbol_ratio"]), F.lit(False))
+    r_alpha = F.coalesce(
+        alpha_ratio >= F.lit(cfg["min_alpha_word_ratio"]), F.lit(False)
+    )
+    r_stop = n_stop >= F.lit(cfg["min_stopword_hits"])
+
+    return {
+        "n_words": n.cast("int"),
+        "rule_word_count": r_count,
+        "rule_mean_word_len": r_mean,
+        "rule_symbol_ratio": r_sym,
+        "rule_alpha_words": r_alpha,
+        "rule_stopwords": r_stop,
+        "kept": r_count & r_mean & r_sym & r_alpha & r_stop,
+    }
+
+
 def gopher_filter(
     df: DataFrame,
     id_col: str,
@@ -303,46 +361,7 @@ def gopher_filter(
 
     Empty documents fail every rule.
     """
-    cfg = dict(GOPHER_DEFAULTS)
-    unknown = set(thresholds) - set(cfg)
-    if unknown:
-        raise ValueError(f"unknown thresholds: {sorted(unknown)}")
-    cfg.update(thresholds)
-
-    toks = _clean_tokens(F.col(text_col))
-    n = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    n_symbol = F.size(F.filter(toks, lambda t: t.startswith("#") | t.contains("...")))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-
-    nonempty = n > 0
-    mean_len = F.when(nonempty, total_len / n)
-    symbol_ratio = F.when(nonempty, n_symbol / n)
-    alpha_ratio = F.when(nonempty, n_alpha / n)
-
-    r_count = (n >= F.lit(cfg["min_words"])) & (n <= F.lit(cfg["max_words"]))
-    r_mean = F.coalesce(
-        (mean_len >= F.lit(cfg["min_mean_word_len"]))
-        & (mean_len <= F.lit(cfg["max_mean_word_len"])),
-        F.lit(False),
-    )
-    r_sym = F.coalesce(symbol_ratio <= F.lit(cfg["max_symbol_ratio"]), F.lit(False))
-    r_alpha = F.coalesce(
-        alpha_ratio >= F.lit(cfg["min_alpha_word_ratio"]), F.lit(False)
-    )
-    r_stop = n_stop >= F.lit(cfg["min_stopword_hits"])
-
+    cols = gopher_rule_cols(F.col(text_col), stopwords=stopwords, **thresholds)
     return df.select(
-        F.col(id_col),
-        n.cast("int").alias("n_words"),
-        r_count.alias("rule_word_count"),
-        r_mean.alias("rule_mean_word_len"),
-        r_sym.alias("rule_symbol_ratio"),
-        r_alpha.alias("rule_alpha_words"),
-        r_stop.alias("rule_stopwords"),
-        (r_count & r_mean & r_sym & r_alpha & r_stop).alias("kept"),
+        F.col(id_col), *[expr.alias(name) for name, expr in cols.items()]
     )

@@ -45,6 +45,8 @@ def clean_stream(
     max_dup_ngram_frac: float | None = None,
     redact: bool = True,
     watermark_delay: str = "10 minutes",
+    normalize: bool = False,
+    gopher: dict | bool = False,
 ) -> DataFrame:
     """Quality-gate, optionally redact, and exact-dedup a document
     stream. Returns the surviving rows (``text_col`` replaced by its
@@ -54,8 +56,27 @@ def clean_stream(
     ``max_dup_ngram_frac`` drops highly repetitive docs (the streaming
     slice of ``repetition_profile``: the dup-2-gram fraction, computable
     per-row without state).
+
+    ``normalize`` / ``gopher`` run the batch curation front-end
+    continuously (both stateless, so they add no state-store entries):
+    ``normalize=True`` rewrites ``text_col`` through
+    ``curation.NORMALIZATION_STEPS`` BEFORE any gate (so dedup digests
+    see canonical bytes, same order as the batch q86 pipeline);
+    ``gopher`` is ``True`` for the default thresholds or a dict of
+    overrides, filtering through the SAME ``gopher_rule_cols``
+    expressions the batch ``gopher_filter`` uses — one rule definition,
+    zero batch/stream drift.
     """
     out = stream_df
+    if normalize:
+        from elephantdb_spark.operators.curation import normalize_text_col
+
+        out = out.withColumn(text_col, normalize_text_col(F.col(text_col)))
+    if gopher:
+        from elephantdb_spark.operators.curation import gopher_rule_cols
+
+        overrides = gopher if isinstance(gopher, dict) else {}
+        out = out.filter(gopher_rule_cols(F.col(text_col), **overrides)["kept"])
     if min_tokens is not None:
         out = out.filter(token_count_col(F.col(text_col)) >= min_tokens)
     if max_dup_ngram_frac is not None:

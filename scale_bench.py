@@ -78,7 +78,12 @@ def materialize(spark, n: int, base: str) -> dict[str, str]:
     paths = {}
     for t, df in plans.items():
         p = os.path.join(out_dir, f"{t}.parquet")
-        df.write.mode("overwrite").parquet(p)
+        # CPUS files for BOTH corpora: the tables are far below
+        # maxPartitionBytes, so file count IS the scan parallelism — a
+        # single-file 1x corpus would run every scan-stage op on one core
+        # while the n-file Nx corpus gets n, inverting the ratios (the 1x
+        # side measured 10-70x slower on scan-bound entries before this).
+        df.repartition(CPUS).write.mode("overwrite").parquet(p)
         paths[t] = p
     return paths
 
@@ -172,6 +177,49 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
         build_ivf_index(spark, embeddings, idx_root, n_cells=16 * n, version=1)
     with timed("ann_index_probe"):
         ivf_index_probe(spark, idx_root, qvec, k=10, n_probe=4).collect()
+
+    # curation stages (r4): rowwise scan ops should scale ~linearly with
+    # zero shuffle; cap_per_source must stay ~linear even though the hot
+    # 'big' source grows 10x (the threshold prefilter bounds its window)
+    from elephantdb_spark.operators.curation import (
+        build_vocab,
+        cap_per_source,
+        encode_documents,
+        gopher_filter,
+        normalize_text,
+    )
+
+    with timed("curation_normalize_gopher"):
+        gopher_filter(
+            normalize_text(documents, "text"), "doc_id", "text"
+        ).agg(F.sum(F.col("kept").cast("long"))).collect()
+    skew_docs = documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("big"))
+        .otherwise(F.col("source")).alias("source"),
+    )
+    with timed("curation_cap_per_source"):
+        cap_per_source(skew_docs, "doc_id", "source", cap=100, salt="b").count()
+    with timed("curation_vocab_encode"):
+        vocab = build_vocab(documents, "text", min_count=2, max_size=5000)
+        encode_documents(documents, "doc_id", "text", vocab).count()
+
+    from elephantdb_spark.operators.retrieval import bm25_topk
+
+    queries_df = spark.createDataFrame(
+        [(1, "spark shuffle join window"), (2, "hash table scan"),
+         (3, "stream batch data pipeline"), (4, "vector merge sort")],
+        "query_id int, query_text string",
+    )
+    with timed("bm25_search"):
+        bm25_topk(documents, queries_df, "doc_id", "text", k=10).count()
+
+    from elephantdb_spark.operators.dedup import strip_duplicate_lines
+
+    with timed("strip_duplicate_lines"):
+        strip_duplicate_lines(documents, "doc_id", "text").agg(
+            F.sum("n_lines_removed")
+        ).collect()
 
     shutil.rmtree(work, ignore_errors=True)
     return timings

@@ -90,3 +90,62 @@ def test_clean_stream_across_microbatches(spark, tmp_path):
     assert any("fresh document" in t for t in texts)
     # gate victims never surfaced
     assert all(r.doc_id not in (3, 4) for r in rows)
+
+
+def test_clean_stream_curation_stages_match_batch(spark, tmp_path):
+    """normalize + gopher in the stream == the batch curation front-end on
+    the union of micro-batches (same Column expressions, so the only
+    difference is delivery), including dedup on the NORMALIZED bytes."""
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark.operators.curation import (
+        gopher_rule_cols,
+        normalize_text,
+    )
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    gopher_cfg = {"min_words": 8}
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(feed)
+        cleaned = clean_stream(
+            stream, "text", "ts", min_tokens=None, redact=False,
+            normalize=True, gopher=gopher_cfg,
+            watermark_delay="10 minutes",
+        )
+        q = (
+            cleaned.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    clean = "the quick brown foxes of forest jumped over a lazy dog"
+    messy = "the\t\tquick  brown\tfoxes of forest jumped over a lazy dog \r\n"
+    fresh = "a tiny story of brave mice running through green fields"
+    b1 = [(1, t0, messy), (2, t0, "word word word")]
+    b2 = [(3, t0.replace(minute=2), clean), (4, t0.replace(minute=3), fresh)]
+    _write_feed(spark, feed, b1, "b1")
+    run_once()
+    _write_feed(spark, feed, b2, "b2")
+    run_once()
+
+    got = {r.text for r in spark.read.schema(SCHEMA).parquet(out).collect()}
+
+    # batch twin on the union: normalize -> gopher -> distinct texts
+    union = spark.createDataFrame(b1 + b2, SCHEMA)
+    norm = normalize_text(union, "text")
+    kept = norm.filter(gopher_rule_cols(F.col("text"), **gopher_cfg)["kept"])
+    want = {r.text for r in kept.select("text").distinct().collect()}
+
+    assert got == want
+    # the messy and clean deliveries collapsed to ONE canonical survivor
+    assert got == {clean, fresh}

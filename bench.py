@@ -266,6 +266,17 @@ def main() -> None:
     with timed("ann_index_probe"):
         ivf_index_probe(spark, idx_root, qvec, k=10, n_probe=4).collect()
 
+    from elephantdb_spark.operators.ann_index import ivf_index_knn_join
+
+    # batch serving path: 50 probes against the persisted index, cells
+    # from the partition layout, arrow cogroup scorer
+    with timed("ann_index_knn_join"):
+        ivf_index_knn_join(
+            spark, idx_root,
+            embeddings.filter(F.col("vec_id") < 50),
+            k=10, n_probe=4,
+        ).count()
+
     from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 
     # binary-payload plumbing: mapInPandas feature extraction over Arrow

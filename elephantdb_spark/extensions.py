@@ -773,6 +773,29 @@ def q77_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
 
 
+def q90_index_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN served from the PERSISTED IVF index domain
+    (ann_index.ivf_index_knn_join): the data side's cells come from the
+    index's partition layout (assigned once at build — the quantizer
+    never re-runs over the corpus), only the 19 probe rows compute cells.
+    Exact mode (n_probe == n_cells) makes the result equal the exact
+    per-query top-3 over the corpus, so the q45 oracle shape applies
+    restricted to the probe set; fold scorer for bit-exact SQL parity
+    (arrow==fold is pytest-anchored)."""
+    from elephantdb_spark.operators.ann_index import ivf_index_knn_join
+
+    root = _ivf_index_root(spark, sf_dir)
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") > 0) & (F.col("vec_id") < 20))
+    out = ivf_index_knn_join(spark, root, queries, k=3, n_probe=8, scorer="fold")
+    return out.select(
+        "a",
+        "b",
+        F.round(F.col("sim"), 6).alias("sim"),
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("a", "rk")
+
+
 def q46_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword pre-token count per document
     (functions/text.subword_count_col) — the LLM token-budget estimate."""
@@ -1076,6 +1099,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
     "q35_ann_ivf_topk": q35_ann_ivf_topk,
     "q45_knn_join": q45_knn_join,
+    "q90_index_knn_join": q90_index_knn_join,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -1856,6 +1880,19 @@ EXT_ORACLES: dict[str, str] = {
         f"           WHERE {_TOKEN_COUNT_EXPR} >= 30), "
         "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text) "
         "SELECT doc_id FROM keep ORDER BY doc_id"
+    ),
+    "q90_index_knn_join": (
+        "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id > 0 AND vec_id < 20), "
+        "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0), "
+        "s AS ("
+        f"  SELECT q.vec_id AS a, c.vec_id AS b, {_dot_sql('q.embedding', 'c.embedding')} / "
+        f"    (sqrt({_dot_sql('q.embedding', 'q.embedding')}) * sqrt({_dot_sql('c.embedding', 'c.embedding')})) AS sim_raw "
+        "  FROM q JOIN c ON q.vec_id != c.vec_id) "
+        "SELECT a, b, round(sim_raw, 6) AS sim, CAST(rk AS INTEGER) AS rk FROM ("
+        "  SELECT a, b, sim_raw, ROW_NUMBER() OVER "
+        "    (PARTITION BY a ORDER BY sim_raw DESC, b ASC) AS rk FROM s) "
+        "WHERE rk <= 3 ORDER BY a, rk"
     ),
     "q45_knn_join": (
         "WITH s AS ("

@@ -418,6 +418,15 @@ def main() -> None:
         connected_components(cc_pairs, "a", "b").count()
     cc_pairs.unpersist()
 
+    # repeated-substring profile (ExactSubstr-lite): strided char grams,
+    # digest-keyed distinct-doc counts, broadcast hot set
+    from elephantdb_spark.operators.dedup import repeated_span_profile
+
+    with timed("repeated_span_profile"):
+        repeated_span_profile(
+            neardup_corpus, "doc_id", "text", gram_chars=40, stride=20
+        ).agg(F.sum("n_hot_spans")).collect()
+
     # bigram LM training: explode + count + per-prefix window
     with timed("lm_train_bigram"):
         train_ngram_lm(documents, "text", n=2).count()

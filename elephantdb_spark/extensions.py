@@ -55,6 +55,7 @@ from elephantdb_spark.operators.dedup import (
     hot_shingle_report,
     jaccard_shingle_pairs,
     minhash_lsh_pairs,
+    repeated_span_profile,
     simhash_neardup_pairs,
     strip_duplicate_lines,
 )
@@ -773,6 +774,19 @@ def q77_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("vec_id"), F.round(F.col("sim"), 6).alias("sim"))
 
 
+def q91_repeated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection
+    (dedup.repeated_span_profile — the strided char-gram approximation of
+    ExactSubstr dedup) over the near-dup fixture corpus, where the 250
+    shifted re-ingests guarantee genuinely shared 40-char spans. Spans
+    shuffle as digests; the oracle replays on raw grams (q20 digest
+    convention)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return repeated_span_profile(
+        corpus, "doc_id", "text", gram_chars=40, stride=20, max_gram_docs=1
+    ).orderBy("doc_id")
+
+
 def q90_index_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN served from the PERSISTED IVF index domain
     (ann_index.ivf_index_knn_join): the data side's cells come from the
@@ -1100,6 +1114,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_ann_ivf_topk": q35_ann_ivf_topk,
     "q45_knn_join": q45_knn_join,
     "q90_index_knn_join": q90_index_knn_join,
+    "q91_repeated_span_profile": q91_repeated_span_profile,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -1880,6 +1895,20 @@ EXT_ORACLES: dict[str, str] = {
         f"           WHERE {_TOKEN_COUNT_EXPR} >= 30), "
         "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text) "
         "SELECT doc_id FROM keep ORDER BY doc_id"
+    ),
+    "q91_repeated_span_profile": (
+        f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "
+        "spans AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(0, greatest(length(coalesce(text, '')) - 40, 0), 20), "
+        "o -> substr(coalesce(text, ''), o + 1, 40))) AS g FROM corpus), "
+        "hot AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d "
+        "FROM spans GROUP BY g) WHERE d > 1) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hot_spans, "
+        "CAST(SUM(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hot_frac "
+        "FROM spans GROUP BY doc_id ORDER BY doc_id"
     ),
     "q90_index_knn_join": (
         "WITH q AS (SELECT vec_id, embedding FROM embeddings "

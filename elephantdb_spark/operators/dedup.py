@@ -469,6 +469,84 @@ def strip_duplicate_lines(
     )
 
 
+def repeated_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_chars: int = 40,
+    stride: int = 20,
+    max_gram_docs: int = 1,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the strided char-gram
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): slide a ``gram_chars`` window with ``stride`` over
+    each document, count the DISTINCT documents containing each gram, and
+    report per document how many of its spans are shared with other
+    documents. Catches copied passages that line-level dedup
+    (:func:`strip_duplicate_lines`) misses when line boundaries differ.
+
+    Returns (``id_col``, ``n_spans``, ``n_hot_spans``, ``hot_frac``) —
+    a span is hot when its gram appears in more than ``max_gram_docs``
+    distinct documents. A document shorter than ``gram_chars`` yields one
+    span (its whole text), so every input document gets a verdict row;
+    ``hot_frac`` is the exact small-integer ratio (identical doubles in
+    every engine).
+
+    Scale shape: spans shuffle as 16-byte digests (the
+    :func:`exact_dedup` two-halves rule) — gram text never rides an
+    exchange; the hot-gram set is bounded by actual cross-document
+    duplication and broadcasts back (``broadcast_hot=False`` falls back
+    to a shuffled join); the per-document tally aggregates only the
+    document's own spans. One digest-count shuffle + one tally shuffle.
+    """
+    if gram_chars < 1 or stride < 1:
+        raise ValueError("gram_chars and stride must be >= 1")
+    if max_gram_docs < 1:
+        raise ValueError(f"max_gram_docs must be >= 1, got {max_gram_docs}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text) - F.lit(gram_chars), F.lit(0)),
+        F.lit(stride),
+    )
+    spans = (
+        df.select(F.col(id_col).alias("__doc"), text.alias("__t"), F.explode(offsets).alias("off"))
+        .select(
+            "__doc",
+            F.xxhash64(F.col("__t").substr(F.col("off") + 1, F.lit(gram_chars))).alias("__d0"),
+            F.xxhash64(
+                F.col("__t").substr(F.col("off") + 1, F.lit(gram_chars)),
+                F.lit(_DIGEST_SEED),
+            ).alias("__d1"),
+        )
+    )
+    hot = (
+        spans.distinct()
+        .groupBy("__d0", "__d1")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") > max_gram_docs)
+        .select("__d0", "__d1", F.lit(True).alias("__hot"))
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    flagged = spans.join(hot, ["__d0", "__d1"], "left")
+    n_spans = F.count(F.lit(1))
+    n_hot = F.sum(F.col("__hot").isNotNull().cast("long"))
+    return flagged.groupBy("__doc").agg(
+        n_spans.cast("long").alias("n_spans"),
+        n_hot.cast("long").alias("n_hot_spans"),
+    ).select(
+        F.col("__doc").alias(id_col),
+        "n_spans",
+        "n_hot_spans",
+        (F.col("n_hot_spans").cast("double") / F.col("n_spans").cast("double")).alias(
+            "hot_frac"
+        ),
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str,

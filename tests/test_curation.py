@@ -261,3 +261,66 @@ class TestGopher:
         } >= {1, 4, 8}
         with pytest.raises(ValueError):
             gopher_filter(df, "doc_id", "text", bogus=1)
+
+
+class TestRepeatedSpans:
+    """dedup.repeated_span_profile vs a python replay (raw grams — the
+    digest path must be invisible in the output)."""
+
+    def _replay(self, docs, gram=8, stride=4, max_docs=1):
+        spans = {}
+        for did, text in docs:
+            t = text or ""
+            offs = range(0, max(len(t) - gram, 0) + 1, stride)
+            spans[did] = [t[o:o + gram] for o in offs]
+        from collections import defaultdict
+
+        grams = defaultdict(set)
+        for did, gs in spans.items():
+            for g in gs:
+                grams[g].add(did)
+        hot = {g for g, ds in grams.items() if len(ds) > max_docs}
+        return {
+            did: (len(gs), sum(1 for g in gs if g in hot))
+            for did, gs in spans.items()
+        }
+
+    def test_matches_python_replay(self, spark):
+        from elephantdb_spark.operators.dedup import repeated_span_profile
+
+        shared = "0123456789abcdefghij"  # shared 20-char passage
+        docs = [
+            (1, "xx" + shared + "yy unique tail one"),
+            (2, "completely different body " + shared),
+            (3, "no overlap at all in this document"),
+            (4, "short"),            # shorter than gram: single whole-text span
+            (5, None),               # NULL text: single empty span
+            (6, "no overlap at all in this document"),  # exact dup of 3
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_hot_spans"], r["hot_frac"])
+            for r in repeated_span_profile(
+                df, "doc_id", "text", gram_chars=8, stride=4, max_gram_docs=1
+            ).collect()
+        }
+        want = self._replay(docs, gram=8, stride=4)
+        assert set(got) == set(want)
+        for did, (n, hotn) in want.items():
+            gn, ghot, frac = got[did]
+            assert (gn, ghot) == (n, hotn), (did, got[did], want[did])
+            assert frac == hotn / n
+        # every doc got a verdict row, incl. short and NULL
+        assert got[4][0] == 1 and got[5][0] == 1
+        # the exact-dup pair is fully hot; doc 3's spans all shared with 6
+        assert got[3][1] == got[3][0]
+
+    def test_validation(self, spark):
+        from elephantdb_spark.operators.dedup import repeated_span_profile
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            repeated_span_profile(df, "doc_id", "text", gram_chars=0)
+        with _pt.raises(ValueError):
+            repeated_span_profile(df, "doc_id", "text", max_gram_docs=0)

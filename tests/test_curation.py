@@ -324,3 +324,33 @@ class TestRepeatedSpans:
             repeated_span_profile(df, "doc_id", "text", gram_chars=0)
         with _pt.raises(ValueError):
             repeated_span_profile(df, "doc_id", "text", max_gram_docs=0)
+
+
+def test_cap_per_source_randomized_equivalence(spark):
+    """Seeded random corpora (skewed source distribution, random caps and
+    margins) always match the naive ROW_NUMBER formulation — covers
+    threshold/fallback path mixes the handcrafted cases can't."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randrange(50, 400)
+        n_src = rng.randrange(1, 8)
+        rows = [
+            (rng.randrange(1_000_000), f"s{int(rng.random() ** 2 * n_src)}")
+            for _ in range(n)
+        ]
+        rows = list({r[0]: r for r in rows}.values())  # unique ids
+        cap = rng.randrange(1, 40)
+        margin = rng.choice([1.001, 1.05, 1.3, 2.0])
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = sorted(
+            tuple(r)
+            for r in cap_per_source(
+                df, "doc_id", "source", cap=cap, salt=f"t{trial}", margin=margin
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in naive_cap(df, "doc_id", "source", cap, f"t{trial}").collect()
+        )
+        assert got == want, (trial, n, cap, margin)

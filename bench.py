@@ -277,6 +277,18 @@ def main() -> None:
             k=10, n_probe=4,
         ).count()
 
+    # incremental index maintenance: 100-vector batch merged into touched
+    # cells, untouched cells copy-forwarded (the A20 path for ANN)
+    from elephantdb_spark.operators.ann_index import update_ivf_index
+
+    with timed("ann_index_update"):
+        update_ivf_index(
+            spark,
+            embeddings.filter(F.col("vec_id") < 100)
+            .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"),
+            idx_root, version=2,
+        )
+
     from elephantdb_spark.operators.multimodal import attach_payload, extract_features
 
     # binary-payload plumbing: mapInPandas feature extraction over Arrow

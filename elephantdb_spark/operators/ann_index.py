@@ -142,6 +142,86 @@ def build_ivf_index(
     return version
 
 
+def update_ivf_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    root: str,
+    version: int | None = None,
+) -> int:
+    """Incremental re-index (the A20 update path applied to the ANN index):
+    assign the new vectors to the EXISTING quantizer's cells, merge only
+    the touched cells (a new vector wins per id — LWW, the KV update
+    rule), and file-copy every untouched cell forward
+    (``synchronize_versions``, DomainStore.java:156-180). Publishes a new
+    version under the same token rule, so probes hot-swap atomically and
+    a pinned probe of the previous version keeps serving unchanged.
+
+    The quantizer is deliberately NOT retrained: cell assignments of
+    existing vectors stay valid, which is what makes the update
+    batch-sized instead of corpus-sized. Centroid drift from many updates
+    degrades recall gradually — run :func:`build_ivf_index` for a
+    periodic full re-train, exactly as a KV domain reshard is the
+    periodic heavy-weight companion of incremental updates.
+
+    Scale shape: the batch is assigned cells via the broadcast centroid
+    matmul; old data is partition-pruned to touched cells and never
+    shuffles for the merge (broadcast anti-join on the batch ids); the
+    write re-uses the exact 1:1 cell→partition placement, emitting files
+    only for touched cells.
+    """
+    store = DomainStore.open(root)
+    prev = store.most_recent_version()
+    if prev is None:
+        raise RuntimeError(f"index domain at {root} has no published version")
+    centroids, vectors, spec, _ = load_ivf_index(spark, root, prev)
+    id_col = spec.persistence_opts["id_col"]
+    vec_col = spec.persistence_opts["vec_col"]
+    missing = [c for c in (id_col, vec_col) if c not in new_df.columns]
+    if missing:
+        raise ValueError(f"columns {missing} not in frame: {new_df.columns}")
+    n_cells = spec.num_shards
+    if version is None:
+        version = int(time.time() * 1000)
+    vpath = store.create_version(version)
+    try:
+        assigned = add_ivf_cell(
+            new_df.select(id_col, vec_col), centroids, vec_col, out_col="shard"
+        ).cache()
+        try:
+            touched = sorted(
+                r["shard"] for r in assigned.select("shard").distinct().collect()
+            )
+            old = vectors.filter(F.col("shard").isin(touched)).select(
+                id_col, vec_col, "shard"
+            )
+            survivors = old.join(
+                F.broadcast(assigned.select(id_col)), id_col, "left_anti"
+            )
+            merged = survivors.unionByName(
+                assigned.select(id_col, vec_col, "shard")
+            )
+            (
+                with_slot_column(spark, merged, n_cells)
+                .repartition(n_cells, F.col("__slot"))
+                .sortWithinPartitions("shard", id_col)
+                .drop("__slot")
+                .write.mode("errorifexists")
+                .partitionBy("shard")
+                .parquet(vpath)
+            )
+        finally:
+            assigned.unpersist()
+        with open(os.path.join(vpath, CENTROIDS_FILENAME), "w") as fh:
+            json.dump([[float(x) for x in c] for c in centroids], fh)
+        store.synchronize_versions(prev, version)
+        store.succeed_version(version)
+    except Exception as exc:
+        store.fail_version(version)
+        store.record_failure(version, repr(exc))
+        raise
+    return version
+
+
 def load_ivf_index(
     spark: SparkSession, root: str, version: int | None = None
 ) -> tuple[np.ndarray, DataFrame, DomainSpec, int]:

@@ -236,3 +236,90 @@ def test_hierarchical_trainer_large_cell_count(spark, emb):
     dt = time.perf_counter() - t0
     assert cents.shape[0] == 300
     assert dt < 30, f"hierarchical training too slow: {dt:.1f}s"
+
+
+def test_update_ivf_index_incremental(spark, emb, tmp_path):
+    """update_ivf_index: new vectors merged into touched cells (LWW per
+    id), untouched cells file-copied forward, old version still pinned,
+    exact probe over the updated index == brute force over the merged
+    expectation."""
+    from elephantdb_spark.operators.ann_index import update_ivf_index
+
+    root = str(tmp_path / "upd_idx")
+    base = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    build_ivf_index(spark, base, root, n_cells=8, version=1)
+
+    # batch: 5 re-ingested ids with DIFFERENT vectors (steal vectors from
+    # other rows) + 5 genuinely new ids
+    donor = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").between(400, 409)).collect()
+    }
+    updated = spark.createDataFrame(
+        [(i, donor[400 + (i % 10)]) for i in range(5)]
+        + [(1000 + i, donor[405 + i]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    v2 = update_ivf_index(spark, updated, root, version=2)
+    assert v2 == 2
+
+    store = DomainStore.open(root)
+    assert store.all_versions() == [2, 1]
+    v1p, v2p = store.version_path(1), store.version_path(2)
+
+    # expectation: base minus re-ingested ids, plus the batch
+    expect = base.join(
+        updated.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(updated)
+    q = _qvec(emb)
+    got = {
+        (r["id"], round(r["sim"], 9))
+        for r in ivf_index_probe(spark, root, q, k=10, n_probe=8).collect()
+    }
+    want = {
+        (r["id"], round(r["sim"], 9))
+        for r in brute_force_topk(expect, q, 10, "vec_id", "embedding").collect()
+    }
+    assert got == want
+
+    # untouched cells were copy-forwarded: identical file names and sizes
+    def cell_files(vpath, cell):
+        d = os.path.join(vpath, f"shard={cell}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    centroids, _, _, _ = load_ivf_index(spark, root, 2)
+    from elephantdb_spark.operators.ann import add_ivf_cell
+
+    touched = {
+        r["shard"]
+        for r in add_ivf_cell(updated, centroids, "embedding", out_col="shard")
+        .select("shard").distinct().collect()
+    }
+    untouched = [c for c in range(8) if c not in touched and cell_files(v1p, c)]
+    assert untouched, "fixture should leave at least one untouched cell"
+    for c in untouched:
+        assert cell_files(v2p, c) == cell_files(v1p, c)
+
+    # the previous version still serves, pinned, with the OLD contents
+    old_got = {
+        (r["id"], round(r["sim"], 9))
+        for r in ivf_index_probe(spark, root, q, k=10, n_probe=8, version=1).collect()
+    }
+    old_want = {
+        (r["id"], round(r["sim"], 9))
+        for r in brute_force_topk(base, q, 10, "vec_id", "embedding").collect()
+    }
+    assert old_got == old_want
+
+
+def test_update_ivf_index_requires_existing_index(spark, emb, tmp_path):
+    from elephantdb_spark.operators.ann_index import update_ivf_index
+
+    with pytest.raises(FileNotFoundError):
+        update_ivf_index(spark, emb.limit(1), str(tmp_path / "nope"))

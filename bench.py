@@ -325,6 +325,32 @@ def main() -> None:
             )
         ).agg(F.sum("duration_ms")).collect()
 
+    # real PNG decode throughput: synthesize one 8-bit PNG per document
+    # and decode with the stdlib-zlib unfiltering extractor (the q92 path)
+    from elephantdb_spark.operators.multimodal import synth_png
+
+    def _gen_pngs(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [
+                    synth_png(int(n) % 64 + 1, int(n) % 32 + 1, int(n) % 4 + 1)
+                    for n in pdf["n_chars"]
+                ],
+                "meta": [
+                    {"media_type": "image/png", "lang": None, "source": "synth"}
+                ] * len(pdf),
+            })
+
+    with timed("png_decode_features"):
+        extract_media_features(
+            documents.select("doc_id", "n_chars").mapInPandas(
+                _gen_pngs, MULTIMODAL_SCHEMA
+            )
+        ).agg(F.sum("width")).collect()
+
     from elephantdb_spark.operators.temporal import asof_join
 
     # as-of join at both plan shapes: the per-key window plan and the

@@ -343,6 +343,43 @@ def q76_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q92_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the driver: synthesize an 8-bit PNG per
+    document (dims/channels derived from n_chars), run the
+    format-dispatching mapInPandas extractor (stdlib zlib inflate +
+    scanline unfiltering — no fakes on this path), and return the
+    SQL-predictable image properties. The PNG twin of q76's WAV row."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        synth_png,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [
+                        synth_png(int(n) % 64 + 1, int(n) % 32 + 1, int(n) % 4 + 1)
+                        for n in pdf["n_chars"]
+                    ],
+                    "meta": [
+                        {"media_type": "image/png", "lang": None, "source": "synth"}
+                    ] * len(pdf),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    return extract_media_features(mm).select(
+        "id", "width", "height", "n_channels"
+    ).orderBy("id")
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1115,6 +1152,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_knn_join": q45_knn_join,
     "q90_index_knn_join": q90_index_knn_join,
     "q91_repeated_span_profile": q91_repeated_span_profile,
+    "q92_png_decode_features": q92_png_decode_features,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -1895,6 +1933,11 @@ EXT_ORACLES: dict[str, str] = {
         f"           WHERE {_TOKEN_COUNT_EXPR} >= 30), "
         "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text) "
         "SELECT doc_id FROM keep ORDER BY doc_id"
+    ),
+    "q92_png_decode_features": (
+        "SELECT doc_id AS id, (n_chars % 64) + 1 AS width, "
+        "(n_chars % 32) + 1 AS height, (n_chars % 4) + 1 AS n_channels "
+        "FROM documents ORDER BY id"
     ),
     "q91_repeated_span_profile": (
         f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "

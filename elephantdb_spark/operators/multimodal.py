@@ -3,12 +3,15 @@ with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side machinery (schemas, batching, partitioning, UDF signatures)
 is real and tested. Decoding is REAL for formats the standard library +
-numpy can parse — WAV/PCM audio (:func:`decode_wav`) and uncompressed
+numpy can parse — WAV/PCM audio (:func:`decode_wav`), uncompressed
 24-bit BMP images (:func:`decode_bmp`, including a real nearest-neighbor
-resize) — and STUBBED only for codec-dependent formats (JPEG/PNG/MP4),
-where the stub raises ``NotImplementedError`` with a clear marker and a
-deterministic fake stands in so the distributed plumbing is exercised
-end-to-end either way.
+resize), and 8-bit non-interlaced PNG (:func:`decode_png` /
+:func:`_decode_png_pixels`: stdlib zlib inflate + full scanline
+unfiltering incl. Paeth, encode + resize too) — and STUBBED only for
+formats whose codecs the container lacks (JPEG/MP4), where the stub
+raises ``NotImplementedError`` with a clear marker and a deterministic
+fake stands in so the distributed plumbing is exercised end-to-end
+either way.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -163,17 +167,172 @@ def _encode_bmp24(arr: "np.ndarray") -> bytes:
     return header + info + body
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> channel count for the supported 8-bit-depth subset
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) PNG chunks with length and CRC validation —
+    attacker-shaped bytes raise ValueError, never escape as slicing
+    surprises."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        end = pos + 8 + length
+        if length > len(payload) or end + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8:end]
+        (crc,) = struct.unpack_from(">I", payload, end)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos = end + 4
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_ihdr(payload: bytes) -> tuple:
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    for ctype, data in _png_chunks(payload):
+        if ctype != b"IHDR":
+            raise ValueError("first PNG chunk is not IHDR")
+        if len(data) != 13:
+            raise ValueError("bad IHDR length")
+        return struct.unpack(">IIBBBBB", data)
+    raise ValueError("missing IHDR")
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG header decode (pure struct + CRC check): width/height/
+    bit depth/color type/channels. Works for any well-formed PNG; pixel
+    access for the 8-bit non-interlaced subset is
+    :func:`_decode_png_pixels`."""
+    w, h, depth, color, comp, filt, interlace = _png_ihdr(payload)
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": color,
+        "n_channels": _PNG_CHANNELS.get(color),
+        "interlaced": bool(interlace),
+    }
+
+
+def _decode_png_pixels(payload: bytes) -> "np.ndarray":
+    """REAL PNG pixel decode (stdlib zlib, no imaging libs): 8-bit-depth,
+    non-interlaced gray / gray+alpha / RGB / RGBA → (h, w, c) uint8, with
+    full scanline unfiltering (None/Sub/Up/Average/Paeth)."""
+    w, h, depth, color, comp, filt, interlace = _png_ihdr(payload)
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB/alpha PNG supported "
+            f"(depth={depth} color={color} interlace={interlace})"
+        )
+    c = _PNG_CHANNELS[color]
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8) if h else np.zeros((0, stride), np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up — uint8 addition wraps mod 256, per spec
+            row += prev
+        elif f == 1:  # Sub — sequential in x
+            for i in range(c, stride):
+                row[i] = (int(row[i]) + int(row[i - c])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - c]) if i >= c else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, c)
+
+
+def _encode_png(arr: "np.ndarray") -> bytes:
+    """(h, w, c) uint8 (c in 1/2/3/4) → PNG bytes: filter-0 scanlines,
+    one zlib IDAT, correct CRCs. Round-trips through
+    :func:`_decode_png_pixels` bit-exactly."""
+    if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOR_FOR_CHANNELS:
+        raise ValueError(f"need (h, w, c) uint8 with c in 1/2/3/4, got {arr.shape}")
+    h, w, c = arr.shape
+    arr = arr.astype(np.uint8, copy=False)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_FOR_CHANNELS[c], 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def synth_png(width: int, height: int, n_channels: int = 3) -> bytes:
+    """Deterministic gradient PNG — the ingestion-side fixture generator
+    for driving the REAL decode path (q92, tests) without external media
+    files. Pixel (y, x, ch) = (x + 2*y + 17*ch) mod 256."""
+    ys = np.arange(height, dtype=np.int64)[:, None, None]
+    xs = np.arange(width, dtype=np.int64)[None, :, None]
+    cs = np.arange(n_channels, dtype=np.int64)[None, None, :]
+    return _encode_png(((xs + 2 * ys + 17 * cs) % 256).astype(np.uint8))
+
+
+def _resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a supported PNG: decode →
+    index-sample → re-encode (stdlib zlib + numpy)."""
+    arr = _decode_png_pixels(payload)
+    h, w, _ = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty PNG")
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return _encode_png(arr[ys][:, xs])
+
+
 def decode_image(payload: bytes) -> dict:
     """Image decode: REAL for uncompressed BMP (pure struct/numpy —
-    :func:`decode_bmp`); STUB for codec-dependent formats (JPEG/PNG need
-    an imaging library not present in this container). The mapInPandas
-    pipelines calling this are real either way; swap in a full decoder on
-    a cluster with the libs installed."""
+    :func:`decode_bmp`) and PNG (stdlib zlib + scanline unfiltering —
+    :func:`decode_png`); STUB only for formats whose codecs the container
+    lacks (JPEG). The mapInPandas pipelines calling this are real either
+    way; swap in a full decoder on a cluster with the libs installed."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload and payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "STUB: non-BMP image decode requires an imaging library not present "
-        "in this environment; see operators/multimodal.py"
+        "STUB: JPEG and other codec formats require an imaging library not "
+        "present in this environment; see operators/multimodal.py"
     )
 
 
@@ -253,6 +412,14 @@ def extract_media_features(mm_df: DataFrame) -> DataFrame:
                         row["height"] = bmp["height"]
                     except Exception:
                         pass
+                elif data[:8] == PNG_SIG:
+                    try:
+                        png = decode_png(data)
+                        row["width"] = png["width"]
+                        row["height"] = png["height"]
+                        row["n_channels"] = png["n_channels"]
+                    except Exception:
+                        pass  # malformed PNG: keep the baseline features
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -314,11 +481,13 @@ def resize_images(
 ) -> DataFrame:
     """Image resize as a payload→payload ``mapInPandas`` stage (decode →
     resize → re-encode). REAL for uncompressed 24-bit BMP payloads
-    (nearest-neighbor via :func:`_resize_bmp24`); other formats get a
-    deterministic fake re-encoding (md5-keyed bytes of length
-    width*height//64, shape-faithful sizing). ``use_real_decoder=True``
-    forces :func:`decode_image` on every payload — BMPs decode, anything
-    else raises the documented ``NotImplementedError`` stub."""
+    (nearest-neighbor via :func:`_resize_bmp24`) and 8-bit non-interlaced
+    PNG (:func:`_resize_png` — zlib decode, unfilter, sample, re-encode);
+    other formats get a deterministic fake re-encoding (md5-keyed bytes
+    of length width*height//64, shape-faithful sizing).
+    ``use_real_decoder=True`` forces :func:`decode_image` on every
+    payload — BMP/PNG decode, anything else raises the documented
+    ``NotImplementedError`` stub."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_len = max(1, width * height // 64)
@@ -336,6 +505,14 @@ def resize_images(
                         # non-24bpp/compressed/truncated BMP (struct.error =
                         # header shorter than its fixed offsets): fall back
                         # to the fake re-encode instead of failing the task
+                        pass
+                elif data[:8] == PNG_SIG:
+                    try:
+                        payloads.append(_resize_png(data, width, height))
+                        continue
+                    except (ValueError, struct.error):
+                        # unsupported subset (16-bit/palette/interlaced) or
+                        # malformed stream: fall back to the fake re-encode
                         pass
                 seed = hashlib.md5(data).digest()
                 reps = out_len // len(seed) + 1

@@ -141,3 +141,102 @@ def test_spark_pipelines_survive_hostile_corpus(spark):
     resized = resize_images(mm, width=3, height=3).collect()
     assert len(resized) == len(hostile)
     assert all(r.payload is not None and len(r.payload) > 0 for r in resized)
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 4): stdlib-zlib decoder — fuzz + round-trip properties
+# ---------------------------------------------------------------------------
+
+from elephantdb_spark.operators.multimodal import (  # noqa: E402
+    PNG_SIG,
+    _decode_png_pixels,
+    _encode_png,
+    _resize_png,
+    decode_png,
+    synth_png,
+)
+
+_png_shaped = st.builds(lambda body: PNG_SIG + body, _garbage)
+
+
+@given(_png_shaped | _garbage | _truncations(synth_png(12, 9, 3)))
+@settings(max_examples=300, deadline=None)
+def test_decode_png_raises_cleanly_or_decodes(payload):
+    try:
+        decode_png(payload)
+        _decode_png_pixels(payload)
+    except ValueError:
+        pass  # the one allowed failure type — normalized contract
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_roundtrip_random_pixels(w, h, c, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    assert (_decode_png_pixels(_encode_png(arr)) == arr).all()
+
+
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(1, 16), st.integers(1, 16))
+@settings(max_examples=60, deadline=None)
+def test_png_resize_dims_and_validity(w, h, ow, oh):
+    out = _resize_png(synth_png(w, h, 3), ow, oh)
+    info = decode_png(out)
+    assert (info["width"], info["height"]) == (ow, oh)
+    assert _decode_png_pixels(out).shape == (oh, ow, 3)
+
+
+def test_png_bitflip_never_crashes():
+    """CRC catches single-bit corruption; whatever slips past must still
+    raise ValueError, never an uncaught slicing/zlib error."""
+    base = bytearray(synth_png(16, 16, 3))
+    for pos in range(0, len(base), 7):
+        mutated = bytearray(base)
+        mutated[pos] ^= 0x40
+        try:
+            _decode_png_pixels(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_spark_media_features_and_resize_with_png(spark):
+    """The format-dispatching mapInPandas stages handle PNG payloads (real
+    decode), hostile PNG-shaped bytes (fallback, no task failure), and the
+    existing WAV/BMP formats side by side."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        resize_images,
+        synth_wav,
+    )
+
+    rows = [
+        (1, synth_png(11, 6, 3), {"media_type": "image/png", "lang": None, "source": "s"}),
+        (2, synth_png(5, 5, 1), {"media_type": "image/png", "lang": None, "source": "s"}),
+        (3, PNG_SIG + b"garbage" * 3, {"media_type": "image/png", "lang": None, "source": "s"}),
+        (4, synth_wav(800), {"media_type": "audio/wav", "lang": None, "source": "s"}),
+        (5, None, {"media_type": None, "lang": None, "source": "s"}),
+    ]
+    mm = spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+    feats = {r["id"]: r.asDict() for r in extract_media_features(mm).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_channels"]) == (11, 6, 3)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_channels"]) == (5, 5, 1)
+    assert feats[3]["width"] is None  # hostile payload: baseline features only
+    assert feats[4]["sample_rate"] == 8000
+
+    resized = {r["id"]: r["payload"] for r in resize_images(mm, 8, 4).collect()}
+    info = decode_png(bytes(resized[1]))
+    assert (info["width"], info["height"]) == (8, 4)
+    # real resample, not the fake: pixels follow the synth gradient
+    got = _decode_png_pixels(bytes(resized[1]))
+    src = _decode_png_pixels(synth_png(11, 6, 3))
+    ys = (np.arange(4) * 6) // 4
+    xs = (np.arange(8) * 11) // 8
+    assert (got == src[ys][:, xs]).all()
+    # hostile PNG fell back to the deterministic fake (no crash)
+    assert resized[3] is not None and bytes(resized[3])[:8] != PNG_SIG

@@ -380,6 +380,46 @@ def q92_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q93_mp4_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container metadata through the driver: synthesize a
+    minimal ISO-BMFF file per document (duration/dims derived from
+    n_chars), parse the box tree with the pure-struct walker
+    (multimodal.decode_mp4 — no fakes on this path), and return the
+    SQL-predictable container properties. Frame decode stays stubbed;
+    this is the container layer a pipeline filters/routes on."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        synth_mp4,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [
+                        synth_mp4(
+                            int(n) * 10, int(n) % 128 + 16, int(n) % 64 + 16
+                        )
+                        for n in pdf["n_chars"]
+                    ],
+                    "meta": [
+                        {"media_type": "video/mp4", "lang": None, "source": "synth"}
+                    ] * len(pdf),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    return extract_media_features(mm).select(
+        "id", "duration_ms", "width", "height"
+    ).orderBy("id")
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1153,6 +1193,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_index_knn_join": q90_index_knn_join,
     "q91_repeated_span_profile": q91_repeated_span_profile,
     "q92_png_decode_features": q92_png_decode_features,
+    "q93_mp4_container_metadata": q93_mp4_container_metadata,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -1937,6 +1978,11 @@ EXT_ORACLES: dict[str, str] = {
     "q92_png_decode_features": (
         "SELECT doc_id AS id, (n_chars % 64) + 1 AS width, "
         "(n_chars % 32) + 1 AS height, (n_chars % 4) + 1 AS n_channels "
+        "FROM documents ORDER BY id"
+    ),
+    "q93_mp4_container_metadata": (
+        "SELECT doc_id AS id, n_chars * 10 AS duration_ms, "
+        "(n_chars % 128) + 16 AS width, (n_chars % 64) + 16 AS height "
         "FROM documents ORDER BY id"
     ),
     "q91_repeated_span_profile": (

@@ -11,7 +11,9 @@ unfiltering incl. Paeth, encode + resize too) — and STUBBED only for
 formats whose codecs the container lacks (JPEG/MP4), where the stub
 raises ``NotImplementedError`` with a clear marker and a deterministic
 fake stands in so the distributed plumbing is exercised end-to-end
-either way.
+either way. MP4 gets a REAL container-level metadata parse
+(:func:`decode_mp4`: box-tree walk for duration/tracks/dimensions) —
+only its frame/sample decode is stubbed.
 """
 
 from __future__ import annotations
@@ -336,6 +338,101 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) ISO-BMFF boxes in
+    [start, end). Malformed sizes raise ValueError."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4:pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            header = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+            header = 8
+        else:
+            header = 8
+        if size < header or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} for {btype!r}")
+        yield btype, pos + header, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing bytes after last MP4 box")
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container metadata parse (pure struct, no codec):
+    walks the box tree for ``moov/mvhd`` (timescale + duration) and
+    ``moov/trak/tkhd`` (track count, presentation width/height from the
+    first visual track). Frame/sample DECODE stays stubbed
+    (:func:`sample_frames` — needs a codec library); the container layer
+    a real pipeline filters/routes on is parsed for real."""
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _mp4_boxes(payload, s, e):
+            if ityp == b"mvhd" and ie - is_ >= 20:
+                version = payload[is_]
+                if version == 1:
+                    (timescale,) = struct.unpack_from(">I", payload, is_ + 20)
+                    (duration,) = struct.unpack_from(">Q", payload, is_ + 24)
+                else:
+                    (timescale,) = struct.unpack_from(">I", payload, is_ + 12)
+                    (duration,) = struct.unpack_from(">I", payload, is_ + 16)
+            elif ityp == b"trak":
+                n_tracks += 1
+                for ttyp, ts, te in _mp4_boxes(payload, is_, ie):
+                    if ttyp == b"tkhd" and te - ts >= 84 and width is None:
+                        w_fp, h_fp = struct.unpack_from(">II", payload, ts + 76)
+                        if w_fp and h_fp:  # 16.16 fixed point; 0 = non-visual
+                            width, height = w_fp >> 16, h_fp >> 16
+    if timescale is None:
+        raise ValueError("MP4 has no moov/mvhd")
+    duration_ms = int(duration * 1000 // timescale) if timescale else 0
+    return {
+        "timescale": timescale,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def synth_mp4(
+    duration_ms: int, width: int = 0, height: int = 0, timescale: int = 1000
+) -> bytes:
+    """Deterministic minimal MP4 (ftyp + moov{mvhd, trak{tkhd}}) — the
+    fixture generator for driving the REAL container parse (q93, tests)
+    without media files. ``width``/``height`` of 0 emits a non-visual
+    track (tkhd dims zero), matching the spec's audio-track convention."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, dur) + b"\x00" * 80,
+    )
+    tkhd_body = (
+        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, dur)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", mvhd + trak
+    )
+
+
 def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
     """STUB — video frame sampling (needs ffmpeg/av)."""
     raise NotImplementedError(
@@ -420,6 +517,14 @@ def extract_media_features(mm_df: DataFrame) -> DataFrame:
                         row["n_channels"] = png["n_channels"]
                     except Exception:
                         pass  # malformed PNG: keep the baseline features
+                elif data[4:8] == b"ftyp":
+                    try:
+                        mp4 = decode_mp4(data)
+                        row["duration_ms"] = mp4["duration_ms"]
+                        row["width"] = mp4["width"]
+                        row["height"] = mp4["height"]
+                    except Exception:
+                        pass  # malformed MP4: keep the baseline features
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

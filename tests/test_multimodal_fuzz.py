@@ -240,3 +240,43 @@ def test_spark_media_features_and_resize_with_png(spark):
     assert (got == src[ys][:, xs]).all()
     # hostile PNG fell back to the deterministic fake (no crash)
     assert resized[3] is not None and bytes(resized[3])[:8] != PNG_SIG
+
+
+# ---------------------------------------------------------------------------
+# MP4 (round 4): container box-walk — fuzz + round-trip
+# ---------------------------------------------------------------------------
+
+from elephantdb_spark.operators.multimodal import (  # noqa: E402
+    decode_mp4,
+    synth_mp4,
+)
+
+_mp4_shaped = st.builds(
+    lambda body: struct.pack(">I", 8 + len(body[:4])) + b"ftyp" + body[:4] + body[4:],
+    _garbage,
+)
+
+
+@given(_mp4_shaped | _garbage | _truncations(synth_mp4(9000, 320, 240)))
+@settings(max_examples=300, deadline=None)
+def test_decode_mp4_raises_cleanly_or_decodes(payload):
+    try:
+        decode_mp4(payload)
+    except ValueError:
+        pass
+
+
+@given(
+    st.integers(0, 10**7), st.integers(0, 4096), st.integers(0, 4096),
+    st.sampled_from([600, 1000, 90000]),
+)
+@settings(max_examples=150, deadline=None)
+def test_mp4_synth_roundtrip(dur_ms, w, h, timescale):
+    info = decode_mp4(synth_mp4(dur_ms, w, h, timescale))
+    # duration round-trips through the timescale floor twice
+    assert info["duration_ms"] == (dur_ms * timescale // 1000) * 1000 // timescale
+    assert info["n_tracks"] == 1
+    if w and h:
+        assert (info["width"], info["height"]) == (w, h)
+    else:
+        assert info["width"] is None

@@ -351,6 +351,42 @@ def main() -> None:
             )
         ).agg(F.sum("width")).collect()
 
+    # real compressed-image round-trip: per-doc baseline JPEG encode →
+    # full entropy decode → nearest-neighbor resize → re-encode
+    from elephantdb_spark.operators.multimodal import resize_images
+
+    def _gen_jpegs(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from elephantdb_spark.operators.jpeg import encode_jpeg
+
+        def synth(n):
+            w, h = n % 32 + 1, n % 16 + 1
+            ys, xs = _np.mgrid[0:h, 0:w]
+            arr = _np.stack(
+                [_np.clip(xs * 3 + ys * 2 + 40 * i, 0, 255) for i in range(3)],
+                -1,
+            ).astype(_np.uint8)
+            return encode_jpeg(arr, quality=85)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [synth(int(n)) for n in pdf["n_chars"]],
+                "meta": [
+                    {"media_type": "image/jpeg", "lang": None, "source": "synth"}
+                ] * len(pdf),
+            })
+
+    with timed("jpeg_roundtrip_resize"):
+        resize_images(
+            documents.select("doc_id", "n_chars").mapInPandas(
+                _gen_jpegs, MULTIMODAL_SCHEMA
+            ),
+            16, 16,
+        ).agg(F.sum(F.length("payload"))).collect()
+
     from elephantdb_spark.operators.temporal import asof_join
 
     # as-of join at both plan shapes: the per-key window plan and the

@@ -420,6 +420,50 @@ def q93_mp4_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q94_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode through the driver: encode a baseline
+    JPEG per document with the pure-numpy codec (operators/jpeg — Annex-K
+    Huffman, DCT, YCbCr), decode it back through the format-dispatching
+    extractor, and return the SQL-predictable header properties. Closes
+    the last image-codec stub: WAV/BMP/PNG/JPEG all decode for real."""
+    import numpy as np
+    import pandas as pd
+
+    from elephantdb_spark.operators.jpeg import encode_jpeg
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(n: int) -> bytes:
+        w, h = n % 32 + 1, n % 16 + 1
+        c = 3 if n % 2 == 0 else 1
+        ys, xs = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [np.clip(xs * 3 + ys * 2 + 40 * i, 0, 255) for i in range(c)], -1
+        ).astype(np.uint8)
+        return encode_jpeg(arr, quality=85)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [synth(int(n)) for n in pdf["n_chars"]],
+                    "meta": [
+                        {"media_type": "image/jpeg", "lang": None, "source": "synth"}
+                    ] * len(pdf),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    return extract_media_features(mm).select(
+        "id", "width", "height", "n_channels"
+    ).orderBy("id")
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1194,6 +1238,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_repeated_span_profile": q91_repeated_span_profile,
     "q92_png_decode_features": q92_png_decode_features,
     "q93_mp4_container_metadata": q93_mp4_container_metadata,
+    "q94_jpeg_decode_features": q94_jpeg_decode_features,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -1983,6 +2028,12 @@ EXT_ORACLES: dict[str, str] = {
     "q93_mp4_container_metadata": (
         "SELECT doc_id AS id, n_chars * 10 AS duration_ms, "
         "(n_chars % 128) + 16 AS width, (n_chars % 64) + 16 AS height "
+        "FROM documents ORDER BY id"
+    ),
+    "q94_jpeg_decode_features": (
+        "SELECT doc_id AS id, (n_chars % 32) + 1 AS width, "
+        "(n_chars % 16) + 1 AS height, "
+        "CAST(CASE WHEN n_chars % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_channels "
         "FROM documents ORDER BY id"
     ),
     "q91_repeated_span_profile": (

@@ -2,18 +2,25 @@
 with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side machinery (schemas, batching, partitioning, UDF signatures)
-is real and tested. Decoding is REAL for formats the standard library +
-numpy can parse — WAV/PCM audio (:func:`decode_wav`), uncompressed
-24-bit BMP images (:func:`decode_bmp`, including a real nearest-neighbor
-resize), and 8-bit non-interlaced PNG (:func:`decode_png` /
-:func:`_decode_png_pixels`: stdlib zlib inflate + full scanline
-unfiltering incl. Paeth, encode + resize too) — and STUBBED only for
-formats whose codecs the container lacks (JPEG/MP4), where the stub
-raises ``NotImplementedError`` with a clear marker and a deterministic
-fake stands in so the distributed plumbing is exercised end-to-end
-either way. MP4 gets a REAL container-level metadata parse
-(:func:`decode_mp4`: box-tree walk for duration/tracks/dimensions) —
-only its frame/sample decode is stubbed.
+is real and tested, and so is the decoding — no imaging/codec libraries,
+pure stdlib + numpy throughout:
+
+* WAV/PCM audio (:func:`decode_wav`, stdlib wave);
+* uncompressed 24-bit BMP (:func:`decode_bmp` + real nearest-neighbor
+  resize);
+* 8-bit non-interlaced PNG (:func:`decode_png` /
+  :func:`_decode_png_pixels`: zlib inflate + full scanline unfiltering
+  incl. Paeth; encode + resize too);
+* baseline JPEG (:mod:`~elephantdb_spark.operators.jpeg`: marker parse,
+  Annex-K Huffman entropy decode, dequant + orthonormal IDCT, YCbCr;
+  encoder + resize too — 4:4:4 subset, others raise ValueError);
+* MP4 container metadata (:func:`decode_mp4`: box-tree walk for
+  duration/tracks/dimensions).
+
+The ONLY remaining stub is video frame/sample decode
+(:func:`sample_frames` — needs a real codec suite), where a clear
+``NotImplementedError`` marker plus a deterministic fake keep the
+distributed plumbing exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -310,6 +317,18 @@ def synth_png(width: int, height: int, n_channels: int = 3) -> bytes:
     return _encode_png(((xs + 2 * ys + 17 * cs) % 256).astype(np.uint8))
 
 
+def _resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a baseline 4:4:4 JPEG: full
+    entropy decode → index-sample → re-encode (operators/jpeg)."""
+    from elephantdb_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    arr = decode_jpeg_pixels(payload)
+    h, w, _ = arr.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_jpeg(arr[ys][:, xs])
+
+
 def _resize_png(payload: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resize of a supported PNG: decode →
     index-sample → re-encode (stdlib zlib + numpy)."""
@@ -322,19 +341,38 @@ def _resize_png(payload: bytes, width: int, height: int) -> bytes:
     return _encode_png(arr[ys][:, xs])
 
 
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL baseline JPEG header decode (operators/jpeg — pure numpy
+    marker walk): width/height/components. Pixel access for the baseline
+    4:4:4 subset is :func:`jpeg.decode_jpeg_pixels`."""
+    from elephantdb_spark.operators.jpeg import decode_jpeg_header
+
+    info = decode_jpeg_header(payload)
+    return {
+        "width": info["width"],
+        "height": info["height"],
+        "n_channels": info["n_components"],
+        "bit_depth": info["bit_depth"],
+        "baseline": info["baseline"],
+    }
+
+
 def decode_image(payload: bytes) -> dict:
     """Image decode: REAL for uncompressed BMP (pure struct/numpy —
-    :func:`decode_bmp`) and PNG (stdlib zlib + scanline unfiltering —
-    :func:`decode_png`); STUB only for formats whose codecs the container
-    lacks (JPEG). The mapInPandas pipelines calling this are real either
-    way; swap in a full decoder on a cluster with the libs installed."""
+    :func:`decode_bmp`), PNG (stdlib zlib + scanline unfiltering —
+    :func:`decode_png`), and baseline JPEG (pure-numpy Huffman + IDCT —
+    :mod:`~elephantdb_spark.operators.jpeg`). No image-format stubs
+    remain; unrecognized magic raises ``NotImplementedError`` as the
+    extension point for exotic formats."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "STUB: JPEG and other codec formats require an imaging library not "
-        "present in this environment; see operators/multimodal.py"
+        "unrecognized image format (BMP, PNG, and baseline JPEG decode "
+        "natively here; see operators/multimodal.py)"
     )
 
 
@@ -525,6 +563,14 @@ def extract_media_features(mm_df: DataFrame) -> DataFrame:
                         row["height"] = mp4["height"]
                     except Exception:
                         pass  # malformed MP4: keep the baseline features
+                elif data[:2] == b"\xff\xd8":
+                    try:
+                        jpg = decode_jpeg(data)
+                        row["width"] = jpg["width"]
+                        row["height"] = jpg["height"]
+                        row["n_channels"] = jpg["n_channels"]
+                    except Exception:
+                        pass  # malformed JPEG: keep the baseline features
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -586,13 +632,14 @@ def resize_images(
 ) -> DataFrame:
     """Image resize as a payload→payload ``mapInPandas`` stage (decode →
     resize → re-encode). REAL for uncompressed 24-bit BMP payloads
-    (nearest-neighbor via :func:`_resize_bmp24`) and 8-bit non-interlaced
-    PNG (:func:`_resize_png` — zlib decode, unfilter, sample, re-encode);
-    other formats get a deterministic fake re-encoding (md5-keyed bytes
+    (nearest-neighbor via :func:`_resize_bmp24`), 8-bit non-interlaced
+    PNG (:func:`_resize_png`), and baseline 4:4:4 JPEG
+    (:func:`_resize_jpeg` — full entropy decode, sample, re-encode);
+    other payloads get a deterministic fake re-encoding (md5-keyed bytes
     of length width*height//64, shape-faithful sizing).
     ``use_real_decoder=True`` forces :func:`decode_image` on every
-    payload — BMP/PNG decode, anything else raises the documented
-    ``NotImplementedError`` stub."""
+    payload — BMP/PNG/JPEG decode, anything else raises the documented
+    ``NotImplementedError`` marker."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_len = max(1, width * height // 64)
@@ -618,6 +665,14 @@ def resize_images(
                     except (ValueError, struct.error):
                         # unsupported subset (16-bit/palette/interlaced) or
                         # malformed stream: fall back to the fake re-encode
+                        pass
+                elif data[:2] == b"\xff\xd8":
+                    try:
+                        payloads.append(_resize_jpeg(data, width, height))
+                        continue
+                    except (ValueError, struct.error):
+                        # outside the baseline 4:4:4 subset or malformed:
+                        # fall back to the fake re-encode
                         pass
                 seed = hashlib.md5(data).digest()
                 reps = out_len // len(seed) + 1

@@ -280,3 +280,94 @@ def test_mp4_synth_roundtrip(dur_ms, w, h, timescale):
         assert (info["width"], info["height"]) == (w, h)
     else:
         assert info["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 4): baseline pure-numpy codec — fuzz + round-trip quality
+# ---------------------------------------------------------------------------
+
+from elephantdb_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg_header,
+    decode_jpeg_pixels,
+    encode_jpeg,
+)
+
+
+def _smooth(h, w, c, seed=0):
+    ys, xs = np.mgrid[0:h, 0:w]
+    planes = [
+        np.clip(xs * (2 + seed % 3) + ys * 2 + 30 * i, 0, 255)
+        for i in range(c)
+    ]
+    return np.stack(planes, -1).astype(np.uint8)
+
+
+_jpeg_shaped = st.builds(lambda body: b"\xff\xd8" + body, _garbage)
+
+
+@given(_jpeg_shaped | _garbage | _truncations(encode_jpeg(_smooth(17, 23, 3))))
+@settings(max_examples=300, deadline=None)
+def test_decode_jpeg_raises_cleanly_or_decodes(payload):
+    for fn in (decode_jpeg_header, decode_jpeg_pixels):
+        try:
+            fn(payload)
+        except ValueError:
+            pass  # the one allowed failure type
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.sampled_from([1, 3]),
+       st.sampled_from([70, 85, 95, 100]))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_smooth_images_high_psnr(w, h, c, q):
+    arr = _smooth(h, w, c, seed=w + h)
+    dec = decode_jpeg_pixels(encode_jpeg(arr, quality=q))
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(np.int64) - arr.astype(np.int64))
+    # smooth gradients quantize almost losslessly at q>=70
+    assert err.max() <= 12, (w, h, c, q, err.max())
+
+
+def test_jpeg_roundtrip_noise_q100_bounded():
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(arr, quality=100))
+    assert np.abs(dec.astype(np.int64) - arr.astype(np.int64)).max() <= 6
+
+
+def test_jpeg_header_matches_encode_params():
+    info = decode_jpeg_header(encode_jpeg(_smooth(9, 31, 1), quality=80))
+    assert (info["width"], info["height"], info["n_components"]) == (31, 9, 1)
+    assert info["baseline"] is True
+
+
+def test_jpeg_bitflip_never_crashes():
+    base = bytearray(encode_jpeg(_smooth(16, 16, 3)))
+    for pos in range(0, len(base), 5):
+        mutated = bytearray(base)
+        mutated[pos] ^= 0x08
+        try:
+            decode_jpeg_pixels(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_spark_media_features_and_resize_with_jpeg(spark):
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        resize_images,
+    )
+
+    rows = [
+        (1, encode_jpeg(_smooth(10, 14, 3)), {"media_type": "image/jpeg", "lang": None, "source": "s"}),
+        (2, b"\xff\xd8hostile jpeg bytes", {"media_type": "image/jpeg", "lang": None, "source": "s"}),
+    ]
+    mm = spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+    feats = {r["id"]: r.asDict() for r in extract_media_features(mm).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_channels"]) == (14, 10, 3)
+    assert feats[2]["width"] is None
+
+    resized = {r["id"]: r["payload"] for r in resize_images(mm, 7, 5).collect()}
+    info = decode_jpeg_header(bytes(resized[1]))
+    assert (info["width"], info["height"]) == (7, 5)
+    assert bytes(resized[2])[:2] != b"\xff\xd8"  # hostile fell back to fake

@@ -379,6 +379,35 @@ def main() -> None:
                 ] * len(pdf),
             })
 
+    # real video-frame sampling: per-doc animated GIF -> LZW decode ->
+    # every-2nd-frame explode (the q95 path)
+    from elephantdb_spark.operators.multimodal import sample_frames_df
+
+    def _gen_gifs(batches):
+        import pandas as _pd
+
+        from elephantdb_spark.operators.gif import synth_gif
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [
+                    synth_gif(int(n) % 16 + 4, int(n) % 8 + 4, int(n) % 8 + 2)
+                    for n in pdf["n_chars"]
+                ],
+                "meta": [
+                    {"media_type": "image/gif", "lang": None, "source": "synth"}
+                ] * len(pdf),
+            })
+
+    with timed("gif_frame_sampling"):
+        sample_frames_df(
+            documents.select("doc_id", "n_chars").mapInPandas(
+                _gen_gifs, MULTIMODAL_SCHEMA
+            ),
+            every_n=2,
+        ).count()
+
     with timed("jpeg_roundtrip_resize"):
         resize_images(
             documents.select("doc_id", "n_chars").mapInPandas(

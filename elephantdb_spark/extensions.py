@@ -464,6 +464,49 @@ def q94_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q95_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the driver: synthesize an
+    animated GIF per document (frame count/dims from n_chars), extract
+    every 2nd frame with the real LZW decoder
+    (multimodal.sample_frames_df → operators/gif), and return the
+    SQL-predictable (id, frame_idx) explosion. Closes the frame-sampling
+    stub for a genuine multi-frame format; codec video (MP4/H.264) stays
+    honestly stubbed."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.gif import synth_gif
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        sample_frames_df,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [
+                        synth_gif(
+                            int(n) % 16 + 4, int(n) % 8 + 4, int(n) % 8 + 2
+                        )
+                        for n in pdf["n_chars"]
+                    ],
+                    "meta": [
+                        {"media_type": "image/gif", "lang": None, "source": "synth"}
+                    ] * len(pdf),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    return (
+        sample_frames_df(mm, every_n=2, use_real_decoder=True)
+        .select("id", "frame_idx")
+        .orderBy("id", "frame_idx")
+    )
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1239,6 +1282,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_png_decode_features": q92_png_decode_features,
     "q93_mp4_container_metadata": q93_mp4_container_metadata,
     "q94_jpeg_decode_features": q94_jpeg_decode_features,
+    "q95_gif_frame_sampling": q95_gif_frame_sampling,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -2035,6 +2079,11 @@ EXT_ORACLES: dict[str, str] = {
         "(n_chars % 16) + 1 AS height, "
         "CAST(CASE WHEN n_chars % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_channels "
         "FROM documents ORDER BY id"
+    ),
+    "q95_gif_frame_sampling": (
+        "SELECT doc_id AS id, CAST(unnest(generate_series(0, "
+        "(n_chars % 8) + 1, 2)) AS INTEGER) AS frame_idx "
+        "FROM documents ORDER BY id, frame_idx"
     ),
     "q91_repeated_span_profile": (
         f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "

@@ -15,12 +15,16 @@ pure stdlib + numpy throughout:
   Annex-K Huffman entropy decode, dequant + orthonormal IDCT, YCbCr;
   encoder + resize too — 4:4:4 subset, others raise ValueError);
 * MP4 container metadata (:func:`decode_mp4`: box-tree walk for
-  duration/tracks/dimensions).
+  duration/tracks/dimensions);
+* animated GIF (:mod:`~elephantdb_spark.operators.gif`: real
+  variable-width LZW both directions), which makes video FRAME SAMPLING
+  real — :func:`sample_frames` / :func:`sample_frames_df` extract actual
+  every-n-th frames from GIF payloads.
 
-The ONLY remaining stub is video frame/sample decode
-(:func:`sample_frames` — needs a real codec suite), where a clear
-``NotImplementedError`` marker plus a deterministic fake keep the
-distributed plumbing exercised end-to-end.
+The ONLY remaining stub is codec-compressed video frame decode
+(MP4/H.264 inside :func:`sample_frames` — needs a real codec suite),
+where a clear ``NotImplementedError`` marker plus a deterministic fake
+keep the distributed plumbing exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -177,6 +181,8 @@ def _encode_bmp24(arr: "np.ndarray") -> bytes:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 #: color type -> channel count for the supported 8-bit-depth subset
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -370,6 +376,10 @@ def decode_image(payload: bytes) -> dict:
         return decode_png(payload)
     if payload and payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload and bytes(payload[:6]) in _GIF_MAGICS:
+        from elephantdb_spark.operators.gif import decode_gif_header
+
+        return decode_gif_header(bytes(payload))
     raise NotImplementedError(
         "unrecognized image format (BMP, PNG, and baseline JPEG decode "
         "natively here; see operators/multimodal.py)"
@@ -472,9 +482,16 @@ def synth_mp4(
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
-    """STUB — video frame sampling (needs ffmpeg/av)."""
+    """Video frame sampling: REAL for animated GIF (operators/gif — LZW
+    decode, every_n-th frame as an (h, w, 3) uint8 array); STUB for
+    codec-compressed video (MP4/H.264 etc. need ffmpeg/av)."""
+    if payload and bytes(payload[:6]) in _GIF_MAGICS:
+        from elephantdb_spark.operators.gif import decode_gif_frames
+
+        return decode_gif_frames(bytes(payload))[::every_n]
     raise NotImplementedError(
-        "STUB: video frame sampling requires ffmpeg/av, not present here"
+        "STUB: codec-compressed video frame sampling requires ffmpeg/av, "
+        "not present here (animated GIF decodes natively)"
     )
 
 
@@ -571,6 +588,17 @@ def extract_media_features(mm_df: DataFrame) -> DataFrame:
                         row["n_channels"] = jpg["n_channels"]
                     except Exception:
                         pass  # malformed JPEG: keep the baseline features
+                elif data[:6] in _GIF_MAGICS:
+                    try:
+                        from elephantdb_spark.operators.gif import (
+                            decode_gif_header,
+                        )
+
+                        gif = decode_gif_header(data)
+                        row["width"] = gif["width"]
+                        row["height"] = gif["height"]
+                    except Exception:
+                        pass  # malformed GIF: keep the baseline features
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -594,12 +622,30 @@ def sample_frames_df(
     and raises — the documented extension point."""
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elephantdb_spark.operators.gif import decode_gif_frames
+
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for _id, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:6] in _GIF_MAGICS:
+                    # REAL frame extraction (LZW decode, every_n-th frame)
+                    try:
+                        frames = decode_gif_frames(data)
+                    except ValueError:
+                        if use_real_decoder:
+                            raise
+                        frames = None
+                    if frames is not None:
+                        for fi in range(0, len(frames), every_n):
+                            ids.append(_id)
+                            idxs.append(fi)
+                            sigs.append(
+                                hashlib.md5(frames[fi].tobytes()).hexdigest()[:8]
+                            )
+                        continue
                 if use_real_decoder:
-                    sample_frames(payload, every_n)  # raises NotImplementedError
-                data = payload or b""
+                    sample_frames(data, every_n)  # raises for codec video
                 n_frames = len(data) // 64
                 for fi in range(0, n_frames, every_n):
                     ids.append(_id)

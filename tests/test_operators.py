@@ -258,7 +258,9 @@ def test_resize_stage_shape_and_stub(spark, docs):
     assert all(len(bytes(r["payload"])) == 64 * 32 // 64 for r in out)
     assert all(r["width"] == 64 and r["height"] == 32 for r in out)
     assert {r["media_type"] for r in out} == {"text/plain"}
-    with _pytest.raises(Exception, match="STUB"):
+    # text payloads are no image format: the strict path must raise the
+    # unrecognized-format marker (BMP/PNG/JPEG now decode natively)
+    with _pytest.raises(Exception, match="unrecognized image format"):
         resize_images(mm, use_real_decoder=True).collect()
 
 

@@ -104,6 +104,12 @@ def main() -> None:
     _tp(documents.limit(50), "text").agg(
         F.sum("n_tokens"), F.max("fp"), F.avg("stop_ratio"), F.avg("avg_tok_len")
     ).collect()
+    # warm all CPUS Arrow python workers: each first use pays a
+    # numpy/pandas import (~1 s/worker, staggered) that would otherwise
+    # land on whichever wide mapInPandas entry runs first
+    documents.select("doc_id").repartition(CPUS).mapInPandas(
+        lambda it: it, "doc_id long"
+    ).count()
 
     # --- 1. bulk build: the reference's core workload (A4-A8) -------------
     li_kv = lineitem.select(
@@ -293,6 +299,15 @@ def main() -> None:
 
     # binary-payload plumbing: mapInPandas feature extraction over Arrow
     # batches (the shape real image/audio decode rides on)
+    # re-warm the Arrow python workers (untimed): the pool built during
+    # warmup is reclaimed across the preceding minutes of JVM-only
+    # entries, and a cold 32-worker fan-out (pandas/numpy import per
+    # forked worker) would otherwise bill 5-10 s to the first wide
+    # mapInPandas entry below
+    documents.select("doc_id").repartition(CPUS).mapInPandas(
+        lambda it: it, "doc_id long"
+    ).count()
+
     with timed("multimodal_features"):
         extract_features(
             attach_payload(documents, "doc_id", "text", "lang", "source")
@@ -320,7 +335,7 @@ def main() -> None:
 
     with timed("wav_decode_features"):
         extract_media_features(
-            documents.select("doc_id", "n_chars").mapInPandas(
+            documents.select("doc_id", "n_chars").repartition(CPUS).mapInPandas(
                 _gen_wavs, MULTIMODAL_SCHEMA
             )
         ).agg(F.sum("duration_ms")).collect()
@@ -346,7 +361,7 @@ def main() -> None:
 
     with timed("png_decode_features"):
         extract_media_features(
-            documents.select("doc_id", "n_chars").mapInPandas(
+            documents.select("doc_id", "n_chars").repartition(CPUS).mapInPandas(
                 _gen_pngs, MULTIMODAL_SCHEMA
             )
         ).agg(F.sum("width")).collect()
@@ -402,7 +417,7 @@ def main() -> None:
 
     with timed("gif_frame_sampling"):
         sample_frames_df(
-            documents.select("doc_id", "n_chars").mapInPandas(
+            documents.select("doc_id", "n_chars").repartition(CPUS).mapInPandas(
                 _gen_gifs, MULTIMODAL_SCHEMA
             ),
             every_n=2,
@@ -410,7 +425,7 @@ def main() -> None:
 
     with timed("jpeg_roundtrip_resize"):
         resize_images(
-            documents.select("doc_id", "n_chars").mapInPandas(
+            documents.select("doc_id", "n_chars").repartition(CPUS).mapInPandas(
                 _gen_jpegs, MULTIMODAL_SCHEMA
             ),
             16, 16,

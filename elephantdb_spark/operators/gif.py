@@ -36,18 +36,22 @@ def lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
     eoi = clear + 1
     out = bytearray()
 
-    bitpos = 0
-    nbits = len(data) * 8
+    # buffered LSB-first reader: O(1) int ops per code, not per bit
+    buf = 0
+    nbuf = 0
+    bytepos = 0
 
     def read_code(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            raise ValueError("LZW stream exhausted")
-        v = 0
-        for i in range(width):
-            byte = data[(bitpos + i) >> 3]
-            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
-        bitpos += width
+        nonlocal buf, nbuf, bytepos
+        while nbuf < width:
+            if bytepos >= len(data):
+                raise ValueError("LZW stream exhausted")
+            buf |= data[bytepos] << nbuf
+            bytepos += 1
+            nbuf += 8
+        v = buf & ((1 << width) - 1)
+        buf >>= width
+        nbuf -= width
         return v
 
     def reset():
@@ -220,7 +224,7 @@ def decode_gif_frames(payload: bytes) -> list["np.ndarray"]:
                 raise ValueError("truncated GIF extension")
             _, pos = _subblocks(payload, pos + 2)
         elif block == 0x2C:
-            if pos + 10 > len(payload):
+            if pos + 11 > len(payload):  # descriptor + LZW min-code byte
                 raise ValueError("truncated GIF image descriptor")
             left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
             ipacked = payload[pos + 9]

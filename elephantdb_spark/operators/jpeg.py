@@ -130,7 +130,8 @@ def _canonical_codes(bits: list[int], values: list[int]):
 # --- bit IO over the entropy-coded segment ---------------------------------
 
 class _BitReader:
-    """MSB-first bit reader with JPEG 0xFF00 byte-unstuffing. Hitting any
+    """MSB-first bit reader with JPEG 0xFF00 byte-unstuffing, buffered so
+    each read is O(1) int ops (not per-bit byte indexing). Hitting any
     real marker inside entropy data raises ValueError (restart markers are
     outside the declared subset)."""
 
@@ -138,10 +139,10 @@ class _BitReader:
         self.d = data
         self.pos = 0
         self.buf = 0
-        self.nbits = 0
+        self.nbuf = 0
 
-    def bit(self) -> int:
-        if self.nbits == 0:
+    def _fill(self, need: int) -> None:
+        while self.nbuf < need:
             if self.pos >= len(self.d):
                 raise ValueError("entropy stream exhausted")
             b = self.d[self.pos]
@@ -156,21 +157,22 @@ class _BitReader:
                         f"marker 0xFF{nxt:02X} inside entropy data "
                         "(restart intervals are outside the supported subset)"
                     )
-            self.buf = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
+            self.buf = (self.buf << 8) | b
+            self.nbuf += 8
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbuf -= n
+        v = (self.buf >> self.nbuf) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbuf) - 1
         return v
 
     def decode_symbol(self, table: dict) -> int:
         code = 0
         for length in range(1, 17):
-            code = (code << 1) | self.bit()
+            code = (code << 1) | self.bits(1)
             sym = table.get((length, code))
             if sym is not None:
                 return sym
@@ -184,15 +186,15 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.buf = (self.buf << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.buf)
-                if self.buf == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.buf = 0
-                self.nbits = 0
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.buf >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.buf &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:

@@ -592,6 +592,25 @@ def main() -> None:
         vocab = build_vocab(documents, "text", min_count=2, max_size=5000)
         encode_documents(documents, "doc_id", "text", vocab).count()
 
+    # HTML main-text extraction (stdlib parser, mapInPandas scan stage):
+    # per-doc page template -> title + block text (the q96 path)
+    from elephantdb_spark.operators.html import extract_html_text
+
+    wrapped_html = documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{}</style></head><body><h1>H</h1><p>"),
+            F.replace(F.col("text"), F.lit(" the "), F.lit("</p><p>")),
+            F.lit("</p><script>var x=1;</script></body></html>"),
+        ).alias("html"),
+    ).repartition(CPUS)
+    with timed("html_text_extraction"):
+        extract_html_text(wrapped_html, "doc_id", "html").agg(
+            F.sum(F.length("text"))
+        ).collect()
+
     # regex-chain redaction sweep (JVM regexp, scan-stage)
     with timed("redact_pii_sweep"):
         documents.select(

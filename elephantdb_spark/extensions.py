@@ -507,6 +507,32 @@ def q95_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML main-text extraction (operators/html — stdlib
+    html.parser): each document is wrapped in a deterministic page
+    template (title with an entity, head styles, script junk, paragraph
+    breaks at ' the ' boundaries), then extracted back; the oracle
+    derives the expected title/text from the raw text with SQL string
+    ops. The crawl-ingest front of the curation pipeline, hash-checked
+    end to end."""
+    from elephantdb_spark.operators.html import extract_html_text
+
+    docs = _table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"
+              "<h1>Heading</h1><p>"),
+        F.replace(F.col("text"), F.lit(" the "), F.lit("</p><p>")),
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    out = extract_html_text(wrapped, "doc_id", "html")
+    return out.select(
+        F.col("id").alias("doc_id"), "title", "text"
+    ).orderBy("doc_id")
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1283,6 +1309,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_mp4_container_metadata": q93_mp4_container_metadata,
     "q94_jpeg_decode_features": q94_jpeg_decode_features,
     "q95_gif_frame_sampling": q95_gif_frame_sampling,
+    "q96_html_text_extraction": q96_html_text_extraction,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -2084,6 +2111,11 @@ EXT_ORACLES: dict[str, str] = {
         "SELECT doc_id AS id, CAST(unnest(generate_series(0, "
         "(n_chars % 8) + 1, 2)) AS INTEGER) AS frame_idx "
         "FROM documents ORDER BY id, frame_idx"
+    ),
+    "q96_html_text_extraction": (
+        "SELECT doc_id, 'Doc & ' || CAST(doc_id AS VARCHAR) AS title, "
+        "'Heading' || chr(10) || replace(text, ' the ', chr(10)) AS text "
+        "FROM documents ORDER BY doc_id"
     ),
     "q91_repeated_span_profile": (
         f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "

@@ -79,6 +79,19 @@ def main() -> None:
     documents = read("documents")
     embeddings = read("embeddings")
 
+    def warm_python_workers():
+        """Untimed: fork + import-warm the Arrow python workers. Idle
+        workers are reclaimed during long JVM-only stretches, and a cold
+        fan-out (pandas/numpy import per forked worker, ~1 s each,
+        staggered) would otherwise bill 5-10 s to the next wide
+        mapInPandas entry. THREE chained identity stages because fused
+        python stages each hold their own worker — a 3-stage pipeline
+        (e.g. the WARC chain) needs 3*CPUS live workers."""
+        df = documents.select("doc_id").repartition(CPUS)
+        for _ in range(3):
+            df = df.mapInPandas(lambda it: it, "doc_id long")
+        df.count()
+
     # Untimed warmup: one tiny end-to-end build + read compiles the codegen
     # paths, starts the shuffle service, and loads the parquet committer
     # classes, so the timed entries measure steady-state operator cost
@@ -104,12 +117,7 @@ def main() -> None:
     _tp(documents.limit(50), "text").agg(
         F.sum("n_tokens"), F.max("fp"), F.avg("stop_ratio"), F.avg("avg_tok_len")
     ).collect()
-    # warm all CPUS Arrow python workers: each first use pays a
-    # numpy/pandas import (~1 s/worker, staggered) that would otherwise
-    # land on whichever wide mapInPandas entry runs first
-    documents.select("doc_id").repartition(CPUS).mapInPandas(
-        lambda it: it, "doc_id long"
-    ).count()
+    warm_python_workers()
 
     # --- 1. bulk build: the reference's core workload (A4-A8) -------------
     li_kv = lineitem.select(
@@ -299,14 +307,7 @@ def main() -> None:
 
     # binary-payload plumbing: mapInPandas feature extraction over Arrow
     # batches (the shape real image/audio decode rides on)
-    # re-warm the Arrow python workers (untimed): the pool built during
-    # warmup is reclaimed across the preceding minutes of JVM-only
-    # entries, and a cold 32-worker fan-out (pandas/numpy import per
-    # forked worker) would otherwise bill 5-10 s to the first wide
-    # mapInPandas entry below
-    documents.select("doc_id").repartition(CPUS).mapInPandas(
-        lambda it: it, "doc_id long"
-    ).count()
+    warm_python_workers()
 
     with timed("multimodal_features"):
         extract_features(
@@ -596,6 +597,8 @@ def main() -> None:
     # per-doc page template -> title + block text (the q96 path)
     from elephantdb_spark.operators.html import extract_html_text
 
+    warm_python_workers()
+
     wrapped_html = documents.select(
         "doc_id",
         F.concat(
@@ -610,6 +613,40 @@ def main() -> None:
         extract_html_text(wrapped_html, "doc_id", "html").agg(
             F.sum(F.length("text"))
         ).collect()
+
+    # WARC archive explode + HTTP strip + HTML extract: the q97 ingest
+    # chain over per-doc synthesized archives
+    from elephantdb_spark.sources.warc import warc_records_df
+
+    def _gen_warcs(batches):
+        import pandas as _pd
+
+        from elephantdb_spark.sources.warc import build_warc
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                html = "<html><body><p>" + str(text) + "</p></body></html>"
+                payloads.append(build_warc([
+                    {"warc_type": "warcinfo", "block": b"i\r\n"},
+                    {"warc_type": "response",
+                     "target_uri": f"http://ex.com/{did}",
+                     "block": b"HTTP/1.1 200 OK\r\n\r\n" + html.encode()},
+                ]))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "warc": payloads})
+
+    with timed("warc_ingest_chain"):
+        recs = warc_records_df(
+            documents.select("doc_id", "text").repartition(CPUS).mapInPandas(
+                _gen_warcs, "doc_id long, warc binary"
+            ),
+            "doc_id", "warc",
+        )
+        extract_html_text(
+            recs.select(F.col("id").alias("doc_id"),
+                        F.decode(F.col("body"), "UTF-8").alias("html")),
+            "doc_id", "html",
+        ).agg(F.sum(F.length("text"))).collect()
 
     # regex-chain redaction sweep (JVM regexp, scan-stage)
     with timed("redact_pii_sweep"):

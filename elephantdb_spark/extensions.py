@@ -533,6 +533,65 @@ def q96_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q97_warc_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-ingest path, hash-checked end to end: per-document
+    WARC archive (warcinfo + HTTP response record) → record explode with
+    HTTP-header strip (sources/warc) → HTML main-text extraction
+    (operators/html) → (doc_id, uri, title, text). Every byte of the
+    fixture derives from the documents table, so the oracle recomputes
+    the expected output with SQL string ops."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.html import extract_html_text
+    from elephantdb_spark.sources.warc import build_warc, warc_records_df
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                html = (
+                    f"<html><head><title>Page {did}</title>"
+                    "<style>p{}</style></head><body><h1>H</h1><p>"
+                    + str(text).replace(" the ", "</p><p>")
+                    + "</p><script>x()</script></body></html>"
+                )
+                payloads.append(
+                    build_warc(
+                        [
+                            {"warc_type": "warcinfo", "block": b"software: edb\r\n"},
+                            {
+                                "warc_type": "response",
+                                "target_uri": f"http://ex.com/{did}",
+                                "date": "2026-08-14T00:00:00Z",
+                                "block": (
+                                    b"HTTP/1.1 200 OK\r\n"
+                                    b"Content-Type: text/html\r\n\r\n"
+                                    + html.encode()
+                                ),
+                            },
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "warc": payloads})
+
+    warcs = docs.mapInPandas(gen, "doc_id long, warc binary")
+    pages = warc_records_df(warcs, "doc_id", "warc").select(
+        F.col("id").alias("doc_id"),
+        F.col("target_uri").alias("uri"),
+        F.decode(F.col("body"), "UTF-8").alias("html"),
+    )
+    extracted = extract_html_text(pages, "doc_id", "html").select(
+        F.col("id").alias("doc_id"), "title", "text"
+    )
+    return (
+        extracted.join(pages.select("doc_id", "uri"), "doc_id")
+        .select("doc_id", "uri", "title", "text")
+        .orderBy("doc_id")
+    )
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1310,6 +1369,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_jpeg_decode_features": q94_jpeg_decode_features,
     "q95_gif_frame_sampling": q95_gif_frame_sampling,
     "q96_html_text_extraction": q96_html_text_extraction,
+    "q97_warc_crawl_ingest": q97_warc_crawl_ingest,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -2115,6 +2175,12 @@ EXT_ORACLES: dict[str, str] = {
     "q96_html_text_extraction": (
         "SELECT doc_id, 'Doc & ' || CAST(doc_id AS VARCHAR) AS title, "
         "'Heading' || chr(10) || replace(text, ' the ', chr(10)) AS text "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q97_warc_crawl_ingest": (
+        "SELECT doc_id, 'http://ex.com/' || CAST(doc_id AS VARCHAR) AS uri, "
+        "'Page ' || CAST(doc_id AS VARCHAR) AS title, "
+        "'H' || chr(10) || replace(text, ' the ', chr(10)) AS text "
         "FROM documents ORDER BY doc_id"
     ),
     "q91_repeated_span_profile": (

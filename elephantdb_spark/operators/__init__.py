@@ -5,6 +5,7 @@ approximate nearest-neighbor search, and multimodal binary-column plumbing.
 
 from elephantdb_spark.operators.dedup import (
     exact_dedup,
+    repeated_span_profile,
     jaccard_shingle_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -27,6 +28,7 @@ from elephantdb_spark.operators.multimodal import (
     sample_frames_df,
 )
 from elephantdb_spark.operators.temporal import asof_join, range_join
+from elephantdb_spark.operators.html import extract_html_text, html_to_text
 from elephantdb_spark.operators.curation import (
     build_vocab,
     cap_per_source,
@@ -60,4 +62,7 @@ __all__ = [
     "build_vocab",
     "encode_documents",
     "gopher_filter",
+    "repeated_span_profile",
+    "extract_html_text",
+    "html_to_text",
 ]

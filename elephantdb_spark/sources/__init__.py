@@ -27,6 +27,11 @@ from elephantdb_spark.sources.readers import (
     kv_from_parquet,
     read_domain,
 )
+from elephantdb_spark.sources.warc import (
+    build_warc,
+    parse_warc,
+    warc_records_df,
+)
 
 __all__ = [
     "encode_utf8",
@@ -38,4 +43,7 @@ __all__ = [
     "kv_from_json",
     "kv_from_parquet",
     "read_domain",
+    "parse_warc",
+    "build_warc",
+    "warc_records_df",
 ]

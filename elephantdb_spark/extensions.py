@@ -592,6 +592,39 @@ def q97_warc_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_url_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host extraction (functions/url — pure
+    JVM-regex Column expressions in the Java ∩ RE2 dialect): messy URLs
+    (mixed case, userinfo, default ports, fragments, empty queries,
+    trailing slashes) derived from doc_id, normalized for the per-host
+    cap/dedup keying a crawl pipeline runs on."""
+    from elephantdb_spark.functions.url import host_col, normalize_url_col
+
+    docs = _table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Www.Site"), did.cast("string"), F.lit(".ORG:443/")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://User@Ex"),
+            (did % 5).cast("string"),
+            F.lit(".COM:80/Path/"),
+            did.cast("string"),
+            F.when(did % 3 == 0, F.lit("#Frag"))
+            .when(did % 3 == 1, F.lit("?"))
+            .otherwise(F.lit("?q=1")),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url_col(messy).alias("url_norm"),
+        host_col(messy).alias("host"),
+    ).orderBy("doc_id")
+
+
 #: q75 profiles the string/bigint document columns (floats excluded: their
 #: string rendering is engine-specific).
 PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -1370,6 +1403,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_gif_frame_sampling": q95_gif_frame_sampling,
     "q96_html_text_extraction": q96_html_text_extraction,
     "q97_warc_crawl_ingest": q97_warc_crawl_ingest,
+    "q98_url_normalization": q98_url_normalization,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
 }
@@ -1744,6 +1778,27 @@ _Q86_ORACLE = (
     f"{int(CURATION_SPLITS['train'] * (1 << 32))} THEN 'train' ELSE 'val' "
     f"END AS split FROM c WHERE rk <= {CURATION_CAP} ORDER BY doc_id"
 )
+
+
+def _q98_oracle_sql() -> str:
+    from elephantdb_spark.functions.url import (
+        duckdb_host_sql,
+        duckdb_normalize_url_sql,
+    )
+
+    messy = (
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "'HTTPS://Www.Site' || CAST(doc_id AS VARCHAR) || '.ORG:443/' "
+        "ELSE 'HTTP://User@Ex' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'.COM:80/Path/' || CAST(doc_id AS VARCHAR) || "
+        "CASE doc_id % 3 WHEN 0 THEN '#Frag' WHEN 1 THEN '?' "
+        "ELSE '?q=1' END END"
+    )
+    return (
+        f"WITH u AS (SELECT doc_id, {messy} AS url FROM documents) "
+        f"SELECT doc_id, {duckdb_normalize_url_sql('url')} AS url_norm, "
+        f"{duckdb_host_sql('url')} AS host FROM u ORDER BY doc_id"
+    )
 
 
 EXT_ORACLES: dict[str, str] = {
@@ -2183,6 +2238,7 @@ EXT_ORACLES: dict[str, str] = {
         "'H' || chr(10) || replace(text, ' the ', chr(10)) AS text "
         "FROM documents ORDER BY doc_id"
     ),
+    "q98_url_normalization": _q98_oracle_sql(),
     "q91_repeated_span_profile": (
         f"WITH corpus AS ({_NEARDUP_CORPUS_SQL}), "
         "spans AS (SELECT doc_id, unnest(list_transform("

@@ -25,17 +25,49 @@ curation stages downstream.
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import DataFrame
 
 _CRLF = b"\r\n"
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gunzip_members(payload: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream — the Common
+    Crawl ``.warc.gz`` shape is one gzip member PER RECORD, concatenated,
+    so a plain single-member gunzip silently drops everything after the
+    first record. Pure stdlib zlib; malformed streams raise ValueError."""
+    out = bytearray()
+    rest = payload
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip member: {exc}") from exc
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        if d.unused_data == rest:
+            raise ValueError("gzip decompressor made no progress")
+        rest = d.unused_data
+    if rest:
+        raise ValueError("trailing non-gzip bytes after gzip members")
+    return bytes(out)
 
 
 def parse_warc(payload: bytes) -> list[dict]:
     """Parse a WARC byte string into records:
     ``{"warc_type", "target_uri", "date", "content_length", "block"}``.
-    Unknown headers are ignored; record order is preserved."""
+    Unknown headers are ignored; record order is preserved. Gzipped
+    archives (``.warc.gz``, incl. the member-per-record Common Crawl
+    layout) are transparently decompressed."""
     if not payload:
         return []
+    if payload[:2] == _GZIP_MAGIC:
+        payload = gunzip_members(payload)
     records: list[dict] = []
     pos = 0
     n = len(payload)

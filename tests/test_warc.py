@@ -97,3 +97,32 @@ def test_spark_record_explode_skips_broken_archives(spark):
     assert {r["target_uri"] for r in by_id[1]} == {"http://a/1", "http://a/2"}
     # broken/NULL archives contribute zero rows, no task failure
     assert 2 not in by_id and 3 not in by_id
+
+
+class TestGzip:
+    def test_member_per_record_gzip(self):
+        """Common Crawl layout: one gzip member PER record — a naive
+        single-member gunzip would silently drop all but the first."""
+        import gzip as _gz
+
+        from elephantdb_spark.sources.warc import gunzip_members
+
+        recs = [_resp(f"http://a/{i}", f"body{i}".encode()) for i in range(3)]
+        members = b"".join(_gz.compress(build_warc([r])) for r in recs)
+        out = parse_warc(members)  # transparent decompression
+        assert [r["target_uri"] for r in out] == [f"http://a/{i}" for i in range(3)]
+        assert gunzip_members(members) == b"".join(build_warc([r]) for r in recs)
+
+    def test_single_member_and_garbage(self):
+        import gzip as _gz
+
+        import pytest
+
+        from elephantdb_spark.sources.warc import gunzip_members
+
+        whole = build_warc([_resp("http://a/1", b"x")])
+        assert parse_warc(_gz.compress(whole)) == parse_warc(whole)
+        for bad in (b"\x1f\x8bgarbage", _gz.compress(b"x")[:-4],
+                    _gz.compress(b"x") + b"trailing"):
+            with pytest.raises(ValueError):
+                gunzip_members(bad)

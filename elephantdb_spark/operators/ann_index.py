@@ -188,9 +188,23 @@ def update_ivf_index(
             new_df.select(id_col, vec_col), centroids, vec_col, out_col="shard"
         ).cache()
         try:
-            touched = sorted(
+            new_cells = {
                 r["shard"] for r in assigned.select("shard").distinct().collect()
-            )
+            }
+            # cells where a batch id CURRENTLY lives must also rewrite: a
+            # re-ingested vector whose new embedding moves it to a
+            # different cell would otherwise leave a stale duplicate in
+            # its (untouched, copy-forwarded) old cell. One column-pruned
+            # scan of (id, shard) against the broadcast batch ids.
+            old_cells = {
+                r["shard"]
+                for r in vectors.select(id_col, "shard")
+                .join(F.broadcast(assigned.select(id_col)), id_col)
+                .select("shard")
+                .distinct()
+                .collect()
+            }
+            touched = sorted(new_cells | old_cells)
             old = vectors.filter(F.col("shard").isin(touched)).select(
                 id_col, vec_col, "shard"
             )

@@ -48,6 +48,11 @@ class _TextExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
         self._cur: list[str] = []
+        # head is tracked separately from the other skip elements: its
+        # content is dropped too, but a <title> inside head (the normal
+        # place) IS the page title, while a <title> inside svg/noscript/
+        # iframe is a tooltip/fallback and must NOT shadow the real one
+        self._head_depth = 0
         self._skip_depth = 0
         self._in_title = False
         self.title: str | None = None
@@ -60,10 +65,12 @@ class _TextExtractor(HTMLParser):
             self.chunks.append(text)
 
     def handle_starttag(self, tag, attrs):
-        if tag == "title" and self._skip_depth >= 0:
-            # the title lives inside <head> (a skip element) but is the
-            # one piece of head content we keep — captured separately
-            self._in_title = True
+        if tag == "title":
+            if self._skip_depth == 0:
+                self._in_title = True
+            return
+        if tag == "head":
+            self._head_depth += 1
             return
         if tag in SKIP_ELEMENTS:
             self._skip_depth += 1
@@ -76,6 +83,10 @@ class _TextExtractor(HTMLParser):
             if self._in_title and self.title is None:
                 self.title = " ".join("".join(self._title_parts).split())
             self._in_title = False
+            self._title_parts = []
+            return
+        if tag == "head":
+            self._head_depth = max(0, self._head_depth - 1)
             return
         if tag in SKIP_ELEMENTS:
             self._skip_depth = max(0, self._skip_depth - 1)
@@ -90,7 +101,7 @@ class _TextExtractor(HTMLParser):
     def handle_data(self, data):
         if self._in_title:
             self._title_parts.append(data)
-        elif self._skip_depth == 0:
+        elif self._skip_depth == 0 and self._head_depth == 0:
             self._cur.append(data)
 
 

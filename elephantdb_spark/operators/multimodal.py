@@ -438,8 +438,17 @@ def decode_mp4(payload: bytes) -> dict:
             elif ityp == b"trak":
                 n_tracks += 1
                 for ttyp, ts, te in _mp4_boxes(payload, is_, ie):
-                    if ttyp == b"tkhd" and te - ts >= 84 and width is None:
-                        w_fp, h_fp = struct.unpack_from(">II", payload, ts + 76)
+                    if ttyp == b"tkhd" and width is None:
+                        # v1 tkhd has 64-bit ctime/mtime/duration, so the
+                        # dims sit 12 bytes later (offset 88 vs 76) — at
+                        # the v0 offset they'd read matrix garbage
+                        tkhd_v = payload[ts] if te > ts else 0
+                        dims_off, min_len = (88, 96) if tkhd_v == 1 else (76, 84)
+                        if te - ts < min_len:
+                            continue
+                        w_fp, h_fp = struct.unpack_from(
+                            ">II", payload, ts + dims_off
+                        )
                         if w_fp and h_fp:  # 16.16 fixed point; 0 = non-visual
                             width, height = w_fp >> 16, h_fp >> 16
     if timescale is None:

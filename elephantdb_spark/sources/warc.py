@@ -38,23 +38,32 @@ def gunzip_members(payload: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream — the Common
     Crawl ``.warc.gz`` shape is one gzip member PER RECORD, concatenated,
     so a plain single-member gunzip silently drops everything after the
-    first record. Pure stdlib zlib; malformed streams raise ValueError."""
+    first record. Pure stdlib zlib; malformed streams raise ValueError.
+
+    Members are fed in bounded chunks against a byte offset (never the
+    whole residual buffer), so cost is O(archive bytes) — re-feeding the
+    remainder per member would be O(members x size), hours on a real
+    50k-record Common Crawl file."""
     out = bytearray()
-    rest = payload
-    while rest[:2] == _GZIP_MAGIC:
+    mv = memoryview(payload)
+    pos = 0
+    chunk_size = 1 << 16
+    while pos < len(mv):
+        if bytes(mv[pos:pos + 2]) != _GZIP_MAGIC:
+            raise ValueError("trailing non-gzip bytes after gzip members")
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(rest)
-            out += d.flush()
+            while not d.eof:
+                if pos >= len(mv):
+                    raise ValueError("truncated gzip member")
+                chunk = bytes(mv[pos:pos + chunk_size])
+                out += d.decompress(chunk)
+                pos += len(chunk)
         except zlib.error as exc:
             raise ValueError(f"bad gzip member: {exc}") from exc
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        if d.unused_data == rest:
-            raise ValueError("gzip decompressor made no progress")
-        rest = d.unused_data
-    if rest:
-        raise ValueError("trailing non-gzip bytes after gzip members")
+        # rewind to the start of the next member (unused bytes are within
+        # the last bounded chunk, so this is O(chunk), not O(file))
+        pos -= len(d.unused_data)
     return bytes(out)
 
 
@@ -95,6 +104,10 @@ def parse_warc(payload: bytes) -> list[dict]:
             length = int(fields.get("content-length", ""))
         except ValueError as exc:
             raise ValueError("missing/invalid Content-Length") from exc
+        if length < 0:
+            # a negative length would move the cursor BACKWARDS and loop
+            # the parser forever on hostile archives
+            raise ValueError(f"negative Content-Length {length}")
         body_start = end_hdr + 4
         if body_start + length > n:
             raise ValueError("WARC block extends past end of payload")
@@ -127,7 +140,9 @@ def build_warc(records: list[dict]) -> bytes:
     for rec in records:
         block = rec.get("block", b"")
         out += b"WARC/1.0" + _CRLF
-        out += b"WARC-Type: " + rec.get("warc_type", "resource").encode() + _CRLF
+        # `or` (not a dict default): parse_warc emits warc_type=None for
+        # records without the header, and the round-trip must survive it
+        out += b"WARC-Type: " + (rec.get("warc_type") or "resource").encode() + _CRLF
         if rec.get("target_uri"):
             out += b"WARC-Target-URI: " + rec["target_uri"].encode() + _CRLF
         if rec.get("date"):

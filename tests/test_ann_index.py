@@ -293,14 +293,30 @@ def test_update_ivf_index_incremental(spark, emb, tmp_path):
             if f.endswith(".parquet")
         )
 
-    centroids, _, _, _ = load_ivf_index(spark, root, 2)
+    centroids, v2_vectors, _, _ = load_ivf_index(spark, root, 2)
     from elephantdb_spark.operators.ann import add_ivf_cell
 
-    touched = {
+    # no stale duplicates: every vec_id appears exactly once after the
+    # update, even when a re-ingested vector MOVED cells (review fix, r4)
+    dup = (
+        v2_vectors.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+    # touched = cells the batch lands in PLUS cells its ids lived in
+    # before (those rewrite to evict stale copies)
+    _, v1_vectors, _, _ = load_ivf_index(spark, root, 1)
+    new_cells = {
         r["shard"]
         for r in add_ivf_cell(updated, centroids, "embedding", out_col="shard")
         .select("shard").distinct().collect()
     }
+    old_cells = {
+        r["shard"]
+        for r in v1_vectors.join(updated.select("vec_id"), "vec_id")
+        .select("shard").distinct().collect()
+    }
+    touched = new_cells | old_cells
     untouched = [c for c in range(8) if c not in touched and cell_files(v1p, c)]
     assert untouched, "fixture should leave at least one untouched cell"
     for c in untouched:

@@ -81,3 +81,24 @@ def test_spark_extract_html_text(spark):
     # zero-Exchange: rowwise scan stage
     plan = extract_html_text(df, "doc_id", "html")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestTitleScoping:
+    def test_svg_noscript_titles_do_not_shadow_real_title(self):
+        """Review finding (r4): a <title> inside a skipped subtree is a
+        tooltip/fallback, not the page title."""
+        title, _ = html_to_text(
+            "<head><noscript><title>NO</title></noscript>"
+            "<title>Real</title></head><body>hi</body>"
+        )
+        assert title == "Real"
+        title2, text2 = html_to_text(
+            "<svg><title>icon tooltip</title></svg><p>body</p>"
+        )
+        assert title2 is None and text2 == "body"
+
+    def test_head_title_still_captured_and_head_text_dropped(self):
+        title, text = html_to_text(
+            "<head><title>T</title>stray head text</head><body><p>x</p></body>"
+        )
+        assert title == "T" and text == "x"

@@ -464,3 +464,32 @@ def test_spark_gif_frame_sampling_real(spark):
     bad = spark.createDataFrame([rows[1]], MULTIMODAL_SCHEMA)
     with _pt.raises(Exception):
         sample_frames_df(bad, every_n=1, use_real_decoder=True).collect()
+
+
+def test_mp4_tkhd_version1_dims():
+    """Review finding (r4): v1 tkhd (64-bit times) stores dims at offset
+    88; the v0 offset lands in the matrix."""
+    import struct as _st
+
+    def box(btype, body):
+        return _st.pack(">I", 8 + len(body)) + btype + body
+
+    dur = 5_000
+    mvhd = box(b"mvhd", _st.pack(">BxxxIIII", 0, 0, 0, 1000, dur) + b"\x00" * 80)
+    tkhd_v1 = (
+        _st.pack(">Bxxx", 1)
+        + _st.pack(">QQI", 0, 0, 1)     # ctime64, mtime64, track_id
+        + b"\x00" * 4                    # reserved
+        + _st.pack(">Q", dur)            # duration64
+        + b"\x00" * 52                   # reserved/layer/volume/matrix
+        + _st.pack(">II", 640 << 16, 360 << 16)
+    )
+    assert len(tkhd_v1) == 96
+    payload = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+        b"moov", mvhd + box(b"trak", box(b"tkhd", tkhd_v1))
+    )
+    from elephantdb_spark.operators.multimodal import decode_mp4
+
+    info = decode_mp4(payload)
+    assert (info["width"], info["height"]) == (640, 360)
+    assert info["duration_ms"] == 5000

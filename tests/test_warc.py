@@ -126,3 +126,36 @@ class TestGzip:
                     _gz.compress(b"x") + b"trailing"):
             with pytest.raises(ValueError):
                 gunzip_members(bad)
+
+
+class TestReviewFixes:
+    def test_negative_content_length_rejected_not_looped(self):
+        """A negative Content-Length must raise, not rewind the cursor
+        into an infinite record loop (review finding, r4)."""
+        import pytest
+
+        with pytest.raises(ValueError, match="negative Content-Length"):
+            parse_warc(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n")
+
+    def test_build_warc_roundtrips_none_warc_type(self):
+        raw = (b"WARC/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
+        recs = parse_warc(raw)
+        assert recs[0]["warc_type"] is None
+        again = parse_warc(build_warc(recs))  # must not raise
+        assert again[0]["block"] == b"abc"
+
+    def test_gunzip_many_members_linear(self):
+        """200 members decompress fast and correctly (the bounded-chunk
+        offset walk; the old whole-remainder refeed was quadratic)."""
+        import gzip as _gz
+        import time
+
+        from elephantdb_spark.sources.warc import gunzip_members
+
+        members = [build_warc([_resp(f"http://a/{i}", b"b" * 50)]) for i in range(200)]
+        blob = b"".join(_gz.compress(m) for m in members)
+        t0 = time.perf_counter()
+        out = gunzip_members(blob)
+        assert out == b"".join(members)
+        assert len(parse_warc(blob)) == 200
+        assert time.perf_counter() - t0 < 5.0

@@ -582,12 +582,11 @@ def q97_warc_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_uri").alias("uri"),
         F.decode(F.col("body"), "UTF-8").alias("html"),
     )
-    extracted = extract_html_text(pages, "doc_id", "html").select(
-        F.col("id").alias("doc_id"), "title", "text"
-    )
+    # uri rides THROUGH the extraction stage: joining it back on doc_id
+    # would recompute the synthesize+parse python chain per join branch
     return (
-        extracted.join(pages.select("doc_id", "uri"), "doc_id")
-        .select("doc_id", "uri", "title", "text")
+        extract_html_text(pages, "doc_id", "html", passthrough=("uri",))
+        .select(F.col("id").alias("doc_id"), "uri", "title", "text")
         .orderBy("doc_id")
     )
 

@@ -223,6 +223,16 @@ def update_ivf_index(
                 .partitionBy("shard")
                 .parquet(vpath)
             )
+            # a touched cell that ended up EMPTY (its only vectors moved
+            # elsewhere) gets no shard dir from the write — materialize
+            # an empty one so synchronize_versions does not copy the old
+            # cell (with its evicted vectors) back in
+            from elephantdb_spark.store import shard_dirname
+
+            for cell in touched:
+                os.makedirs(
+                    os.path.join(vpath, shard_dirname(cell)), exist_ok=True
+                )
         finally:
             assigned.unpersist()
         with open(os.path.join(vpath, CENTROIDS_FILENAME), "w") as fh:

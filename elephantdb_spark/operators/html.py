@@ -64,9 +64,21 @@ class _TextExtractor(HTMLParser):
         if text:
             self.chunks.append(text)
 
+    def _finalize_title(self) -> None:
+        if self._in_title:
+            if self.title is None:
+                self.title = " ".join("".join(self._title_parts).split())
+            self._in_title = False
+            self._title_parts = []
+
     def handle_starttag(self, tag, attrs):
+        # a <title> legally contains only text: ANY tag event closes a
+        # pending title, so broken markup (unclosed <title>) cannot
+        # swallow the rest of the document into the title buffer
+        if tag != "title":
+            self._finalize_title()
         if tag == "title":
-            if self._skip_depth == 0:
+            if self._skip_depth == 0 and not self._in_title:
                 self._in_title = True
             return
         if tag == "head":
@@ -79,11 +91,8 @@ class _TextExtractor(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag):
+        self._finalize_title()
         if tag == "title":
-            if self._in_title and self.title is None:
-                self.title = " ".join("".join(self._title_parts).split())
-            self._in_title = False
-            self._title_parts = []
             return
         if tag == "head":
             self._head_depth = max(0, self._head_depth - 1)
@@ -95,6 +104,7 @@ class _TextExtractor(HTMLParser):
             self._flush()
 
     def handle_startendtag(self, tag, attrs):
+        self._finalize_title()
         if tag in BLOCK_ELEMENTS:
             self._flush()
 
@@ -114,6 +124,7 @@ def html_to_text(payload: str) -> tuple[str | None, str]:
         p.close()
     except Exception:  # the stdlib parser is lenient; belt and braces
         pass
+    p._finalize_title()  # EOF inside an unclosed <title>
     p._flush()
     return p.title, "\n".join(p.chunks)
 
@@ -121,14 +132,27 @@ def html_to_text(payload: str) -> tuple[str | None, str]:
 HTML_TEXT_SCHEMA = "id long, title string, text string"
 
 
-def extract_html_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
-    """HTML → (id, title, text) as an Arrow-batched ``mapInPandas`` stage:
-    rowwise, zero shuffle — the crawl-ingest front of the curation
-    pipeline (compose with ``curation.normalize_text`` /
-    ``gopher_filter`` downstream). NULL html yields (NULL title, '')."""
+def extract_html_text(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """HTML → (id, title, text[, *passthrough]) as an Arrow-batched
+    ``mapInPandas`` stage: rowwise, zero shuffle — the crawl-ingest front
+    of the curation pipeline (compose with ``curation.normalize_text`` /
+    ``gopher_filter`` downstream). NULL html yields (NULL title, '').
+
+    ``passthrough`` carries extra columns (e.g. the record URI) through
+    the stage verbatim — the alternative, joining them back on id,
+    recomputes the upstream python stages once per join branch."""
     import pandas as pd
 
-    cols = df.select(id_col, html_col)
+    cols = df.select(id_col, html_col, *passthrough)
+    dtypes = dict(df.dtypes)
+    schema = HTML_TEXT_SCHEMA + "".join(
+        f", {c} {dtypes[c]}" for c in passthrough
+    )
 
     def run(batches):
         for pdf in batches:
@@ -137,8 +161,9 @@ def extract_html_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
                 title, text = html_to_text(payload)
                 titles.append(title)
                 texts.append(text)
-            yield pd.DataFrame(
-                {"id": pdf[id_col], "title": titles, "text": texts}
-            )
+            out = {"id": pdf[id_col], "title": titles, "text": texts}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return cols.mapInPandas(run, HTML_TEXT_SCHEMA)
+    return cols.mapInPandas(run, schema)

@@ -237,6 +237,24 @@ def _segments(payload: bytes):
     raise ValueError("JPEG stream ended without SOS/EOI")
 
 
+def _valueerror_only(fn):
+    """Normalize the parser's failure zoo: truncated segments index past
+    buffers (IndexError) or break struct.unpack_from — the declared
+    contract is ValueError ONLY (the mapInPandas fallbacks catch exactly
+    that; anything else would fail the whole Spark task)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+    return wrapped
+
+
+@_valueerror_only
 def decode_jpeg_header(payload: bytes) -> dict:
     """Parse markers up to SOF: width/height/components/mode. Any SOF
     variant is reported; only SOF0 is pixel-decodable here."""
@@ -257,6 +275,7 @@ def decode_jpeg_header(payload: bytes) -> dict:
     raise ValueError("JPEG has no SOF marker")
 
 
+@_valueerror_only
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Full baseline decode → (h, w, c) uint8 (c = 1 grayscale, 3 RGB).
     Outside-subset streams (progressive, subsampled, restart intervals,

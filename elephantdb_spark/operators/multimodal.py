@@ -267,22 +267,32 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
             pass
         elif f == 2:  # Up — uint8 addition wraps mod 256, per spec
             row += prev
-        elif f == 1:  # Sub — sequential in x
-            for i in range(c, stride):
-                row[i] = (int(row[i]) + int(row[i - c])) & 0xFF
-        elif f == 3:  # Average
+        elif f == 1:
+            # Sub is a per-channel-lane prefix sum mod 256 — fully
+            # vectorized (the per-byte python loop was ~100x slower on
+            # real third-party PNGs, which rarely use filter 0)
+            row = (
+                row.reshape(-1, c).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 3:  # Average — sequential in x; plain-int list loop
+            r = row.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                left = int(row[i - c]) if i >= c else 0
-                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+                left = r[i - c] if i >= c else 0
+                r[i] = (r[i] + ((left + pv[i]) >> 1)) & 0xFF
+            row = np.array(r, dtype=np.uint8)
+        elif f == 4:  # Paeth — sequential in x; plain-int list loop
+            r = row.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                a = int(row[i - c]) if i >= c else 0
-                b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
+                a = r[i - c] if i >= c else 0
+                b = pv[i]
+                cc = pv[i - c] if i >= c else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                row[i] = (int(row[i]) + pred) & 0xFF
+                r[i] = (r[i] + pred) & 0xFF
+            row = np.array(r, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = row

@@ -72,7 +72,10 @@ def clean_stream(
         from elephantdb_spark.operators.curation import normalize_text_col
 
         out = out.withColumn(text_col, normalize_text_col(F.col(text_col)))
-    if gopher:
+    # `is True or isinstance(dict)`: an EMPTY overrides dict is the
+    # natural spelling of "defaults via dict" and must still gate —
+    # a bare truthiness check would silently skip filtering for {}
+    if gopher is True or isinstance(gopher, dict):
         from elephantdb_spark.operators.curation import gopher_rule_cols
 
         overrides = gopher if isinstance(gopher, dict) else {}

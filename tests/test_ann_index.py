@@ -339,3 +339,42 @@ def test_update_ivf_index_requires_existing_index(spark, emb, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         update_ivf_index(spark, emb.limit(1), str(tmp_path / "nope"))
+
+
+def test_update_ivf_index_emptied_cell_not_resurrected(spark):
+    """Review finding (r4, pass 2): when an update moves a cell's ONLY
+    vector to a different cell, the emptied cell must not be
+    copy-forwarded with the stale vector (the write emits no dir for an
+    empty cell; the op must materialize one)."""
+    import numpy as np
+    import tempfile
+
+    from elephantdb_spark.operators.ann_index import update_ivf_index
+
+    dim = 4
+    cents = np.array(
+        [[0.0] * dim, [10.0] * dim], dtype=np.float64
+    )  # two well-separated cells
+    root = tempfile.mkdtemp() + "/empty_cell_idx"
+    base = spark.createDataFrame(
+        [(1, [0.1] * dim), (2, [10.1] * dim), (3, [9.9] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    build_ivf_index(spark, base, root, n_cells=2, version=1, centroids=cents)
+
+    # move id=1 (cell 0's ONLY vector) to cell 1
+    moved = spark.createDataFrame(
+        [(1, [9.8] * dim)], "vec_id long, embedding array<float>"
+    )
+    update_ivf_index(spark, moved, root, version=2)
+
+    _, v2_vectors, _, _ = load_ivf_index(spark, root, 2)
+    rows = {(r["vec_id"], r["shard"]) for r in v2_vectors.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 1)}, rows  # id 1 ONCE, in cell 1
+
+    # exact probe near the OLD location finds nothing stale
+    got = {
+        r["id"]
+        for r in ivf_index_probe(spark, root, [0.1] * dim, k=3, n_probe=2).collect()
+    }
+    assert got == {1, 2, 3}

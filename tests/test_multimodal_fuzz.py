@@ -493,3 +493,56 @@ def test_mp4_tkhd_version1_dims():
     info = decode_mp4(payload)
     assert (info["width"], info["height"]) == (640, 360)
     assert info["duration_ms"] == 5000
+
+
+def test_png_unfilter_matches_independent_filter_implementation():
+    """Decode rows filtered with an INDEPENDENT implementation of Sub/Up/
+    Average/Paeth (not our encoder, which only emits filter 0) — pins the
+    unfiltering math itself, incl. the vectorized Sub prefix-sum path."""
+    import struct as _st
+    import zlib as _zl
+
+    from elephantdb_spark.operators.multimodal import PNG_SIG
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    h, w, c = arr.shape
+    stride = w * c
+
+    def filt(ftype, row, prev):
+        out = np.zeros(stride, np.int64)
+        r = row.astype(np.int64)
+        pv = prev.astype(np.int64)
+        for i in range(stride):
+            a = r[i - c] if i >= c else 0
+            b = pv[i]
+            cc = pv[i - c] if i >= c else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[i] = (r[i] - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    raw = b""
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ftype = (y % 4) + 1  # cycle Sub/Up/Average/Paeth
+        raw += bytes([ftype]) + filt(ftype, arr[y].reshape(-1), prev).tobytes()
+        prev = arr[y].reshape(-1)
+
+    def chunk(t, d):
+        return _st.pack(">I", len(d)) + t + d + _st.pack(
+            ">I", _zl.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _zl.compress(raw)) + chunk(b"IEND", b""))
+    assert (_decode_png_pixels(png) == arr).all()

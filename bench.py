@@ -219,14 +219,14 @@ def main() -> None:
             spark, documents, hist_root, ["text"], "doc_id",
             DomainSpec(num_shards=NUM_SHARDS), version=1,
         )
-    hist_batch = documents.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.when(
-            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" fresh"))
-        ).otherwise(F.col("text")).alias("text"),
-    )
+    # the q80 fixture helper — one definition of the batch shape, so the
+    # bench and the driver query cannot drift
+    from elephantdb_spark.extensions import _history_batch
+
     with timed("dedup_history_filter"):
-        filter_against_history(spark, hist_batch, hist_root, ["text"]).count()
+        filter_against_history(
+            spark, _history_batch(documents), hist_root, ["text"]
+        ).count()
 
     with timed("minhash_lsh_documents"):
         minhash_lsh_pairs(documents, "doc_id", "text",

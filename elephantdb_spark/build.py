@@ -466,17 +466,26 @@ def compact_domain(
     n = store.spec.num_shards
     fmt = resolve_format(store.spec.persistence_format)
     try:
-        sub = (
+        base = (
             spark.read.option("basePath", cur_path)
             .format(fmt)
             .load(cur_path)
             .filter(F.col("shard").isin(fragmented))  # partition-pruned
-            .select("key", "value", F.col("shard").cast("int").alias("shard"))
         )
+        # schema-agnostic: KV domains carry (key, value), index domains
+        # (vec_id, embedding) — compaction must preserve whatever the
+        # domain stores, sorted by its own ordering column
+        data_cols = [c for c in base.columns if c != "shard"]
+        sort_col = (
+            "key"
+            if "key" in data_cols
+            else store.spec.persistence_opts.get("id_col", data_cols[0])
+        )
+        sub = base.select(*data_cols, F.col("shard").cast("int").alias("shard"))
         writer = (
             with_slot_column(spark, sub, n)
             .repartition(n, F.col("__slot"))
-            .sortWithinPartitions("shard", "key")
+            .sortWithinPartitions("shard", sort_col)
             .drop("__slot")
             .write.mode("errorifexists")
             .partitionBy("shard")

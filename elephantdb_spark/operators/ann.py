@@ -283,6 +283,18 @@ def train_ivf_centroids_hierarchical(
             if alloc[idx] < counts[nonempty][idx]:
                 alloc[idx] += 1
                 remainder -= 1
+    elif remainder < 0:
+        # the max(1, ...) floor can OVERSHOOT on skewed membership
+        # (e.g. counts [97,1,1,1] at n_cells=10 -> alloc [9,1,1,1]=12):
+        # trim the largest allocations back down — returning more than
+        # n_cells centroids would assign vectors to cells the index's
+        # slot table does not know, silently dropping them from the build
+        while remainder < 0:
+            idx = int(np.argmax(alloc))
+            if alloc[idx] <= 1:
+                break  # every super-cell at the 1-centroid floor
+            alloc[idx] -= 1
+            remainder += 1
     out = []
     for j, sc in enumerate(nonempty):
         members = mat[assign == sc]

@@ -122,10 +122,18 @@ def filter_against_history(
     collapsing them is the caller's choice (``exact_dedup`` on the
     survivors), not this filter's.
     """
+    from elephantdb_spark.operators.dedup import _persist_tracked
+
     hist = Domain(spark, root).scan(version=version).select("key")
-    keyed = batch.withColumn("__k", digest_key_col(key_cols))
+    # ONE materialization of the keyed batch serves the size probe, the
+    # broadcast digest build, and the flagging join — without the persist
+    # a batch with real ingest lineage would be re-scanned three times.
+    # Tracked like the shingle indexes: release_shingle_caches() frees it
+    # deterministically after the consuming action.
+    keyed = _persist_tracked(batch.withColumn("__k", digest_key_col(key_cols)))
     out_cols = [*batch.columns, F.col("__hit").isNull().alias("is_new")]
-    if batch.count() <= max_broadcast_rows:
+    n_batch = keyed.count()
+    if n_batch <= max_broadcast_rows:
         # hits = history ⋉ batch digests: history scanned once, never
         # shuffled; the result is bounded by the batch's distinct count
         hits = hist.join(

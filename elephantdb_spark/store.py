@@ -185,6 +185,11 @@ class VersionedStore:
         if versions_to_keep >= 0:
             versions = versions[: min(len(versions), versions_to_keep)]
         keepers = set(versions)
+        # snapshot the published set BEFORE deleting anything: the loop
+        # below removes version tokens, and a live re-read per aside
+        # would (listdir-order-dependently) see a just-deleted version as
+        # unpublished and keep its crash-leftover aside forever
+        published = set(self.all_versions())
         for name in os.listdir(self.root):
             full = os.path.join(self.root, name)
             stem = name
@@ -201,7 +206,7 @@ class VersionedStore:
                     aside_v = int(name[len(".staging-"):])
                 except ValueError:
                     aside_v = None
-                if aside_v is None or aside_v in set(self.all_versions()):
+                if aside_v is None or aside_v in published:
                     shutil.rmtree(full)
                 continue
             try:

@@ -378,3 +378,27 @@ def test_update_ivf_index_emptied_cell_not_resurrected(spark):
         for r in ivf_index_probe(spark, root, [0.1] * dim, k=3, n_probe=2).collect()
     }
     assert got == {1, 2, 3}
+
+
+def test_hierarchical_trainer_never_overshoots_on_skew(spark):
+    """Review finding (r4, pass 3): largest-remainder allocation with the
+    max(1,...) floor could return MORE than n_cells centroids on skewed
+    super-cell membership — cells >= n_cells would then silently lose
+    their vectors in the index build."""
+    import numpy as np
+
+    from elephantdb_spark.operators.ann import (
+        train_ivf_centroids_hierarchical,
+    )
+
+    rng = np.random.RandomState(0)
+    # 97 points in one tight cluster + 3 satellites: super-cell counts
+    # like [97,1,1,1] reproduce the negative-remainder arithmetic
+    dense = rng.normal(0, 0.01, (97, 8))
+    sparse = np.eye(3, 8) * 50
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([dense, sparse]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids_hierarchical(
+        df, n_cells=10, branch=4, sample_size=100, seed=3
+    )
+    assert cents.shape[0] <= 10, cents.shape

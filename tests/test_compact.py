@@ -155,3 +155,61 @@ def test_compact_partial_fragmentation_rewrites_only_fragmented(spark, tmp_path)
         ) == [f for f in names_before[s] if not f.startswith(("_", "."))]
     assert Domain(spark, root).get(b"5") == b"u5"
     assert Domain(spark, root).get(b"99") == b"v99"
+
+
+def test_compact_index_domain_preserves_schema_and_centroids(spark, tmp_path):
+    """Review finding (r4, pass 3): compact_domain hard-coded (key, value)
+    and crashed on index domains despite advertising them. Fragment one
+    cell by hand, compact, and probe the result."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from elephantdb_spark import compact_domain
+    from elephantdb_spark.operators.ann import brute_force_topk
+    from elephantdb_spark.operators.ann_index import (
+        CENTROIDS_FILENAME,
+        build_ivf_index,
+        ivf_index_probe,
+        load_ivf_index,
+    )
+    from elephantdb_spark.store import DomainStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "frag_idx")
+    build_ivf_index(spark, emb, root, n_cells=4, version=1)
+
+    store = DomainStore.open(root)
+    vpath = store.version_path(1)
+    cells = sorted(d for d in os.listdir(vpath) if d.startswith("shard="))
+    # fragment the first cell: rewrite its single file as two
+    target = os.path.join(vpath, cells[0])
+    tmp_out = str(tmp_path / "split")
+    spark.read.parquet(target).repartition(2).write.parquet(tmp_out)
+    for f in os.listdir(target):
+        if not f.startswith(("_", ".")):
+            os.remove(os.path.join(target, f))
+    k = 0
+    for f in os.listdir(tmp_out):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp_out, f), os.path.join(target, f"part-{k}.parquet"))
+            k += 1
+    assert k == 2
+
+    v2 = compact_domain(spark, root)
+    assert v2 != 1
+    v2path = DomainStore.open(root).version_path(v2)
+    files = [
+        f for f in os.listdir(os.path.join(v2path, cells[0]))
+        if not f.startswith(("_", "."))
+    ]
+    assert len(files) == 1  # defragmented
+    assert os.path.exists(os.path.join(v2path, CENTROIDS_FILENAME))
+    # content identical + probe equals brute force (exact mode)
+    _, vecs, _, _ = load_ivf_index(spark, root, v2)
+    assert vecs.count() == emb.count()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = {r["id"] for r in ivf_index_probe(spark, root, q, k=5, n_probe=4).collect()}
+    want = {r["id"] for r in brute_force_topk(emb, q, k=5).collect()}
+    assert got == want

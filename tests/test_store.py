@@ -125,3 +125,25 @@ def test_cleanup_on_never_created_root_is_noop(tmp_path):
     store.cleanup()
     store.cleanup(versions_to_keep=2)
     assert store.all_versions() == []
+
+
+def test_cleanup_gcs_aside_of_version_deleted_in_same_pass(tmp_path):
+    """Review finding (r4, pass 3): the published-set check ran live per
+    aside while the same loop deleted version tokens — listdir order
+    could leave a published version's crash-leftover aside un-GC-able
+    forever. The snapshot makes it deterministic."""
+    import os
+
+    from elephantdb_spark.store import VersionedStore
+
+    vs = VersionedStore(str(tmp_path / "dom"))
+    for v in (5, 6):
+        vs.create_version(v)
+        vs.succeed_version(v)
+    aside = vs.staging_aside_path(5)
+    os.makedirs(aside)
+    with open(os.path.join(aside, "batch-0"), "w") as fh:
+        fh.write("staged")
+    vs.cleanup(versions_to_keep=1)
+    assert vs.all_versions() == [6]
+    assert not os.path.exists(aside), "published-version aside must GC"

@@ -1181,7 +1181,9 @@ def q80_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _dedup_history_root(spark, sf_dir)
     batch = _history_batch(_table(spark, sf_dir, "documents"))
     return (
-        filter_against_history(spark, batch, root, ["text"])
+        # cache_batch=False: the driver runs ~100 queries in one session
+        # with no release hook — a squatting persist would tax them all
+        filter_against_history(spark, batch, root, ["text"], cache_batch=False)
         .select("doc_id", "is_new")
         .orderBy("doc_id")
     )

@@ -164,10 +164,14 @@ def update_ivf_index(
     periodic heavy-weight companion of incremental updates.
 
     Scale shape: the batch is assigned cells via the broadcast centroid
-    matmul; old data is partition-pruned to touched cells and never
-    shuffles for the merge (broadcast anti-join on the batch ids); the
-    write re-uses the exact 1:1 cell→partition placement, emitting files
-    only for touched cells.
+    matmul; touched-cell discovery additionally costs ONE column-pruned
+    (id, shard) scan of the index against the broadcast batch ids — the
+    price of exact LWW without an id→cell sidecar (a re-ingested vector
+    can have MOVED cells, and its old cell must rewrite to evict the
+    stale copy). The merge itself stays batch-shaped: old data is
+    partition-pruned to the touched cells and never shuffles (broadcast
+    anti-join on batch ids), and the write re-uses the exact 1:1
+    cell→partition placement, emitting files only for touched cells.
     """
     store = DomainStore.open(root)
     prev = store.most_recent_version()

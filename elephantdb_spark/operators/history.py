@@ -115,6 +115,7 @@ def filter_against_history(
     key_cols: list[str],
     max_broadcast_rows: int = MAX_BROADCAST_ROWS,
     version: int | None = None,
+    cache_batch: bool = True,
 ) -> DataFrame:
     """Flag each batch row against the seen-set: returns the batch columns
     plus ``is_new`` (true ⇔ the row's digest is absent from the pinned
@@ -129,8 +130,13 @@ def filter_against_history(
     # broadcast digest build, and the flagging join — without the persist
     # a batch with real ingest lineage would be re-scanned three times.
     # Tracked like the shingle indexes: release_shingle_caches() frees it
-    # deterministically after the consuming action.
-    keyed = _persist_tracked(batch.withColumn("__k", digest_key_col(key_cols)))
+    # deterministically after the consuming action. ``cache_batch=False``
+    # for one-shot contexts with no release hook (e.g. the driver's
+    # many-query session, q80) where a squatting cache would tax every
+    # later query — there the triple scan of a small batch is cheaper.
+    keyed = batch.withColumn("__k", digest_key_col(key_cols))
+    if cache_batch:
+        keyed = _persist_tracked(keyed)
     out_cols = [*batch.columns, F.col("__hit").isNull().alias("is_new")]
     n_batch = keyed.count()
     if n_batch <= max_broadcast_rows:

@@ -88,6 +88,10 @@ class _TextExtractor(HTMLParser):
             self._skip_depth += 1
             return
         if tag in BLOCK_ELEMENTS:
+            # spec-legal implied </head>: head ends at <body> (or any
+            # body-content block) — crawled pages omit </head> routinely,
+            # and without this the whole body would count as head content
+            self._head_depth = 0
             self._flush()
 
     def handle_endtag(self, tag):
@@ -148,10 +152,17 @@ def extract_html_text(
     recomputes the upstream python stages once per join branch."""
     import pandas as pd
 
+    reserved = {"id", "title", "text"}
+    clash = reserved.intersection(passthrough)
+    if clash:
+        raise ValueError(
+            f"passthrough columns {sorted(clash)} collide with the fixed "
+            "output fields (id, title, text) — alias them first"
+        )
     cols = df.select(id_col, html_col, *passthrough)
     dtypes = dict(df.dtypes)
     schema = HTML_TEXT_SCHEMA + "".join(
-        f", {c} {dtypes[c]}" for c in passthrough
+        f", `{c}` {dtypes[c]}" for c in passthrough  # backticks: odd names
     )
 
     def run(batches):

@@ -72,14 +72,19 @@ def clean_stream(
         from elephantdb_spark.operators.curation import normalize_text_col
 
         out = out.withColumn(text_col, normalize_text_col(F.col(text_col)))
-    # `is True or isinstance(dict)`: an EMPTY overrides dict is the
-    # natural spelling of "defaults via dict" and must still gate —
-    # a bare truthiness check would silently skip filtering for {}
+    # contract: False/None = off, True = defaults, dict = overrides
+    # (an EMPTY dict still gates — bare truthiness would skip it); any
+    # other value raises rather than silently disabling the quality gate
     if gopher is True or isinstance(gopher, dict):
         from elephantdb_spark.operators.curation import gopher_rule_cols
 
         overrides = gopher if isinstance(gopher, dict) else {}
         out = out.filter(gopher_rule_cols(F.col(text_col), **overrides)["kept"])
+    elif gopher is not False and gopher is not None:
+        raise ValueError(
+            f"gopher must be False/None, True, or a dict of threshold "
+            f"overrides; got {gopher!r}"
+        )
     if min_tokens is not None:
         out = out.filter(token_count_col(F.col(text_col)) >= min_tokens)
     if max_dup_ngram_frac is not None:

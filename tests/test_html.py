@@ -102,3 +102,20 @@ class TestTitleScoping:
             "<head><title>T</title>stray head text</head><body><p>x</p></body>"
         )
         assert title == "T" and text == "x"
+
+    def test_implied_head_close_without_endtag(self):
+        """Review finding (r4, pass 4): omitting </head> is spec-legal and
+        common in crawls — body text must not be swallowed as head
+        content."""
+        title, text = html_to_text(
+            "<head><title>T</title><body><p>hello</p><p>world</p></body>"
+        )
+        assert title == "T" and text == "hello\nworld"
+
+    def test_passthrough_validation(self, spark):
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, "<p>x</p>", "u")],
+                                   "doc_id long, html string, title string")
+        with _pt.raises(ValueError, match="collide"):
+            extract_html_text(df, "doc_id", "html", passthrough=("title",))

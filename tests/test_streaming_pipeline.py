@@ -149,3 +149,17 @@ def test_clean_stream_curation_stages_match_batch(spark, tmp_path):
     assert got == want
     # the messy and clean deliveries collapsed to ONE canonical survivor
     assert got == {clean, fresh}
+
+
+def test_clean_stream_rejects_out_of_contract_gopher(spark, tmp_path):
+    """gopher=1 (or any non-bool non-dict) must raise, not silently skip
+    the quality gate (review finding, r4 pass 4)."""
+    import pytest
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="gopher must be"):
+        clean_stream(stream, "text", "ts", gopher=1)
+    # empty dict still gates; None/False are off — all construct fine
+    clean_stream(stream, "text", "ts", gopher={})
+    clean_stream(stream, "text", "ts", gopher=None)
+    clean_stream(stream, "text", "ts", gopher=False)

@@ -183,6 +183,24 @@ def update_ivf_index(
     missing = [c for c in (id_col, vec_col) if c not in new_df.columns]
     if missing:
         raise ValueError(f"columns {missing} not in frame: {new_df.columns}")
+    # The documented invariant is one row per id after the merge ("new
+    # vector wins per id — LWW"); the anti-join below only evicts
+    # PRIOR-version copies, so an intra-batch duplicate id would write
+    # both rows. A batch carries no order to break the tie with, so
+    # reject it eagerly (bounded: limit(1) on the duplicate-id agg).
+    dup = (
+        new_df.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"update batch has duplicate id {dup[0][id_col]!r}: collapse "
+            f"the batch to one row per {id_col} before update_ivf_index "
+            "(a batch carries no write order, so LWW cannot break the tie)"
+        )
     n_cells = spec.num_shards
     if version is None:
         version = int(time.time() * 1000)

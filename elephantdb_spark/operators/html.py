@@ -133,7 +133,7 @@ def html_to_text(payload: str) -> tuple[str | None, str]:
     return p.title, "\n".join(p.chunks)
 
 
-HTML_TEXT_SCHEMA = "id long, title string, text string"
+HTML_TEXT_SCHEMA = "id long, title string, text string"  # long when id_col is
 
 
 def extract_html_text(
@@ -161,7 +161,9 @@ def extract_html_text(
         )
     cols = df.select(id_col, html_col, *passthrough)
     dtypes = dict(df.dtypes)
-    schema = HTML_TEXT_SCHEMA + "".join(
+    # the id field's type follows id_col (a crawl's string doc ids must
+    # not hit an opaque Arrow long-cast failure at task runtime)
+    schema = f"id {dtypes[id_col]}, title string, text string" + "".join(
         f", `{c}` {dtypes[c]}" for c in passthrough  # backticks: odd names
     )
 

@@ -437,8 +437,17 @@ def decode_mp4(payload: bytes) -> dict:
         if btype != b"moov":
             continue
         for ityp, is_, ie in _mp4_boxes(payload, s, e):
-            if ityp == b"mvhd" and ie - is_ >= 20:
+            if ityp == b"mvhd" and ie - is_ >= 1:
                 version = payload[is_]
+                # v1 has 64-bit ctime/mtime/duration: timescale@20 +
+                # duration@24 needs 32 body bytes; v0 needs 20. A
+                # truncated box must raise, not unpack_from bytes of the
+                # next sibling via the absolute offsets.
+                need = 32 if version == 1 else 20
+                if ie - is_ < need:
+                    raise ValueError(
+                        f"truncated mvhd v{version}: {ie - is_} < {need} bytes"
+                    )
                 if version == 1:
                     (timescale,) = struct.unpack_from(">I", payload, is_ + 20)
                     (duration,) = struct.unpack_from(">Q", payload, is_ + 24)

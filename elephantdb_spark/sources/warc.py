@@ -173,6 +173,12 @@ def warc_records_df(
 
     cols = df.select(id_col, warc_col)
     keep = set(types) if types else None
+    # id type follows id_col (crawl doc ids are often strings; a fixed
+    # `long` would fail the task with an opaque Arrow cast error)
+    schema = (
+        f"id {dict(df.dtypes)[id_col]}, rec_idx int, warc_type string, "
+        "target_uri string, body binary"
+    )
 
     def explode(batches):
         for pdf in batches:
@@ -206,4 +212,4 @@ def warc_records_df(
                 }
             )
 
-    return cols.mapInPandas(explode, WARC_RECORD_SCHEMA)
+    return cols.mapInPandas(explode, schema)

@@ -495,9 +495,12 @@ class Domain:
         }
 
     # -- lifecycle -----------------------------------------------------------
-    def cleanup_versions(self, versions_to_keep: int = 1) -> None:
-        """Version GC (A19, VersionedStore.java:110-127)."""
-        self.store.cleanup(versions_to_keep)
+    def cleanup_versions(
+        self, versions_to_keep: int = 1, max_aside_age_s: float | None = None
+    ) -> None:
+        """Version GC (A19, VersionedStore.java:110-127).
+        ``max_aside_age_s`` opt-in GCs abandoned staged-build asides."""
+        self.store.cleanup(versions_to_keep, max_aside_age_s=max_aside_age_s)
 
 
 class Engine:

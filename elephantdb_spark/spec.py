@@ -16,9 +16,27 @@ from dataclasses import dataclass, field
 from typing import Any
 
 SPEC_FILENAME = "domain-spec.json"
+#: Reference on-disk spec (DomainSpec.java:20) — written alongside the
+#: JSON at create, accepted on open, so reference tooling can list/read
+#: a repo domain dir and a reference domain dir opens here.
+YAML_SPEC_FILENAME = "domain-spec.yaml"
 
 #: The only sharding scheme the reference ships (HashModScheme.java:7-9).
 HASH_MOD_SCHEME = "md5-mod"
+
+#: Reference class names ↔ repo short names (DomainSpec.java:22-25 keys;
+#: shard_scheme/coordinator values are Java class names there).
+_SCHEME_TO_YAML = {HASH_MOD_SCHEME: "elephantdb.partition.HashModScheme"}
+_SCHEME_FROM_YAML = {v: k for k, v in _SCHEME_TO_YAML.items()}
+
+
+def _yaml():
+    try:
+        import yaml
+
+        return yaml
+    except ImportError:  # pragma: no cover - baked into this env
+        return None
 
 
 class SpecMismatchError(ValueError):
@@ -55,6 +73,38 @@ class DomainSpec:
             persistence_opts=dict(d.get("persistence_opts", {})),
         )
 
+    def to_yaml_dict(self) -> dict[str, Any]:
+        """The reference's mapify() shape (DomainSpec.java:152-159):
+        ``coordinator``/``shard_scheme`` as dotted class names,
+        ``shard_count``, ``persistence_opts``."""
+        return {
+            "coordinator": f"elephantdb_spark.persistence.{self.persistence_format}",
+            "shard_scheme": _SCHEME_TO_YAML.get(
+                self.shard_scheme, self.shard_scheme
+            ),
+            "shard_count": self.num_shards,
+            "persistence_opts": dict(self.persistence_opts),
+        }
+
+    @classmethod
+    def from_yaml_dict(cls, d: dict[str, Any]) -> "DomainSpec":
+        """Parse the reference YAML shape (DomainSpec.java:131-146).
+        Known class names map to repo short names; an unknown coordinator
+        (e.g. ``elephantdb.persistence.JavaBerkDB``) is preserved verbatim
+        as the persistence_format — the SPEC opens cleanly, and a data
+        read then fails with the honest unsupported-format error (we
+        cannot read BerkeleyDB shard files)."""
+        coord = str(d["coordinator"])
+        prefix = "elephantdb_spark.persistence."
+        fmt = coord[len(prefix):] if coord.startswith(prefix) else coord
+        scheme = str(d.get("shard_scheme", ""))
+        return cls(
+            num_shards=int(d["shard_count"]),
+            shard_scheme=_SCHEME_FROM_YAML.get(scheme, scheme or HASH_MOD_SCHEME),
+            persistence_format=fmt,
+            persistence_opts=dict(d.get("persistence_opts") or {}),
+        )
+
     def write(self, domain_root: str) -> str:
         os.makedirs(domain_root, exist_ok=True)
         path = os.path.join(domain_root, SPEC_FILENAME)
@@ -62,16 +112,39 @@ class DomainSpec:
         with open(tmp, "w") as f:
             json.dump(self.to_dict(), f, indent=2, sort_keys=True)
         os.replace(tmp, path)
+        yaml = _yaml()
+        if yaml is not None:  # reference-format twin (VERDICT r4 item 8)
+            ypath = os.path.join(domain_root, YAML_SPEC_FILENAME)
+            ytmp = ypath + ".tmp"
+            with open(ytmp, "w") as f:
+                yaml.safe_dump(self.to_yaml_dict(), f, sort_keys=True)
+            os.replace(ytmp, ypath)
         return path
 
     @classmethod
     def read(cls, domain_root: str) -> "DomainSpec":
-        with open(os.path.join(domain_root, SPEC_FILENAME)) as f:
+        jpath = os.path.join(domain_root, SPEC_FILENAME)
+        if os.path.exists(jpath):
+            with open(jpath) as f:
+                return cls.from_dict(json.load(f))
+        ypath = os.path.join(domain_root, YAML_SPEC_FILENAME)
+        if os.path.exists(ypath):
+            yaml = _yaml()
+            if yaml is None:  # pragma: no cover
+                raise FileNotFoundError(
+                    f"{jpath} missing and pyyaml unavailable to parse {ypath}"
+                )
+            with open(ypath) as f:
+                return cls.from_yaml_dict(yaml.safe_load(f))
+        # preserve the historical error shape for a missing spec
+        with open(jpath) as f:  # raises FileNotFoundError
             return cls.from_dict(json.load(f))
 
     @classmethod
     def exists(cls, domain_root: str) -> bool:
-        return os.path.exists(os.path.join(domain_root, SPEC_FILENAME))
+        return os.path.exists(
+            os.path.join(domain_root, SPEC_FILENAME)
+        ) or os.path.exists(os.path.join(domain_root, YAML_SPEC_FILENAME))
 
     def assert_matches(self, other: "DomainSpec") -> None:
         """Value-equality check on open (DomainSpec.java:161-166)."""

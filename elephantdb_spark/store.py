@@ -175,10 +175,19 @@ class VersionedStore:
         if os.path.exists(token):
             os.remove(token)
 
-    def cleanup(self, versions_to_keep: int = -1) -> None:
+    def cleanup(
+        self, versions_to_keep: int = -1, max_aside_age_s: float | None = None
+    ) -> None:
         """Keep the N newest published versions; delete every other
         version-like entry, including unpublished dirs
-        (VersionedStore.java:110-127). No-op on a never-created root."""
+        (VersionedStore.java:110-127). No-op on a never-created root.
+
+        ``max_aside_age_s``: opt-in GC for UNPUBLISHED staging asides. By
+        default they are kept forever (they may be the only copy of an
+        abandoned StagedBuild's batches — resumable via
+        StagedBuild.resume()); with an age set, asides whose newest file
+        mtime is older than the threshold are deemed crash leftovers and
+        removed."""
         if not os.path.isdir(self.root):
             return
         versions = self.all_versions()
@@ -208,6 +217,23 @@ class VersionedStore:
                     aside_v = None
                 if aside_v is None or aside_v in published:
                     shutil.rmtree(full)
+                elif max_aside_age_s is not None:
+                    # opt-in age gate: an abandoned staged build's aside
+                    # should not survive forever. Age = newest mtime under
+                    # the aside (a resumed-then-abandoned build keeps
+                    # touching files; only a genuinely cold aside GCs).
+                    newest = os.path.getmtime(full)
+                    for dirpath, _dirs, files in os.walk(full):
+                        for f in files:
+                            try:
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(os.path.join(dirpath, f)),
+                                )
+                            except OSError:
+                                pass
+                    if time.time() - newest > max_aside_age_s:
+                        shutil.rmtree(full)
                 continue
             try:
                 v = int(stem)
@@ -269,8 +295,12 @@ class DomainStore:
     def delete_version(self, version: int) -> None:
         self.versioned_store.delete_version(version)
 
-    def cleanup(self, versions_to_keep: int = -1) -> None:
-        self.versioned_store.cleanup(versions_to_keep)
+    def cleanup(
+        self, versions_to_keep: int = -1, max_aside_age_s: float | None = None
+    ) -> None:
+        self.versioned_store.cleanup(
+            versions_to_keep, max_aside_age_s=max_aside_age_s
+        )
 
     def unpublished_versions(self) -> list[int]:
         return self.versioned_store.unpublished_versions()

@@ -147,3 +147,125 @@ def test_cleanup_gcs_aside_of_version_deleted_in_same_pass(tmp_path):
     vs.cleanup(versions_to_keep=1)
     assert vs.all_versions() == [6]
     assert not os.path.exists(aside), "published-version aside must GC"
+
+
+def test_cleanup_age_gates_unpublished_asides(tmp_path):
+    """VERDICT r4 item 7: unpublished asides survive routine cleanup (they
+    may be the only copy of an abandoned StagedBuild), but with the opt-in
+    max_aside_age_s a genuinely cold aside finally GCs."""
+    import os
+    import time
+
+    from elephantdb_spark.store import VersionedStore
+
+    vs = VersionedStore(str(tmp_path / "dom"))
+    vs.create_version(1)
+    vs.succeed_version(1)
+    aside = vs.staging_aside_path(99)  # version 99 never published
+    os.makedirs(aside)
+    batch = os.path.join(aside, "batch-0")
+    with open(batch, "w") as fh:
+        fh.write("staged")
+
+    # default: kept forever
+    vs.cleanup()
+    assert os.path.exists(aside)
+    # fresh aside with an age gate: still kept
+    vs.cleanup(max_aside_age_s=3600)
+    assert os.path.exists(aside)
+    # age every file AND the dir beyond the gate: GCs
+    old = time.time() - 7200
+    os.utime(aside, (old, old))
+    os.utime(batch, (old, old))
+    vs.cleanup(max_aside_age_s=3600)
+    assert not os.path.exists(aside)
+    # published version untouched throughout
+    assert vs.all_versions() == [1]
+
+
+def test_cleanup_age_gate_spares_recently_touched_aside(tmp_path):
+    """A resumed-then-abandoned build keeps touching files inside the
+    aside; one fresh file must keep the whole aside alive."""
+    import os
+    import time
+
+    from elephantdb_spark.store import VersionedStore
+
+    vs = VersionedStore(str(tmp_path / "dom"))
+    aside = vs.staging_aside_path(7)
+    os.makedirs(os.path.join(aside, "batch-0"))
+    old_f = os.path.join(aside, "batch-0", "part-0.parquet")
+    with open(old_f, "w") as fh:
+        fh.write("x")
+    old = time.time() - 7200
+    os.utime(aside, (old, old))
+    os.utime(os.path.join(aside, "batch-0"), (old, old))
+    os.utime(old_f, (old, old))
+    fresh = os.path.join(aside, "batch-1.marker")
+    with open(fresh, "w") as fh:
+        fh.write("y")  # mtime = now
+    vs.cleanup(max_aside_age_s=3600)
+    assert os.path.exists(aside), "one fresh file keeps the aside alive"
+
+
+def test_yaml_spec_written_and_round_trips(tmp_path):
+    """VERDICT r4 item 8: domain-spec.yaml (the reference's on-disk
+    format, DomainSpec.java:20,131-159) is written beside the JSON and
+    parses back to an equal spec."""
+    import os
+
+    import yaml
+
+    from elephantdb_spark.spec import (
+        SPEC_FILENAME,
+        YAML_SPEC_FILENAME,
+        DomainSpec,
+    )
+
+    spec = DomainSpec(num_shards=8, persistence_opts={"codec": "zstd"})
+    root = str(tmp_path / "dom")
+    spec.write(root)
+    assert os.path.exists(os.path.join(root, SPEC_FILENAME))
+    ypath = os.path.join(root, YAML_SPEC_FILENAME)
+    assert os.path.exists(ypath)
+    with open(ypath) as fh:
+        y = yaml.safe_load(fh)
+    # reference key names (DomainSpec.java:22-25)
+    assert y["shard_count"] == 8
+    assert y["shard_scheme"] == "elephantdb.partition.HashModScheme"
+    assert y["persistence_opts"] == {"codec": "zstd"}
+    assert DomainSpec.from_yaml_dict(y) == spec
+
+
+def test_yaml_only_domain_opens(tmp_path):
+    """A reference-format fixture (YAML only, reference class names)
+    opens cleanly; the unknown coordinator is preserved so a data read
+    fails honestly rather than silently."""
+    import os
+
+    from elephantdb_spark.spec import YAML_SPEC_FILENAME, DomainSpec
+
+    root = str(tmp_path / "refdom")
+    os.makedirs(root)
+    # what the reference's snakeyaml dump of mapify() looks like
+    with open(os.path.join(root, YAML_SPEC_FILENAME), "w") as fh:
+        fh.write(
+            "coordinator: elephantdb.persistence.JavaBerkDB\n"
+            "persistence_opts: {}\n"
+            "shard_count: 32\n"
+            "shard_scheme: elephantdb.partition.HashModScheme\n"
+        )
+    assert DomainSpec.exists(root)
+    spec = DomainSpec.read(root)
+    assert spec.num_shards == 32
+    assert spec.shard_scheme == "md5-mod"
+    assert spec.persistence_format == "elephantdb.persistence.JavaBerkDB"
+
+
+def test_missing_spec_still_raises_file_not_found(tmp_path):
+    import pytest
+
+    from elephantdb_spark.spec import DomainSpec
+
+    with pytest.raises(FileNotFoundError):
+        DomainSpec.read(str(tmp_path / "nowhere"))

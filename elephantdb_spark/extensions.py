@@ -507,6 +507,59 @@ def q95_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_avi_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-compressed video frame sampling (VERDICT r4 item 4):
+    synthesize an MJPEG-in-AVI per document (operators/avi — RIFF
+    container + per-frame baseline JPEG via operators/jpeg), sample every
+    2nd frame with the real decoder, and join the container metadata
+    (dims + duration from the avih header through
+    extract_media_features). Everything SQL-predictable: frame indices
+    from the synthesized frame count, dims/duration from the header. The
+    q95 GIF pattern applied to a genuinely codec-compressed format — the
+    NotImplementedError now covers only inter-frame codecs."""
+    import pandas as pd
+
+    from elephantdb_spark.operators.avi import synth_avi
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_media_features,
+        sample_frames_df,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [
+                        synth_avi(
+                            int(n) % 16 + 8, int(n) % 8 + 8, int(n) % 6 + 2
+                        )
+                        for n in pdf["n_chars"]
+                    ],
+                    "meta": [
+                        {"media_type": "video/x-msvideo", "lang": None,
+                         "source": "synth"}
+                    ] * len(pdf),
+                }
+            )
+
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    frames = sample_frames_df(mm, every_n=2, use_real_decoder=True).select(
+        "id", "frame_idx"
+    )
+    meta = extract_media_features(mm).select(
+        "id", "width", "height", "duration_ms"
+    )
+    return (
+        frames.join(meta, "id")
+        .select("id", "frame_idx", "width", "height", "duration_ms")
+        .orderBy("id", "frame_idx")
+    )
+
+
 def q96_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL HTML main-text extraction (operators/html — stdlib
     html.parser): each document is wrapped in a deterministic page
@@ -1402,6 +1455,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_mp4_container_metadata": q93_mp4_container_metadata,
     "q94_jpeg_decode_features": q94_jpeg_decode_features,
     "q95_gif_frame_sampling": q95_gif_frame_sampling,
+    "q99_avi_frame_sampling": q99_avi_frame_sampling,
     "q96_html_text_extraction": q96_html_text_extraction,
     "q97_warc_crawl_ingest": q97_warc_crawl_ingest,
     "q98_url_normalization": q98_url_normalization,
@@ -2226,6 +2280,13 @@ EXT_ORACLES: dict[str, str] = {
     "q95_gif_frame_sampling": (
         "SELECT doc_id AS id, CAST(unnest(generate_series(0, "
         "(n_chars % 8) + 1, 2)) AS INTEGER) AS frame_idx "
+        "FROM documents ORDER BY id, frame_idx"
+    ),
+    "q99_avi_frame_sampling": (
+        "SELECT doc_id AS id, CAST(unnest(generate_series(0, "
+        "(n_chars % 6) + 1, 2)) AS INTEGER) AS frame_idx, "
+        "(n_chars % 16) + 8 AS width, (n_chars % 8) + 8 AS height, "
+        "((n_chars % 6) + 2) * 40 AS duration_ms "
         "FROM documents ORDER BY id, frame_idx"
     ),
     "q96_html_text_extraction": (

@@ -511,15 +511,25 @@ def synth_mp4(
 
 def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
     """Video frame sampling: REAL for animated GIF (operators/gif — LZW
-    decode, every_n-th frame as an (h, w, 3) uint8 array); STUB for
-    codec-compressed video (MP4/H.264 etc. need ffmpeg/av)."""
+    decode) and MJPEG-in-AVI (operators/avi — RIFF walk, each frame a
+    baseline JPEG through operators/jpeg); every_n-th frame as an
+    (h, w, c) uint8 array. STUB only for inter-frame codecs (H.264/VP9
+    etc. — temporal prediction needs ffmpeg/av)."""
     if payload and bytes(payload[:6]) in _GIF_MAGICS:
         from elephantdb_spark.operators.gif import decode_gif_frames
 
         return decode_gif_frames(bytes(payload))[::every_n]
+    if payload:
+        from elephantdb_spark.operators.avi import (
+            decode_avi_mjpeg_frames,
+            is_avi,
+        )
+
+        if is_avi(bytes(payload)):
+            return decode_avi_mjpeg_frames(bytes(payload), every_n)
     raise NotImplementedError(
-        "STUB: codec-compressed video frame sampling requires ffmpeg/av, "
-        "not present here (animated GIF decodes natively)"
+        "STUB: inter-frame codec video (H.264/VP9/...) needs ffmpeg/av, "
+        "not present here (animated GIF and MJPEG AVI decode natively)"
     )
 
 
@@ -627,6 +637,19 @@ def extract_media_features(mm_df: DataFrame) -> DataFrame:
                         row["height"] = gif["height"]
                     except Exception:
                         pass  # malformed GIF: keep the baseline features
+                elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    try:
+                        from elephantdb_spark.operators.avi import parse_avi
+
+                        avi = parse_avi(data)
+                        row["width"] = avi["width"]
+                        row["height"] = avi["height"]
+                        if avi["us_per_frame"]:
+                            row["duration_ms"] = (
+                                avi["n_frames"] * avi["us_per_frame"] // 1000
+                            )
+                    except Exception:
+                        pass  # malformed AVI: keep the baseline features
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -644,22 +667,32 @@ def sample_frames_df(
 ) -> DataFrame:
     """Video frame sampling as a row-exploding ``mapInPandas`` stage: each
     payload yields one output row per sampled frame (the 1→N shape a real
-    ffmpeg pipeline has). Frame count is a deterministic fake
-    (``n_bytes // 64`` "frames"); frame signatures hash (payload, idx).
-    ``use_real_decoder=True`` routes through the stubbed :func:`sample_frames`
-    and raises — the documented extension point."""
+    ffmpeg pipeline has). GIF and MJPEG-AVI payloads decode for REAL
+    (frame signatures hash the decoded pixels); other formats fall back
+    to a deterministic fake frame count (``n_bytes // 64``) unless
+    ``use_real_decoder=True``, which routes them through the
+    inter-frame-codec stub in :func:`sample_frames` and raises — the
+    documented extension point."""
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elephantdb_spark.operators.avi import (
+            decode_avi_mjpeg_frames,
+            is_avi,
+        )
         from elephantdb_spark.operators.gif import decode_gif_frames
 
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for _id, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if data[:6] in _GIF_MAGICS:
-                    # REAL frame extraction (LZW decode, every_n-th frame)
+                if data[:6] in _GIF_MAGICS or is_avi(data):
+                    # REAL frame extraction (GIF: LZW decode; AVI: per-
+                    # frame baseline JPEG decode), every_n-th frame
                     try:
-                        frames = decode_gif_frames(data)
+                        if is_avi(data):
+                            frames = decode_avi_mjpeg_frames(data)
+                        else:
+                            frames = decode_gif_frames(data)
                     except ValueError:
                         if use_real_decoder:
                             raise

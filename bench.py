@@ -175,6 +175,33 @@ def main() -> None:
         # in the synthetic data) and the result is keyed by key
         assert sum(v is not None for v in got.values()) == len(set(li_keys))
 
+    # concurrent serving throughput (VERDICT r4 item 3): the reference's
+    # daemon serves from 64 Thrift worker threads (common/thrift.clj:
+    # 111-118); drive 8 threads of multi_get batches through ONE Domain
+    # handle — exercises the _pq_cache under concurrency. The recorded
+    # value is wall seconds for 8x10 batches of 100 keys (8000 key
+    # lookups); bench JSON stays one-number-per-entry, qps = 8000/value.
+    import threading as _threading
+
+    def _serve_worker(tid, out):
+        batch = li_keys[tid * 100:(tid + 1) * 100]
+        for _ in range(10):
+            res = dom.local_multi_get(batch)
+            out[tid] = sum(v is not None for v in res.values())
+
+    with timed("local_multiget_concurrent_8t"):
+        hits: dict[int, int] = {}
+        ts = [
+            _threading.Thread(target=_serve_worker, args=(t, hits))
+            for t in range(8)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
+                   for t in range(8)), hits
+
     with timed("scan_count"):
         dom.count()
 

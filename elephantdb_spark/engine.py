@@ -30,6 +30,7 @@ reference's B-tree probes.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,8 +87,15 @@ class Domain:
         # resolved version id.
         self._read_cache: dict[tuple[int, tuple[int, ...]], DataFrame] = {}
         # open pyarrow handles for the local serving probe (shard files are
-        # immutable; see _open_shard_file)
-        self._pq_cache: dict[str, object] = {}
+        # immutable; see _open_shard_file). The reference serves with 64
+        # Thrift worker threads (common/thrift.clj:111-118), so the local
+        # probe must be callable concurrently: _pq_lock guards the cache
+        # dict, and each entry carries a per-file lock because a pyarrow
+        # ParquetFile handle is NOT safe for concurrent reads (two threads
+        # in read_row_group on one handle race the underlying reader).
+        # Distinct shard files still probe fully in parallel.
+        self._pq_cache: dict[str, tuple[object, threading.Lock]] = {}
+        self._pq_lock = threading.Lock()
         # published-version snapshot — when it changes, caches drop (see
         # _resolve_version)
         self._seen_versions: tuple[int, ...] = ()
@@ -229,7 +237,8 @@ class Domain:
         if versions != self._seen_versions:
             self._seen_versions = versions
             self._read_cache.clear()
-            self._pq_cache.clear()
+            with self._pq_lock:
+                self._pq_cache.clear()
         if version is not None:
             if int(version) not in versions:
                 raise DomainNotLoadedError(
@@ -430,7 +439,7 @@ class Domain:
             files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
             targets = sorted(set(shard_keys))
             for fname in files:
-                pf = self._open_shard_file(os.path.join(sdir, fname))
+                pf, pf_lock = self._open_shard_file(os.path.join(sdir, fname))
                 key_idx = pf.schema_arrow.get_field_index("key")
                 for rg in range(pf.metadata.num_row_groups):
                     stats = pf.metadata.row_group(rg).column(key_idx).statistics
@@ -443,7 +452,8 @@ class Domain:
                         continue
                     # C++-side membership filter: never materialize the
                     # row group into Python, only the (≤ len(wanted)) hits
-                    tbl = pf.read_row_group(rg, columns=["key", "value"])
+                    with pf_lock:  # per-file: handle reads are not MT-safe
+                        tbl = pf.read_row_group(rg, columns=["key", "value"])
                     mask = pc.is_in(
                         tbl.column("key"),
                         value_set=pa.array(wanted, type=pa.binary()),
@@ -461,21 +471,29 @@ class Domain:
         return self.local_multi_get([key], version)[bytes(key)]
 
     def _open_shard_file(self, path: str):
-        """Open (or reuse) a pyarrow ParquetFile for a shard file. The
-        reference keeps its local persistences open for the lifetime of a
-        served version (common/domain.clj:184-206) — the probe must not
-        re-read the footer per lookup. Shard files are immutable once
-        published, so caching by path is safe; bounded, cleared wholesale
-        like the DataFrame cache."""
+        """Open (or reuse) a pyarrow ParquetFile for a shard file; returns
+        ``(handle, per_file_lock)``. The reference keeps its local
+        persistences open for the lifetime of a served version
+        (common/domain.clj:184-206) — the probe must not re-read the
+        footer per lookup. Shard files are immutable once published, so
+        caching by path is safe; bounded, cleared wholesale like the
+        DataFrame cache."""
         import pyarrow.parquet as pq
 
-        pf = self._pq_cache.get(path)
-        if pf is None:
+        with self._pq_lock:
+            entry = self._pq_cache.get(path)
+        if entry is None:
+            # footer read outside the cache lock: cold opens of DIFFERENT
+            # files must not serialize on each other. Two threads racing
+            # the same cold path both open it; one handle wins the cache,
+            # the loser serves its own request and is GC'd — harmless.
             pf = pq.ParquetFile(path)
-            if len(self._pq_cache) >= 512:
-                self._pq_cache.clear()
-            self._pq_cache[path] = pf
-        return pf
+            entry = (pf, threading.Lock())
+            with self._pq_lock:
+                if len(self._pq_cache) >= 512:
+                    self._pq_cache.clear()
+                entry = self._pq_cache.setdefault(path, entry)
+        return entry
 
     def count_df(self, version: int | None = None) -> DataFrame:
         """getCount as a DataFrame (A15, core.clj:212-216). Catalyst serves

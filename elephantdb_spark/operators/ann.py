@@ -432,7 +432,13 @@ def _probe_cells_udf(centroids: np.ndarray, n_probe: int):
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
-    return probe_cells
+    # asNondeterministic: the downstream explode() plants a size(col)>0
+    # prefilter referencing this column, and Catalyst then duplicates a
+    # deterministic UDF into the filter — the centroid matmul ran TWICE
+    # per probe row (caught reading the captured plan, PLANS.md). Marking
+    # it nondeterministic forces one materialization. (It IS deterministic
+    # for fixed centroids; the flag only disables expression duplication.)
+    return probe_cells.asNondeterministic()
 
 
 def knn_join(

@@ -330,12 +330,22 @@ def ivf_index_knn_join(
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
     scorer: str = "arrow",
+    prune_cells: bool = True,
 ) -> DataFrame:
     """Batch kNN against a persisted index: each query row is scored only
     inside its ``n_probe`` nearest cells. The data side comes straight off
     the index's partition layout (cells were assigned at build time — the
     join reuses them instead of re-running the quantizer over the corpus);
-    only the probe side computes cells, via the centroid file."""
+    only the probe side computes cells, via the centroid file.
+
+    ``prune_cells`` (default on): collect the UNION of probed cells (one
+    small job over the query batch; result bounded by n_cells) and filter
+    the index scan to those ``shard=<cell>`` partitions — Catalyst
+    partition pruning then skips every untouched cell's files, exactly as
+    the single-query probe does. At 100 TB the index is the big side; a
+    query batch that probes 40 of 200k cells must not scan the other
+    199,960. Turn off only when the batch is known to touch ~all cells
+    (the extra probe-side job then buys nothing)."""
     centroids, vectors, spec, _ = load_ivf_index(spark, root, version)
     id_col = query_id_col or spec.persistence_opts["id_col"]
     vec_col = query_vec_col or spec.persistence_opts["vec_col"]
@@ -354,6 +364,11 @@ def ivf_index_knn_join(
             F.explode("__cells").alias("cell"),
         )
     )
+    if prune_cells:
+        touched = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        data = data.filter(F.col("cell").isin(touched))
     return score_probes_against_cells(
         probes, data, k, dict(queries.dtypes)[id_col], scorer
     )

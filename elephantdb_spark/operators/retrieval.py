@@ -81,6 +81,7 @@ def bm25_topk(
     idf: str = "lucene",
     score_scale: int = DEFAULT_SCORE_SCALE,
     prefilter_buckets: int = DEFAULT_PREFILTER_BUCKETS,
+    corpus_stats: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25, whitespace-tokenized and
     lowercased (the :mod:`functions.text` tokenizer, matching
@@ -93,6 +94,13 @@ def bm25_topk(
     any partitioning. Queries whose tokens match no document produce no
     rows. Empty/whitespace-only documents never match (dl = 0 ⇒ no
     token rows).
+
+    ``corpus_stats``: optional precomputed ``(n_docs, total_dl)`` (see
+    :func:`bm25_corpus_stats`). Without it the plan carries a second
+    column-pruned corpus pass just to tokenize for those two scalars —
+    fine for one-shot queries, 2× the corpus tokenization cost at 100 TB.
+    A serving deployment computes the stats once per corpus version and
+    passes them in; the plan then touches the corpus exactly once.
     """
     if idf not in ("lucene", "rational"):
         raise ValueError(f"idf must be 'lucene' or 'rational', got {idf!r}")
@@ -121,11 +129,19 @@ def bm25_topk(
     ).select("doc_id", "dl", F.lower("__t").alias("token"))
     matched = dtok.join(F.broadcast(qtokens), "token")
 
-    # corpus stats ride a 1-row broadcast cross join (no collect)
-    stats = docs.select(F.size(toks).cast("long").alias("__dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__dl").alias("total_dl"),
-    )
+    # corpus stats ride a 1-row broadcast cross join (no collect);
+    # precomputed stats replace the stats subquery's corpus pass with a
+    # literal 1-row frame
+    if corpus_stats is not None:
+        n_docs_v, total_dl_v = corpus_stats
+        stats = docs.sparkSession.createDataFrame(
+            [(int(n_docs_v), int(total_dl_v))], "n_docs long, total_dl long"
+        )
+    else:
+        stats = docs.select(F.size(toks).cast("long").alias("__dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dl").alias("total_dl"),
+        )
 
     # tf per (doc, query-token): the only corpus-sized shuffle, and its
     # rows are (id, token, counts) — document text never leaves the scan.
@@ -181,3 +197,16 @@ def bm25_topk(
             ),
         )
     )
+
+
+def bm25_corpus_stats(docs: DataFrame, text_col: str) -> "tuple[int, int]":
+    """One column-pruned corpus pass → ``(n_docs, total_dl)`` for
+    :func:`bm25_topk`'s ``corpus_stats``. Compute once per corpus
+    version (e.g. alongside an inverted-index build) and reuse across
+    query batches — every reuse saves a full corpus tokenization pass."""
+    row = (
+        docs.select(F.size(tokens_col(F.col(text_col))).cast("long").alias("__dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("t"))
+        .first()
+    )
+    return int(row["n"]), int(row["t"] or 0)

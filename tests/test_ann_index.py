@@ -402,3 +402,34 @@ def test_hierarchical_trainer_never_overshoots_on_skew(spark):
         df, n_cells=10, branch=4, sample_size=100, seed=3
     )
     assert cents.shape[0] <= 10, cents.shape
+
+
+def test_knn_join_plan_prunes_index_side_and_single_probe_eval(
+    spark, emb, index_root
+):
+    """VERDICT r4 item 5 (plan discipline for the r4 heavy operators):
+    the batch knn join must (a) reach the index scan with a
+    PartitionFilters over the UNION of probed cells — the untouched
+    cells' files are never read — and (b) evaluate the probe-cell UDF
+    ONCE (the explode's size()>0 prefilter used to duplicate the
+    centroid matmul into a second ArrowEvalPython node)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    df = ivf_index_knn_join(spark, index_root, q, k=3, n_probe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and " IN " in pf[0], plan
+    # formatted output names each node twice (tree + detail): one
+    # ArrowEvalPython node == 2 mentions; the duplicated-UDF bug gave 4
+    assert plan.count("ArrowEvalPython") == 2, plan
+    # pruning must not change results: compare against prune_cells=False
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(
+        tuple(r)
+        for r in ivf_index_knn_join(
+            spark, index_root, q, k=3, n_probe=2, prune_cells=False
+        ).collect()
+    )
+    assert a == b

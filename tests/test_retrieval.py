@@ -144,3 +144,42 @@ def test_validation(frames):
         bm25_topk(docs, qdf, "doc_id", "text", k=0)
     with pytest.raises(ValueError):
         bm25_topk(docs, qdf, "doc_id", "text", score_scale=0)
+
+
+def test_precomputed_corpus_stats_single_scan_and_identical(spark):
+    """corpus_stats removes the second (stats-only) corpus pass: the plan
+    must scan the corpus parquet exactly once, and results must be
+    byte-identical to the computed-stats path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from elephantdb_spark.operators.retrieval import (
+        bm25_corpus_stats,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "the quick brown"), (2, "data pipeline")],
+        "query_id long, query_text string",
+    )
+    stats = bm25_corpus_stats(docs, "text")
+    assert stats[0] == docs.count()
+    base = bm25_topk(docs, queries, "doc_id", "text", k=5, idf="rational")
+    fast = bm25_topk(
+        docs, queries, "doc_id", "text", k=5, idf="rational",
+        corpus_stats=stats,
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fast.explain("formatted")
+    plan = buf.getvalue()
+    # formatted output names nodes twice (tree + detail); the corpus
+    # parquet must appear in exactly ONE scan node's Location
+    assert (
+        sum("documents.parquet" in ln for ln in plan.splitlines()
+            if "Location" in ln) == 1
+    ), plan

@@ -221,8 +221,179 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
             F.sum("n_lines_removed")
         ).collect()
 
+    # --- round-5: the mapInPandas-heavy round-4 operators (VERDICT r4
+    # item 2). Untimed worker warm first: a cold fan-out pays ~1 s/worker
+    # of numpy/pandas import (staggered), which at CPUS=32 would bill
+    # ~0.5-1 min of pure import to the FIRST wide python entry at 1x and
+    # make its 10x ratio look absurdly sub-linear (warm at 10x). Warmed,
+    # the ratios measure the per-byte slope.
+    wdf = documents.select("doc_id").repartition(CPUS)
+    for _ in range(3):  # fused chain stages each hold their own worker
+        wdf = wdf.mapInPandas(lambda it: it, "doc_id long")
+    wdf.count()
+
+    from elephantdb_spark.operators.dedup import repeated_span_profile
+
+    with timed("repeated_span_profile"):
+        repeated_span_profile(
+            neardup_corpus, "doc_id", "text", gram_chars=40, stride=20
+        ).agg(F.sum("n_hot_spans")).collect()
+
+    from elephantdb_spark.operators.html import extract_html_text
+    from elephantdb_spark.sources.warc import build_warc, warc_records_df
+
+    def _gen_warcs(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                html = "<html><body><p>" + str(text) + "</p></body></html>"
+                payloads.append(build_warc([
+                    {"warc_type": "warcinfo", "block": b"i\r\n"},
+                    {"warc_type": "response",
+                     "target_uri": f"http://ex.com/{did}",
+                     "block": b"HTTP/1.1 200 OK\r\n\r\n" + html.encode()},
+                ]))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "warc": payloads})
+
+    docs_rep = documents.select("doc_id", "text").repartition(CPUS)
+    with timed("warc_ingest_chain"):
+        recs = warc_records_df(
+            docs_rep.mapInPandas(_gen_warcs, "doc_id long, warc binary"),
+            "doc_id", "warc",
+        )
+        extract_html_text(
+            recs.select(F.col("id").alias("doc_id"),
+                        F.decode(F.col("body"), "UTF-8").alias("html")),
+            "doc_id", "html",
+        ).agg(F.sum(F.length("text"))).collect()
+
+    # html-only (no WARC layer): isolates the parser slope
+    def _gen_html(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "html": ["<html><head><title>t</title></head><body><p>"
+                         + str(t) + "</p></body></html>" for t in pdf["text"]],
+            })
+
+    with timed("html_text_extraction"):
+        extract_html_text(
+            docs_rep.mapInPandas(_gen_html, "doc_id long, html string"),
+            "doc_id", "html",
+        ).agg(F.sum(F.length("text"))).collect()
+
+    from elephantdb_spark.operators.multimodal import (
+        MULTIMODAL_SCHEMA,
+        resize_images,
+        sample_frames_df,
+    )
+
+    def _gen_jpegs(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from elephantdb_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                n = int(n)
+                w, h = n % 32 + 1, n % 16 + 1
+                ys, xs = _np.mgrid[0:h, 0:w]
+                arr = _np.stack(
+                    [_np.clip(xs * 3 + ys * 2 + 40 * i, 0, 255)
+                     for i in range(3)], -1
+                ).astype(_np.uint8)
+                payloads.append(encode_jpeg(arr, quality=85))
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"], "payload": payloads,
+                "meta": [{"media_type": "image/jpeg", "lang": None,
+                          "source": "synth"}] * len(pdf),
+            })
+
+    def _gen_gifs(batches):
+        import pandas as _pd
+
+        from elephantdb_spark.operators.gif import synth_gif
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [
+                    synth_gif(int(n) % 16 + 4, int(n) % 8 + 4, int(n) % 8 + 2)
+                    for n in pdf["n_chars"]
+                ],
+                "meta": [{"media_type": "image/gif", "lang": None,
+                          "source": "synth"}] * len(pdf),
+            })
+
+    docs_nc = documents.select("doc_id", "n_chars").repartition(CPUS)
+    with timed("jpeg_roundtrip_resize"):
+        resize_images(
+            docs_nc.mapInPandas(_gen_jpegs, MULTIMODAL_SCHEMA), 16, 16
+        ).agg(F.sum(F.length("payload"))).collect()
+
+    with timed("gif_frame_sampling"):
+        sample_frames_df(
+            docs_nc.mapInPandas(_gen_gifs, MULTIMODAL_SCHEMA), every_n=2
+        ).count()
+
+    from elephantdb_spark.operators.sampling import write_shuffled_export
+
+    export_dir = os.path.join(work, "export")
+    with timed("shuffled_export_write"):
+        write_shuffled_export(spark, documents, export_dir, "doc_id",
+                              16 * n, "ep0")
+
     shutil.rmtree(work, ignore_errors=True)
     return timings
+
+
+def measure_lsh_recall(spark, paths: dict[str, str]) -> dict:
+    """VERDICT r4 item 6: recall/precision of the MinHash-LSH scale tier
+    vs the exact Jaccard tier at the production banding (32 perm,
+    8 bands, threshold 0.6) on the Nx corpus. The exact tier is the
+    ground truth BY CONSTRUCTION (it enumerates every candidate pair
+    above the shingle-Jaccard threshold); LSH loses a true pair only
+    when no band collides (the probabilistic miss this measures) and
+    adds none (its verify join recomputes exact Jaccard)."""
+    from elephantdb_spark.operators.dedup import (
+        jaccard_shingle_pairs,
+        minhash_lsh_pairs,
+        release_shingle_caches,
+    )
+
+    documents = spark.read.parquet(paths["documents"])
+    corpus = documents.select("doc_id", "text").unionByName(
+        documents.filter((F.col("doc_id") % ID_SHIFT) < 250).select(
+            (F.col("doc_id") + 500_000_000_000).alias("doc_id"),
+            F.expr("substring(text, 12)").alias("text"),
+        )
+    )
+    truth = {
+        (r["a"], r["b"])
+        for r in jaccard_shingle_pairs(
+            corpus, "doc_id", "text", shingle_len=3, threshold=0.6
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_perm=32, bands=8, threshold=0.6
+        ).collect()
+    }
+    release_shingle_caches()
+    tp = len(truth & got)
+    return {
+        "true_pairs": len(truth),
+        "lsh_pairs": len(got),
+        "recall": round(tp / len(truth), 4) if truth else None,
+        "precision": round(tp / len(got), 4) if got else None,
+    }
 
 
 def main() -> None:
@@ -233,6 +404,17 @@ def main() -> None:
 
     p1 = materialize(spark, 1, BASE_SF)
     pn = materialize(spark, N_COPIES, BASE_SF)
+
+    if os.environ.get("EDB_SCALE_RECALL") == "1":
+        # recall mode: one measurement on the Nx corpus, own JSON line
+        print(json.dumps({
+            "metric": f"lsh_recall_{N_COPIES}x",
+            "banding": {"num_perm": 32, "bands": 8, "threshold": 0.6},
+            **measure_lsh_recall(spark, pn),
+        }))
+        spark.stop()
+        return
+
     # warm code paths on the 1x corpus, then measure 1x, then Nx
     run_entries(spark, p1, 1, "warm")
     t1 = run_entries(spark, p1, 1, "x1")

@@ -86,11 +86,22 @@ def main() -> None:
         staggered) would otherwise bill 5-10 s to the next wide
         mapInPandas entry. THREE chained identity stages because fused
         python stages each hold their own worker — a 3-stage pipeline
-        (e.g. the WARC chain) needs 3*CPUS live workers."""
+        (e.g. the WARC chain) needs 3*CPUS live workers.
+
+        Ends with a sacrificial JVM shuffle job: the fork storm's
+        aftermath (page-cache/allocator churn from ~100 fresh processes)
+        measurably degrades the NEXT JVM job by ~7-8 s ONE TIME, then
+        clears (r5 root-cause of the build_lineitem_kv bench regression:
+        r4 introduced this helper right before that entry — isolated
+        repro: storm→build 11.5 s, storm→build→build 4.4 s, no-storm
+        control 3.6 s). Absorb it here, untimed."""
         df = documents.select("doc_id").repartition(CPUS)
         for _ in range(3):
             df = df.mapInPandas(lambda it: it, "doc_id long")
         df.count()
+        lineitem.groupBy("l_returnflag").agg(
+            F.sum("l_quantity")
+        ).collect()  # sacrificial JVM job eats the post-fork penalty
 
     # Untimed warmup: one tiny end-to-end build + read compiles the codegen
     # paths, starts the shuffle service, and loads the parquet committer

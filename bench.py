@@ -194,22 +194,28 @@ def main() -> None:
     # lookups); bench JSON stays one-number-per-entry, qps = 8000/value.
     import threading as _threading
 
-    def _serve_worker(tid, out):
-        batch = li_keys[tid * 100:(tid + 1) * 100]
-        for _ in range(10):
-            res = dom.local_multi_get(batch)
-            out[tid] = sum(v is not None for v in res.values())
+    def _serve_worker(tid, out, errs):
+        try:
+            batch = li_keys[tid * 100:(tid + 1) * 100]
+            for _ in range(10):
+                res = dom.local_multi_get(batch)
+                out[tid] = sum(v is not None for v in res.values())
+        except BaseException as e:  # surfaced after join, not a KeyError
+            errs.append(e)
 
     with timed("local_multiget_concurrent_8t"):
         hits: dict[int, int] = {}
+        errs: list[BaseException] = []
         ts = [
-            _threading.Thread(target=_serve_worker, args=(t, hits))
+            _threading.Thread(target=_serve_worker, args=(t, hits, errs))
             for t in range(8)
         ]
         for t in ts:
             t.start()
         for t in ts:
             t.join()
+        if errs:
+            raise errs[0]
         assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
                    for t in range(8)), hits
 

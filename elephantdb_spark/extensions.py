@@ -546,7 +546,11 @@ def q99_avi_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA)
+    # two consumers (frame sampling + container metadata) branch off mm:
+    # materialize once so each document's AVI is not synthesized per
+    # branch (localCheckpoint truncates lineage; eager so the synth cost
+    # is paid exactly once, here)
+    mm = docs.mapInPandas(gen, MULTIMODAL_SCHEMA).localCheckpoint(eager=True)
     frames = sample_frames_df(mm, every_n=2, use_real_decoder=True).select(
         "id", "frame_idx"
     )

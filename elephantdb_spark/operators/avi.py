@@ -60,6 +60,21 @@ def _chunks(payload: bytes, pos: int, end: int):
         pos = body + size + (size & 1)  # word alignment
 
 
+def _movi_frames(payload: bytes, pos: int, end: int) -> list[bytes]:
+    """Collect video chunks from a movi body, descending into the
+    ``LIST rec `` interleave groups standard muxers (VFW et al.) wrap
+    around each frame — a flat walk would silently drop every frame of
+    an interleaved AVI."""
+    out: list[bytes] = []
+    for fourcc, s, e in _chunks(payload, pos, end):
+        if fourcc == b"LIST" and e - s >= 4 and payload[s:s + 4] == b"rec ":
+            out.extend(_movi_frames(payload, s + 4, e))
+        elif fourcc[2:4] in (b"dc", b"db"):
+            # '##dc' compressed / '##db' uncompressed video chunks
+            out.append(payload[s:e])
+    return out
+
+
 def parse_avi(payload: bytes) -> dict:
     """Container parse: main-header metadata + the raw video-frame chunk
     payloads (undecoded). Raises ValueError on malformed input."""
@@ -96,10 +111,7 @@ def parse_avi(payload: bytes) -> dict:
                                     "ascii", "replace"
                                 )
         elif ltype == b"movi":
-            for f2, s2, e2 in _chunks(payload, s + 4, e):
-                # '##dc' compressed / '##db' uncompressed video chunks
-                if f2[2:4] in (b"dc", b"db"):
-                    frames.append(payload[s2:e2])
+            frames.extend(_movi_frames(payload, s + 4, e))
     if meta["n_frames"] is None:
         raise ValueError("AVI has no avih main header")
     meta["frame_chunks"] = frames
@@ -110,16 +122,21 @@ def decode_avi_mjpeg_frames(
     payload: bytes, every_n: int = 1
 ) -> list[np.ndarray]:
     """Decode every ``every_n``-th video chunk as a baseline JPEG →
-    (h, w, c) uint8 arrays. A non-JPEG chunk (other codec fourcc) raises
-    ValueError — sample_frames turns that into the honest codec stub."""
+    (h, w, c) uint8 arrays (MJPEG frames are independent, so only the
+    sampled chunks are decoded — never pay N Huffman+IDCT decodes for
+    N/every_n outputs). A well-formed AVI carrying a non-JPEG codec
+    raises NotImplementedError — the honest-stub contract (same as
+    H.264-in-MP4), distinct from ValueError = malformed bytes; a caller
+    routing NotImplementedError to an ffmpeg fallback must not be told
+    the file is corrupt."""
     from elephantdb_spark.operators.jpeg import decode_jpeg_pixels
 
     info = parse_avi(payload)
     out = []
     for chunk in info["frame_chunks"][::every_n]:
         if chunk[:2] != b"\xff\xd8":
-            raise ValueError(
-                f"AVI video chunk is not MJPEG (handler "
+            raise NotImplementedError(
+                f"STUB: AVI video chunk is not MJPEG (handler "
                 f"{info['handler']!r}) — inter-frame codecs need ffmpeg"
             )
         out.append(decode_jpeg_pixels(chunk))

@@ -133,9 +133,6 @@ def html_to_text(payload: str) -> tuple[str | None, str]:
     return p.title, "\n".join(p.chunks)
 
 
-HTML_TEXT_SCHEMA = "id long, title string, text string"  # long when id_col is
-
-
 def extract_html_text(
     df: DataFrame,
     id_col: str,

@@ -686,23 +686,39 @@ def sample_frames_df(
             for _id, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 if data[:6] in _GIF_MAGICS or is_avi(data):
-                    # REAL frame extraction (GIF: LZW decode; AVI: per-
-                    # frame baseline JPEG decode), every_n-th frame
+                    # REAL frame extraction, every_n-th frame. GIF must
+                    # decode ALL frames (LZW state chains frame to
+                    # frame); MJPEG frames are independent, so the AVI
+                    # path decodes ONLY the sampled chunks.
                     try:
                         if is_avi(data):
-                            frames = decode_avi_mjpeg_frames(data)
+                            sampled = decode_avi_mjpeg_frames(data, every_n)
+                            frames = [
+                                (i * every_n, f) for i, f in enumerate(sampled)
+                            ]
                         else:
-                            frames = decode_gif_frames(data)
+                            frames = list(
+                                enumerate(decode_gif_frames(data))
+                            )[::every_n]
                     except ValueError:
+                        # malformed bytes: corrupt payloads skip to the
+                        # fake-frame fallback unless the caller demanded
+                        # real decode
+                        if use_real_decoder:
+                            raise
+                        frames = None
+                    except NotImplementedError:
+                        # well-formed file, unsupported codec (the honest
+                        # stub): same routing as the sample_frames stub
                         if use_real_decoder:
                             raise
                         frames = None
                     if frames is not None:
-                        for fi in range(0, len(frames), every_n):
+                        for fi, frame in frames:
                             ids.append(_id)
                             idxs.append(fi)
                             sigs.append(
-                                hashlib.md5(frames[fi].tobytes()).hexdigest()[:8]
+                                hashlib.md5(frame.tobytes()).hexdigest()[:8]
                             )
                         continue
                 if use_real_decoder:

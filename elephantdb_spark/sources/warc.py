@@ -152,11 +152,6 @@ def build_warc(records: list[dict]) -> bytes:
     return bytes(out)
 
 
-WARC_RECORD_SCHEMA = (
-    "id long, rec_idx int, warc_type string, target_uri string, body binary"
-)
-
-
 def warc_records_df(
     df: DataFrame,
     id_col: str,

@@ -88,6 +88,20 @@ def materialize(spark, n: int, base: str) -> dict[str, str]:
     return paths
 
 
+def _neardup_corpus(documents):
+    """The shared near-dup fixture: per copy, the first 250 doc texts
+    reappear under shifted ids with the first 11 chars cut. Used by both
+    the pairgen/minhash timed entries and the recall measurement — one
+    definition, so a tuning change cannot silently desynchronize the
+    corpus the recall number was measured on."""
+    return documents.select("doc_id", "text").unionByName(
+        documents.filter((F.col("doc_id") % ID_SHIFT) < 250).select(
+            (F.col("doc_id") + 500_000_000_000).alias("doc_id"),
+            F.expr("substring(text, 12)").alias("text"),
+        )
+    )
+
+
 def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     work = tempfile.mkdtemp(prefix=f"edb_scale_work_{tag}_")
@@ -133,14 +147,7 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
         minhash_lsh_pairs(documents, "doc_id", "text",
                           num_perm=32, bands=8, threshold=0.5).count()
 
-    # the bench's near-dup fixture generalized: per-copy, the first 250
-    # doc texts reappear under shifted ids with the first 11 chars cut
-    neardup_corpus = documents.select("doc_id", "text").unionByName(
-        documents.filter((F.col("doc_id") % ID_SHIFT) < 250).select(
-            (F.col("doc_id") + 500_000_000_000).alias("doc_id"),
-            F.expr("substring(text, 12)").alias("text"),
-        )
-    )
+    neardup_corpus = _neardup_corpus(documents)
     with timed("neardup_pairgen"):
         jaccard_shingle_pairs(
             neardup_corpus, "doc_id", "text", shingle_len=3, threshold=0.5
@@ -372,12 +379,7 @@ def measure_lsh_recall(spark, paths: dict[str, str]) -> dict:
     )
 
     documents = spark.read.parquet(paths["documents"])
-    corpus = documents.select("doc_id", "text").unionByName(
-        documents.filter((F.col("doc_id") % ID_SHIFT) < 250).select(
-            (F.col("doc_id") + 500_000_000_000).alias("doc_id"),
-            F.expr("substring(text, 12)").alias("text"),
-        )
-    )
+    corpus = _neardup_corpus(documents)
     truth = {
         (r["a"], r["b"])
         for r in jaccard_shingle_pairs(
@@ -406,7 +408,6 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLogLevel("ERROR")
 
-    p1 = materialize(spark, 1, BASE_SF)
     pn = materialize(spark, N_COPIES, BASE_SF)
 
     if os.environ.get("EDB_SCALE_RECALL") == "1":
@@ -420,6 +421,7 @@ def main() -> None:
         return
 
     # warm code paths on the 1x corpus, then measure 1x, then Nx
+    p1 = materialize(spark, 1, BASE_SF)
     run_entries(spark, p1, 1, "warm")
     t1 = run_entries(spark, p1, 1, "x1")
     tn = run_entries(spark, pn, N_COPIES, "xN")

@@ -79,15 +79,50 @@ def test_truncated_chunk_overrun_raises():
         parse_avi(bad)
 
 
-def test_non_mjpeg_codec_raises():
+def test_non_mjpeg_codec_raises_honest_stub():
+    """A WELL-FORMED AVI with an unsupported codec is the honest-stub
+    case (NotImplementedError, like H.264-in-MP4), NOT the malformed-
+    bytes case (ValueError) — callers route the former to an ffmpeg
+    fallback and treat the latter as corrupt."""
     p = bytearray(synth_avi(8, 8, 2))
     # overwrite each frame chunk's JPEG SOI with a fake codec payload
     i = p.find(b"00dc")
     while i != -1:
         p[i + 8] = 0x00
         i = p.find(b"00dc", i + 4)
-    with pytest.raises(ValueError, match="not MJPEG"):
+    with pytest.raises(NotImplementedError, match="not MJPEG"):
         decode_avi_mjpeg_frames(bytes(p))
+
+
+def test_interleaved_rec_groups_parse():
+    """Standard interleaved muxing wraps each frame in a 'LIST rec '
+    group inside movi — frames must still be collected (review finding:
+    a flat walk silently dropped ALL frames of interleaved AVIs)."""
+    import numpy as np
+
+    from elephantdb_spark.operators.avi import _chunk, _list
+
+    plain = synth_avi(10, 8, 3)
+    info = parse_avi(plain)
+    # rebuild the container with each frame wrapped in LIST rec
+    movi_body = b"".join(
+        _list(b"rec ", _chunk(b"00dc", c)) for c in info["frame_chunks"]
+    )
+    pos = plain.index(b"LIST", plain.index(b"movi") - 8)
+    head = plain[:pos]
+    new_movi = _list(b"movi", movi_body)
+    rebuilt = head + new_movi
+    rebuilt = (
+        rebuilt[:4]
+        + struct.pack("<I", len(rebuilt) - 8)
+        + rebuilt[8:]
+    )
+    out = parse_avi(rebuilt)
+    assert len(out["frame_chunks"]) == 3
+    frames = decode_avi_mjpeg_frames(rebuilt, every_n=2)
+    assert len(frames) == 2
+    assert frames[0].shape == (8, 10, 3)
+    assert isinstance(frames[0], np.ndarray)
 
 
 def test_encode_rejects_empty():

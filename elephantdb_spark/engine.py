@@ -94,7 +94,10 @@ class Domain:
         # ParquetFile handle is NOT safe for concurrent reads (two threads
         # in read_row_group on one handle race the underlying reader).
         # Distinct shard files still probe fully in parallel.
-        self._pq_cache: dict[str, tuple[object, threading.Lock]] = {}
+        self._pq_cache: dict[str, tuple[object, threading.Lock, int]] = {}
+        # immutable shard-dir listings for published versions (the probe
+        # must not pay listdir syscalls per lookup); same lock + clears
+        self._dir_cache: dict[str, list[str]] = {}
         self._pq_lock = threading.Lock()
         # published-version snapshot — when it changes, caches drop (see
         # _resolve_version)
@@ -239,6 +242,7 @@ class Domain:
             self._read_cache.clear()
             with self._pq_lock:
                 self._pq_cache.clear()
+                self._dir_cache.clear()
         if version is not None:
             if int(version) not in versions:
                 raise DomainNotLoadedError(
@@ -434,13 +438,12 @@ class Domain:
         out: dict[bytes, bytes | None] = {bytes(k): None for k in keys}
         for shard, shard_keys in by_shard.items():
             sdir = os.path.join(vpath, shard_dirname(shard))
-            if not os.path.isdir(sdir):
-                continue
-            files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+            files = self._shard_file_list(sdir)
             targets = sorted(set(shard_keys))
             for fname in files:
-                pf, pf_lock = self._open_shard_file(os.path.join(sdir, fname))
-                key_idx = pf.schema_arrow.get_field_index("key")
+                pf, pf_lock, key_idx = self._open_shard_file(
+                    os.path.join(sdir, fname)
+                )
                 for rg in range(pf.metadata.num_row_groups):
                     stats = pf.metadata.row_group(rg).column(key_idx).statistics
                     if stats is not None and stats.has_min_max:
@@ -470,14 +473,36 @@ class Domain:
         """Point probe via :meth:`local_multi_get` (A1 serving analogue)."""
         return self.local_multi_get([key], version)[bytes(key)]
 
+    def _shard_file_list(self, sdir: str) -> "list[str]":
+        """Cached data-file listing for one shard dir of a PUBLISHED
+        version (immutable once the token exists, so the listdir syscalls
+        are pure fixed overhead per probe). Missing dir → empty list.
+        Shares _pq_lock and the wholesale clear with the handle cache."""
+        with self._pq_lock:
+            files = self._dir_cache.get(sdir)
+        if files is None:
+            if os.path.isdir(sdir):
+                files = sorted(
+                    f for f in os.listdir(sdir) if f.endswith(".parquet")
+                )
+            else:
+                files = []
+            with self._pq_lock:
+                if len(self._dir_cache) >= 512:
+                    self._dir_cache.clear()
+                files = self._dir_cache.setdefault(sdir, files)
+        return files
+
     def _open_shard_file(self, path: str):
         """Open (or reuse) a pyarrow ParquetFile for a shard file; returns
-        ``(handle, per_file_lock)``. The reference keeps its local
-        persistences open for the lifetime of a served version
+        ``(handle, per_file_lock, key_column_index)``. The reference keeps
+        its local persistences open for the lifetime of a served version
         (common/domain.clj:184-206) — the probe must not re-read the
-        footer per lookup. Shard files are immutable once published, so
-        caching by path is safe; bounded, cleared wholesale like the
-        DataFrame cache."""
+        footer per lookup. The key column index is resolved once at open:
+        ``schema_arrow`` rebuilds the Arrow schema from Thrift metadata on
+        every access, a measurable per-probe cost. Shard files are
+        immutable once published, so caching by path is safe; bounded,
+        cleared wholesale like the DataFrame cache."""
         import pyarrow.parquet as pq
 
         with self._pq_lock:
@@ -488,7 +513,7 @@ class Domain:
             # the same cold path both open it; one handle wins the cache,
             # the loser serves its own request and is GC'd — harmless.
             pf = pq.ParquetFile(path)
-            entry = (pf, threading.Lock())
+            entry = (pf, threading.Lock(), pf.schema_arrow.get_field_index("key"))
             with self._pq_lock:
                 if len(self._pq_cache) >= 512:
                     self._pq_cache.clear()

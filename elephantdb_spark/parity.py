@@ -188,6 +188,29 @@ def domains_root(spark: SparkSession, sf_dir: str) -> str:
     )
     sb2.publish()
 
+    # orders_frag: fragmented build (maxRecordsPerFile splits every shard
+    # into many small files) then compact_domain → V2 (A21b, Q100;
+    # cascalog/keyval.clj:55-64 degenerate-reshard shape). The compacted
+    # version must carry identical content in one file per shard.
+    from elephantdb_spark import compact_domain
+
+    frag_root = eng.domain_root("orders_frag")
+    build_domain(
+        spark,
+        _table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("string").cast("binary").alias("key"),
+            F.col("o_custkey").cast("string").cast("binary").alias("value"),
+        ),
+        frag_root,
+        DomainSpec(
+            num_shards=NUM_SHARDS,
+            persistence_opts={"maxRecordsPerFile": 50},
+        ),
+        version=V1,
+        dedup="none",
+    )
+    compact_domain(spark, frag_root, version=V2)
+
     _ROOTS[sf_dir] = root
     return root
 
@@ -368,6 +391,35 @@ def q72_staged_build_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def q100_compact_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21b compaction end-to-end (VERDICT r3 item 4, driver-checked):
+    a build fragmented by maxRecordsPerFile splits is compacted into a
+    NEW version; the scan of the compacted version must carry identical
+    content (the SQL oracle over the source table), and the physical
+    layout collapses to one key-sorted file per shard —
+    ``one_file_per_shard`` is the deterministic guarantee column the
+    oracle pins to literal true. Reference shape:
+    cascalog/keyval.clj:55-64 (reshard at the same shard count)."""
+    import os as _os
+
+    dom = _engine(spark, sf_dir).domain("orders_frag")
+    v2 = dom.store.most_recent_version()
+    vpath = dom.store.version_path(v2)
+    per_shard = [
+        len([f for f in _os.listdir(_os.path.join(vpath, d))
+             if not f.startswith(("_", "."))])
+        for d in _os.listdir(vpath) if d.startswith("shard=")
+    ]
+    one_file = bool(per_shard) and max(per_shard) == 1
+    return dom.scan().select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+        F.lit(one_file).alias("one_file_per_shard"),
+        # the previous (fragmented) version must remain pinned-readable
+        F.lit(dom.count(version=V1) == dom.count()).alias("v1_intact"),
+    ).orderBy("k")
+
+
 PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_point_get_hit": q01_point_get_hit,
     "q02_point_get_miss": q02_point_get_miss,
@@ -385,6 +437,7 @@ PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_count_after_update": q14_count_after_update,
     "q15_streaming_update": q15_streaming_update,
     "q72_staged_build_update": q72_staged_build_update,
+    "q100_compact_domain": q100_compact_domain,
 }
 
 
@@ -451,6 +504,12 @@ PART_C_ORACLES: dict[str, str] = {
         "           FROM events WHERE event_id % 2 = 1 GROUP BY user_id) "
         "SELECT COALESCE(n.k, o.k) AS k, COALESCE(n.v, o.v) AS v "
         "FROM o FULL JOIN n ON o.k = n.k ORDER BY k"
+    ),
+    "q100_compact_domain": (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k, "
+        "CAST(o_custkey AS VARCHAR) AS v, "
+        "true AS one_file_per_shard, true AS v1_intact "
+        "FROM orders ORDER BY k"
     ),
     "q72_staged_build_update": (
         "SELECT CAST(c_custkey AS VARCHAR) AS k, "

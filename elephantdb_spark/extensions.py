@@ -1157,6 +1157,37 @@ def q46_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q101_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, round-0 statistics (operators/bpe):
+    word-count table (the ONLY corpus-sized pass — map-side combinable),
+    symbol pairs with the </w> end-of-word marker, top-20 merge
+    candidates by (count desc, pair asc). The oracle replays the exact
+    pair construction in SQL — this is the aggregation every BPE merge
+    iteration runs over the vocab table."""
+    from elephantdb_spark.operators.bpe import initial_pair_counts
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        initial_pair_counts(docs, "text")
+        .orderBy(F.col("count").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+def q102_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a fixed merge table (operators/bpe.apply_bpe):
+    one Arrow-batched scan, zero shuffle, merge ranks in the closure.
+    A single ('e','s') merge keeps the oracle exact: for distinct
+    symbols a≠b the greedy encoder collapses exactly the leftmost
+    non-overlapping occurrences — the same set SQL replace() rewrites —
+    so n_tokens = (chars + 1 EOW) - #occurrences, computable per word
+    from length deltas."""
+    from elephantdb_spark.operators.bpe import apply_bpe
+
+    docs = _table(spark, sf_dir, "documents")
+    return apply_bpe(docs, "doc_id", "text", [("e", "s")]).orderBy("doc_id")
+
+
 def q50_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packaged cleaning pipeline (pipeline.clean_corpus) with its
     SQL-expressible stages: quality gate (>= 30 whitespace tokens) + exact
@@ -1465,6 +1496,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_url_normalization": q98_url_normalization,
     "q46_subword_count": q46_subword_count,
     "q50_clean_corpus": q50_clean_corpus,
+    "q101_bpe_pair_counts": q101_bpe_pair_counts,
+    "q102_bpe_encode": q102_bpe_encode,
 }
 
 
@@ -2264,6 +2297,29 @@ EXT_ORACLES: dict[str, str] = {
         f"           WHERE {_TOKEN_COUNT_EXPR} >= 30), "
         "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text) "
         "SELECT doc_id FROM keep ORDER BY doc_id"
+    ),
+    "q101_bpe_pair_counts": (
+        f"WITH toks AS (SELECT unnest({_TOKS}) AS t FROM documents), "
+        "words AS (SELECT lower(t) AS w FROM toks WHERE t != ''), "
+        "wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w), "
+        "pos AS (SELECT w, c, "
+        "unnest(generate_series(1, length(w))) AS i FROM wc), "
+        "pairs AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS a, "
+        "CASE WHEN i = length(w) THEN '</w>' "
+        "ELSE substr(w, CAST(i AS INTEGER) + 1, 1) END AS b, c FROM pos) "
+        "SELECT a, b, CAST(SUM(c) AS BIGINT) AS count FROM pairs "
+        "GROUP BY a, b ORDER BY count DESC, a, b LIMIT 20"
+    ),
+    "q102_bpe_encode": (
+        "SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents d LEFT JOIN ("
+        "  SELECT doc_id, SUM(length(w) + 1 "
+        "    - (length(w) - length(replace(w, 'es', ''))) // 2) AS n "
+        f"  FROM (SELECT doc_id, lower(t) AS w FROM "
+        f"        (SELECT doc_id, unnest({_TOKS}) AS t FROM documents) "
+        "        WHERE t != '') "
+        "  GROUP BY doc_id) s USING (doc_id) "
+        "ORDER BY doc_id"
     ),
     "q92_png_decode_features": (
         "SELECT doc_id AS id, (n_chars % 64) + 1 AS width, "

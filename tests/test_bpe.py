@@ -1,0 +1,145 @@
+"""Distributed BPE: trainer equivalence to a pure-python reference,
+encoder parity, determinism, and the plan contracts (one corpus-sized
+pass; encoding zero-shuffle)."""
+
+from __future__ import annotations
+
+import io
+from collections import Counter
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    bpe_encode_word,
+    initial_pair_counts,
+    train_bpe,
+    word_counts,
+)
+
+CORPUS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest"),
+    (4, "widest widest widest"),
+    (5, "low lower newest"),
+]
+
+
+def _py_train(wc: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Reference Sennrich-style trainer: argmax pair by (count, then
+    lexicographically smallest (a, b)) — mirrors the Spark tiebreak."""
+    syms = {w: list(w) + [EOW] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w in syms:
+            s = syms[w]
+            res, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return merges
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_trainer_matches_python_reference(spark, docs):
+    wc = {r["w"]: r["c"] for r in word_counts(docs, "text").collect()}
+    expected = _py_train(wc, 12)
+    got = train_bpe(docs, "text", 12)
+    assert got == expected
+    # the classic corpus learns 'est</w>' pieces
+    joined = ["".join(p) for p in got]
+    assert any("est" in j for j in joined)
+
+
+def test_trainer_deterministic_across_partitionings(spark, docs):
+    a = train_bpe(docs, "text", 6)
+    b = train_bpe(docs.repartition(7), "text", 6)
+    assert a == b
+
+
+def test_early_stop_on_min_pair_count(spark):
+    tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    # every pair occurs once; min_pair_count=2 stops before any merge
+    assert train_bpe(tiny, "text", 5, min_pair_count=2) == []
+
+
+def test_encode_word_reference_properties():
+    merges = [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("lowest", ranks) == ["low", "est" + EOW]
+    # unknown word falls back to chars + EOW
+    assert bpe_encode_word("xyz", {}) == ["x", "y", "z", EOW]
+
+
+def test_apply_bpe_matches_reference_encoder(spark, docs):
+    merges = train_bpe(docs, "text", 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in apply_bpe(docs, "doc_id", "text", merges).collect()}
+    for did, text in CORPUS:
+        expect = sum(len(bpe_encode_word(w, ranks)) for w in text.lower().split())
+        assert got[did] == expect, did
+    # empty/null text encodes to zero tokens
+    nulls = spark.createDataFrame(
+        [(9, None), (10, "  ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in apply_bpe(nulls, "doc_id", "text", merges).collect()}
+    assert out == {9: 0, 10: 0}
+
+
+def test_apply_bpe_plans_zero_exchange(spark, docs):
+    from elephantdb_spark.plans import count_exchanges
+
+    df = apply_bpe(docs, "doc_id", "text", [("l", "o")])
+    assert count_exchanges(df) == 0
+
+
+def test_initial_pair_counts_match_python(spark, docs):
+    wc = {r["w"]: r["c"] for r in word_counts(docs, "text").collect()}
+    expected: Counter = Counter()
+    for w, c in wc.items():
+        s = list(w) + [EOW]
+        for i in range(len(s) - 1):
+            expected[(s[i], s[i + 1])] += c
+    got = {(r["a"], r["b"]): r["count"]
+           for r in initial_pair_counts(docs, "text").collect()}
+    assert got == dict(expected)
+
+
+def test_word_counts_single_exchange(spark, docs):
+    """The one corpus-sized pass: exactly one exchange (the count agg),
+    map-side combinable."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        word_counts(docs, "text").explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("(Exchange") <= 0  # formatted: count detail headers
+    from elephantdb_spark.plans import count_exchanges
+
+    assert count_exchanges(word_counts(docs, "text")) == 1

@@ -546,3 +546,55 @@ def test_png_unfilter_matches_independent_filter_implementation():
     png = (PNG_SIG + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", _zl.compress(raw)) + chunk(b"IEND", b""))
     assert (_decode_png_pixels(png) == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# AVI (MJPEG) — r5: same malformed-input contract as every other codec
+# ---------------------------------------------------------------------------
+
+from elephantdb_spark.operators.avi import (  # noqa: E402
+    decode_avi_mjpeg_frames,
+    parse_avi,
+    synth_avi,
+)
+
+_avi_shaped = st.builds(
+    lambda body: b"RIFF" + body[:4] + b"AVI " + body[4:], _garbage
+)
+
+
+@given(_avi_shaped | _garbage | _truncations(synth_avi(16, 12, 3)))
+@settings(max_examples=300, deadline=None)
+def test_parse_avi_raises_cleanly_or_parses(payload):
+    """Malformed AVI bytes raise ValueError ONLY — never a struct error,
+    slice crash, hang, or unbounded allocation (the 100 TB crawl
+    contract every codec in the package shares)."""
+    try:
+        out = parse_avi(payload)
+        assert out["n_frames"] >= 0
+        assert isinstance(out["frame_chunks"], list)
+    except ValueError:
+        pass
+
+
+@given(_avi_shaped | _garbage | _truncations(synth_avi(16, 12, 3)))
+@settings(max_examples=200, deadline=None)
+def test_decode_avi_frames_contract(payload):
+    """Frame decode adds NotImplementedError for well-formed non-MJPEG
+    codecs on top of ValueError for malformed bytes — nothing else."""
+    try:
+        frames = decode_avi_mjpeg_frames(payload)
+        assert all(f.ndim == 3 for f in frames)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_avi_bitflip_never_crashes():
+    base = bytearray(synth_avi(16, 12, 2))
+    for pos in range(0, len(base), 7):
+        mutated = bytearray(base)
+        mutated[pos] ^= 0x40
+        try:
+            decode_avi_mjpeg_frames(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass

@@ -468,6 +468,34 @@ def main() -> None:
             every_n=2,
         ).count()
 
+    # real codec-compressed video (r5): per-doc MJPEG AVI -> RIFF walk ->
+    # sampled-frame baseline-JPEG decode (only every-2nd frame decodes)
+    def _gen_avis(batches):
+        import pandas as _pd
+
+        from elephantdb_spark.operators.avi import synth_avi
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [
+                    synth_avi(int(n) % 16 + 8, int(n) % 8 + 8, int(n) % 6 + 2)
+                    for n in pdf["n_chars"]
+                ],
+                "meta": [
+                    {"media_type": "video/x-msvideo", "lang": None,
+                     "source": "synth"}
+                ] * len(pdf),
+            })
+
+    with timed("avi_frame_sampling"):
+        sample_frames_df(
+            documents.select("doc_id", "n_chars").repartition(CPUS).mapInPandas(
+                _gen_avis, MULTIMODAL_SCHEMA
+            ),
+            every_n=2,
+        ).count()
+
     with timed("jpeg_roundtrip_resize"):
         resize_images(
             documents.select("doc_id", "n_chars").repartition(CPUS).mapInPandas(
@@ -593,6 +621,21 @@ def main() -> None:
     # bigram LM training: explode + count + per-prefix window
     with timed("lm_train_bigram"):
         train_ngram_lm(documents, "text", n=2).count()
+
+    # BPE (r5): round-0 merge statistics (the per-iteration aggregation
+    # shape) and the zero-shuffle corpus encode with a fixed merge table
+    from elephantdb_spark.operators.bpe import apply_bpe, initial_pair_counts
+
+    with timed("bpe_pair_counts"):
+        initial_pair_counts(documents, "text").orderBy(
+            F.col("count").desc(), "a", "b"
+        ).limit(20).collect()
+
+    with timed("bpe_encode"):
+        apply_bpe(
+            documents, "doc_id", "text",
+            [("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"), ("i", "n")],
+        ).agg(F.sum("n_bpe_tokens")).collect()
 
     # skew path (verdict r2 item 8): detect hot keys then join through the
     # explicit salting operator on synthetic celebrity-key data (~1/3 of

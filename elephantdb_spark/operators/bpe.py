@@ -155,36 +155,31 @@ def train_bpe(
     )
     n_parts = sym.rdd.getNumPartitions()
     merges: list[tuple[str, str]] = []
-    try:
-        for r in range(n_merges):
-            best = (
-                _pair_counts(sym)
-                .orderBy(F.col("count").desc(), F.col("a").asc(), F.col("b").asc())
-                .first()
-            )
-            if best is None or best["count"] < min_pair_count:
-                break
-            a, b = best["a"], best["b"]
-            merges.append((a, b))
-            # rewrite only words that CONTAIN the pair (the long Zipf tail
-            # is untouched and must not pay the python rewrite)
-            has_pair = F.expr(
-                "size(syms) >= 2 AND exists(sequence(1, size(syms) - 1), "
-                f"i -> syms[i - 1] = {_sqlq(a)} AND syms[i] = {_sqlq(b)})"
-            )
-            touched = sym.filter(has_pair).withColumn(
-                "syms", _merge_udf(a, b)(F.col("syms"))
-            )
-            # coalesce: the union CONCATENATES both branches' partitions
-            # (p + p per round — unchecked, the count doubles towards the
-            # scheduler's limits); narrow merge back, no shuffle
-            sym = sym.filter(~has_pair).unionByName(touched).coalesce(n_parts)
-            if (r + 1) % checkpoint_every == 0:
-                sym = sym.localCheckpoint(eager=True)
-    finally:
-        # the final (or early-stopped) checkpointed frame is garbage-
-        # collected with the plan; nothing persisted survives the call
-        pass
+    for r in range(n_merges):
+        best = (
+            _pair_counts(sym)
+            .orderBy(F.col("count").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        if best is None or best["count"] < min_pair_count:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((a, b))
+        # rewrite only words that CONTAIN the pair (the long Zipf tail
+        # is untouched and must not pay the python rewrite)
+        has_pair = F.expr(
+            "size(syms) >= 2 AND exists(sequence(1, size(syms) - 1), "
+            f"i -> syms[i - 1] = {_sqlq(a)} AND syms[i] = {_sqlq(b)})"
+        )
+        touched = sym.filter(has_pair).withColumn(
+            "syms", _merge_udf(a, b)(F.col("syms"))
+        )
+        # coalesce: the union CONCATENATES both branches' partitions
+        # (p + p per round — unchecked, the count doubles towards the
+        # scheduler's limits); narrow merge back, no shuffle
+        sym = sym.filter(~has_pair).unionByName(touched).coalesce(n_parts)
+        if (r + 1) % checkpoint_every == 0:
+            sym = sym.localCheckpoint(eager=True)
     return merges
 
 
@@ -226,11 +221,23 @@ def apply_bpe(
 
     @pandas_udf("long")
     def count_bpe(texts: pd.Series) -> pd.Series:
+        import re
+
+        # ASCII \s == Java's default \s ([ \t\n\x0b\f\r]) — the SAME word
+        # boundaries train_bpe's tokens_col uses. Python's bare
+        # str.split() splits on extra Unicode whitespace (\x85, \xa0, …)
+        # and would encode different words than the trainer learned from.
+        ws = re.compile(r"\s+", re.ASCII)
         memo: dict[str, int] = {}
         out = []
         for t in texts:
             total = 0
-            for w in (t or "").lower().split():
+            # no str.strip(): it strips UNICODE whitespace (another
+            # boundary mismatch); empty tokens from leading/trailing
+            # ASCII separators are filtered below instead
+            for w in ws.split((t or "").lower()):
+                if not w:
+                    continue
                 n = memo.get(w)
                 if n is None:
                     n = len(bpe_encode_word(w, ranks))

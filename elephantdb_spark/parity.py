@@ -197,10 +197,7 @@ def domains_root(spark: SparkSession, sf_dir: str) -> str:
     frag_root = eng.domain_root("orders_frag")
     build_domain(
         spark,
-        _table(spark, sf_dir, "orders").select(
-            F.col("o_orderkey").cast("string").cast("binary").alias("key"),
-            F.col("o_custkey").cast("string").cast("binary").alias("value"),
-        ),
+        _as_kv(_table(spark, sf_dir, "orders"), "o_orderkey", "o_custkey"),
         frag_root,
         DomainSpec(
             num_shards=NUM_SHARDS,
@@ -400,15 +397,13 @@ def q100_compact_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``one_file_per_shard`` is the deterministic guarantee column the
     oracle pins to literal true. Reference shape:
     cascalog/keyval.clj:55-64 (reshard at the same shard count)."""
-    import os as _os
-
     dom = _engine(spark, sf_dir).domain("orders_frag")
     v2 = dom.store.most_recent_version()
     vpath = dom.store.version_path(v2)
     per_shard = [
-        len([f for f in _os.listdir(_os.path.join(vpath, d))
+        len([f for f in os.listdir(os.path.join(vpath, d))
              if not f.startswith(("_", "."))])
-        for d in _os.listdir(vpath) if d.startswith("shard=")
+        for d in os.listdir(vpath) if d.startswith("shard=")
     ]
     one_file = bool(per_shard) and max(per_shard) == 1
     return dom.scan().select(

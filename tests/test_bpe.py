@@ -135,11 +135,22 @@ def test_initial_pair_counts_match_python(spark, docs):
 def test_word_counts_single_exchange(spark, docs):
     """The one corpus-sized pass: exactly one exchange (the count agg),
     map-side combinable."""
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        word_counts(docs, "text").explain("formatted")
-    plan = buf.getvalue()
-    assert plan.count("(Exchange") <= 0  # formatted: count detail headers
     from elephantdb_spark.plans import count_exchanges
 
     assert count_exchanges(word_counts(docs, "text")) == 1
+
+
+def test_apply_bpe_java_whitespace_boundaries(spark):
+    """Review finding: the encoder must split words on the SAME
+    boundaries the trainer does (Java/ASCII \\s). Unicode whitespace
+    (\\xa0, \\x85) is a word CHARACTER to tokens_col — a bare
+    str.split() would split on it and encode different words."""
+    docs = spark.createDataFrame(
+        [(1, "a b cd"), (2, "xy")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in apply_bpe(docs, "doc_id", "text", []).collect()}
+    # doc 1: words are 'a\xa0b' (3 chars) and 'cd' (2) -> (3+1) + (2+1)
+    assert out[1] == 7
+    # doc 2: ONE word 'x\x85y' -> 3 chars + EOW
+    assert out[2] == 4

@@ -219,6 +219,23 @@ def main() -> None:
         assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
                    for t in range(8)), hits
 
+    # bulk enrichment (r5): the WHOLE lineitem fact probed against its
+    # KV domain — one probe-side exchange, zero domain-side shuffle
+    # (tasks read their shard files directly)
+    with timed("bulk_join_600k"):
+        n_hit = (
+            dom.bulk_join(
+                lineitem.select(
+                    F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+                    .cast("binary").alias("k")
+                ),
+                "k",
+            )
+            .agg(F.sum(F.col("value").isNotNull().cast("long")))
+            .collect()[0][0]
+        )
+        assert n_hit > 0
+
     with timed("scan_count"):
         dom.count()
 

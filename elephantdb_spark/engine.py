@@ -350,6 +350,106 @@ class Domain:
             "key", "value"
         )
 
+    def bulk_join(
+        self,
+        df: DataFrame,
+        key_col: str,
+        value_alias: str = "value",
+        version: int | None = None,
+    ) -> DataFrame:
+        """Enrich a corpus-sized probe frame against this domain — the
+        scale path multiGet stops short of: ``multi_get_df`` broadcasts
+        the key set, which caps it at driver-collectable sizes, while a
+        plain join against ``scan()`` shuffles BOTH sides. Here the probe
+        side pays exactly ONE exchange — partitioned by the domain's own
+        md5-mod shard map via the exact 1:1 slot placement
+        (sharding.exact_partition_slots), so task p receives precisely
+        the keys that hash to shard p — and each task then opens its
+        ``shard=<p>`` files directly with pyarrow and hash-joins locally.
+        The domain side never touches an exchange at any corpus size:
+        this is the bulk analogue of the reference's shard-routed read
+        (common/domain.clj:243-259) applied to a whole DataFrame.
+
+        Returns ``df``'s columns plus ``value_alias`` (binary; null on
+        miss — multiGet's miss-preserving semantics). NULL probe keys get
+        a null value. Memory shape: one task holds one shard's KV pairs
+        (the serving-host sizing rule — a shard fits a host by design;
+        reference loads shards into local stores the same way,
+        JavaBerkDB.java:40-56). Parquet domains only; other formats fall
+        back to a shuffle join against ``scan()``."""
+        if key_col not in df.columns:
+            raise ValueError(f"column {key_col!r} not in frame: {df.columns}")
+        if dict(df.dtypes)[key_col] != "binary":
+            raise ValueError(
+                f"{key_col!r} must be binary (domain keys are bytes), got "
+                f"{dict(df.dtypes)[key_col]}"
+            )
+        if value_alias in df.columns:
+            raise ValueError(
+                f"output column {value_alias!r} already exists in the frame"
+            )
+        if self._fmt != "parquet":
+            matched = self.scan(version).drop("shard").withColumnRenamed(
+                "key", "__dk"
+            ).withColumnRenamed("value", value_alias)
+            return df.join(
+                matched, df[key_col] == F.col("__dk"), "left"
+            ).drop("__dk")
+        import pandas as pd  # noqa: F401 - worker-side dependency
+
+        from elephantdb_spark.sharding import with_slot_column
+
+        v = self._resolve_version(version)
+        vpath = self.store.version_path(v)
+        n = self.spec.num_shards
+        # NULL keys route to shard 0 (not a NULL shard: with_slot_column's
+        # broadcast-join path at high shard counts would silently DROP
+        # null-shard rows); the per-row null guard in the task yields a
+        # null value for them regardless of which shard's task runs them
+        shard_expr = F.when(F.col(key_col).isNull(), F.lit(0)).otherwise(
+            self._scheme.shard_col(F.col(key_col), n)
+        )
+        probe = with_slot_column(
+            self.spark, df.withColumn("__shard", shard_expr), n, "__shard"
+        ).repartition(n, F.col("__slot")).drop("__slot", "__shard")
+        out_cols = list(df.columns)
+        dtypes = dict(df.dtypes)
+        schema = ", ".join(
+            [f"`{c}` {dtypes[c]}" for c in out_cols] + [f"`{value_alias}` binary"]
+        )
+
+        def run(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            lookup = None  # lazy: empty partitions never read the shard
+            for pdf in batches:
+                if lookup is None:
+                    lookup = {}
+                    pid = TaskContext.get().partitionId()
+                    sdir = os.path.join(vpath, shard_dirname(pid))
+                    if os.path.isdir(sdir):
+                        for fname in sorted(os.listdir(sdir)):
+                            if not fname.endswith(".parquet"):
+                                continue
+                            tbl = pq.read_table(
+                                os.path.join(sdir, fname),
+                                columns=["key", "value"],
+                            )
+                            for kk, vv in zip(
+                                tbl.column("key").to_pylist(),
+                                tbl.column("value").to_pylist(),
+                            ):
+                                lookup[kk] = vv
+                pdf[value_alias] = [
+                    None if k is None else lookup.get(bytes(k))
+                    for k in pdf[key_col]
+                ]
+                yield pdf[out_cols + [value_alias]]
+
+        return probe.mapInPandas(run, schema)
+
     def direct_multi_get_df(
         self,
         keys: list[bytes],

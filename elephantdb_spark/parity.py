@@ -415,6 +415,26 @@ def q100_compact_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def q103_bulk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk domain join (A2's corpus-scale sibling): the whole orders
+    table enriched against customer_kv via Domain.bulk_join — probe side
+    repartitioned by the domain's own md5-mod shard map (ONE exchange),
+    each task hash-joining directly against its shard file; the domain
+    side never shuffles. Miss-preserving (null c_name on miss), same as
+    multiGet. Reference shape: common/domain.clj:243-259 applied to a
+    DataFrame instead of a key list."""
+    dom = _engine(spark, sf_dir).domain("customer_kv")
+    probe = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").cast("binary").alias("k"),
+    )
+    return (
+        dom.bulk_join(probe, "k", value_alias="v")
+        .select("o_orderkey", F.col("v").cast("string").alias("c_name"))
+        .orderBy("o_orderkey")
+    )
+
+
 PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_point_get_hit": q01_point_get_hit,
     "q02_point_get_miss": q02_point_get_miss,
@@ -433,6 +453,7 @@ PART_C_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_streaming_update": q15_streaming_update,
     "q72_staged_build_update": q72_staged_build_update,
     "q100_compact_domain": q100_compact_domain,
+    "q103_bulk_join": q103_bulk_join,
 }
 
 
@@ -505,6 +526,11 @@ PART_C_ORACLES: dict[str, str] = {
         "CAST(o_custkey AS VARCHAR) AS v, "
         "true AS one_file_per_shard, true AS v1_intact "
         "FROM orders ORDER BY k"
+    ),
+    "q103_bulk_join": (
+        "SELECT o.o_orderkey, c.c_name FROM orders o "
+        "LEFT JOIN customer c ON c.c_custkey = o.o_custkey "
+        "ORDER BY o.o_orderkey"
     ),
     "q72_staged_build_update": (
         "SELECT CAST(c_custkey AS VARCHAR) AS k, "

@@ -1,0 +1,126 @@
+"""Domain.bulk_join: corpus-sized enrichment against a domain — probe
+side pays one exchange (the domain's own shard map), the domain side
+never shuffles (tasks read their shard files directly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark import DomainSpec, build_domain
+from elephantdb_spark.engine import Domain
+
+PAIRS = [(f"k{i:03d}".encode(), f"v{i}".encode()) for i in range(200)]
+
+
+@pytest.fixture(scope="module")
+def dom(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bj") / "d")
+    build_domain(
+        spark,
+        spark.createDataFrame(PAIRS, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=8),
+        version=1,
+    )
+    return Domain(spark, root)
+
+
+def _probe(spark, keys):
+    return spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "probe_id long, k binary"
+    )
+
+
+def test_bulk_join_matches_multi_get(spark, dom):
+    keys = [f"k{i:03d}".encode() for i in range(0, 200, 3)] + [b"missing"]
+    got = {
+        bytes(r["k"]): (None if r["value"] is None else bytes(r["value"]))
+        for r in dom.bulk_join(_probe(spark, keys), "k").collect()
+    }
+    expect = dom.multi_get(keys)
+    assert got == expect
+    assert got[b"missing"] is None
+
+
+def test_bulk_join_null_keys_and_duplicates(spark, dom):
+    df = spark.createDataFrame(
+        [(1, b"k000"), (2, None), (3, b"k000"), (4, b"nope")],
+        "probe_id long, k binary",
+    )
+    rows = {r["probe_id"]: r["value"] for r in dom.bulk_join(df, "k").collect()}
+    assert bytes(rows[1]) == b"v0" and bytes(rows[3]) == b"v0"
+    assert rows[2] is None and rows[4] is None
+
+
+def test_bulk_join_single_exchange_no_domain_scan(spark, dom):
+    """The plan contract: ONE exchange (probe repartition); the domain
+    never appears as a Spark scan — tasks read it directly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from elephantdb_spark.plans import count_exchanges
+
+    df = dom.bulk_join(_probe(spark, [b"k001"]), "k")
+    assert count_exchanges(df) == 1
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") == 0, plan  # no domain-side scan node
+
+
+def test_bulk_join_validates_inputs(spark, dom):
+    with pytest.raises(ValueError, match="not in frame"):
+        dom.bulk_join(_probe(spark, [b"x"]), "nope")
+    with pytest.raises(ValueError, match="must be binary"):
+        dom.bulk_join(
+            spark.createDataFrame([(1, "s")], "probe_id long, k string"), "k"
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        dom.bulk_join(
+            spark.createDataFrame([(b"v", b"k")], "value binary, k binary"), "k"
+        )
+
+
+def test_bulk_join_version_pinned(spark, tmp_path):
+    from elephantdb_spark import update_domain
+
+    root = str(tmp_path / "d")
+    build_domain(
+        spark,
+        spark.createDataFrame(PAIRS[:50], "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=4),
+        version=1,
+    )
+    update_domain(
+        spark,
+        spark.createDataFrame([(b"k000", b"NEW")], "key binary, value binary"),
+        root,
+        version=2,
+    )
+    dom = Domain(spark, root)
+    cur = dom.bulk_join(_probe(spark, [b"k000"]), "k").collect()[0]
+    old = dom.bulk_join(_probe(spark, [b"k000"]), "k", version=1).collect()[0]
+    assert bytes(cur["value"]) == b"NEW"
+    assert bytes(old["value"]) == b"v0"
+
+
+def test_bulk_join_orc_fallback(spark, tmp_path):
+    root = str(tmp_path / "dorc")
+    build_domain(
+        spark,
+        spark.createDataFrame(PAIRS[:40], "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=4, persistence_format="orc"),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    got = {
+        bytes(r["k"]): (None if r["value"] is None else bytes(r["value"]))
+        for r in dom.bulk_join(
+            _probe(spark, [b"k001", b"gone"]), "k"
+        ).collect()
+    }
+    assert got == {b"k001": b"v1", b"gone": None}

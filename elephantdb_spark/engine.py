@@ -419,33 +419,38 @@ class Domain:
         )
 
         def run(batches):
-            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark import TaskContext
 
-            lookup = None  # lazy: empty partitions never read the shard
+            shard_kv = None  # lazy: empty partitions never read the shard
             for pdf in batches:
-                if lookup is None:
-                    lookup = {}
+                if shard_kv is None:
                     pid = TaskContext.get().partitionId()
                     sdir = os.path.join(vpath, shard_dirname(pid))
+                    tables = []
                     if os.path.isdir(sdir):
                         for fname in sorted(os.listdir(sdir)):
-                            if not fname.endswith(".parquet"):
-                                continue
-                            tbl = pq.read_table(
-                                os.path.join(sdir, fname),
-                                columns=["key", "value"],
-                            )
-                            for kk, vv in zip(
-                                tbl.column("key").to_pylist(),
-                                tbl.column("value").to_pylist(),
-                            ):
-                                lookup[kk] = vv
-                pdf[value_alias] = [
-                    None if k is None else lookup.get(bytes(k))
-                    for k in pdf[key_col]
-                ]
+                            if fname.endswith(".parquet"):
+                                tables.append(pq.read_table(
+                                    os.path.join(sdir, fname),
+                                    columns=["key", "value"],
+                                ))
+                    if tables:
+                        kv = pa.concat_tables(tables).combine_chunks()
+                        shard_kv = (kv.column("key"), kv.column("value"))
+                    else:
+                        empty = pa.array([], type=pa.binary())
+                        shard_kv = (empty, empty)
+                # C++-side hash probe: index_in + take, no python dict
+                # (the dict build was the hot cost at 600k keys/task)
+                karr = pa.array(
+                    (None if k is None else bytes(k) for k in pdf[key_col]),
+                    type=pa.binary(),
+                )
+                idx = pc.index_in(karr, value_set=shard_kv[0])
+                pdf[value_alias] = pc.take(shard_kv[1], idx).to_pandas()
                 yield pdf[out_cols + [value_alias]]
 
         return probe.mapInPandas(run, schema)

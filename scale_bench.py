@@ -138,6 +138,21 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
     with timed("incremental_update_5k"):
         update_domain(spark, batch, eng.domain_root("li"), version=2)
 
+    # bulk enrichment (r5): whole fact table probed against its domain —
+    # probe exchange + per-task shard reads; expect ~linear (both sides
+    # grow together, per-task work = probe_rows/shards + shard size)
+    from elephantdb_spark.engine import Domain
+
+    li_dom = Domain(spark, eng.domain_root("li"))
+    with timed("bulk_join_fact"):
+        li_dom.bulk_join(
+            lineitem.select(
+                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+                .cast("binary").alias("k")
+            ),
+            "k",
+        ).agg(F.sum(F.col("value").isNotNull().cast("long"))).collect()
+
     from elephantdb_spark.operators.dedup import (
         jaccard_shingle_pairs,
         minhash_lsh_pairs,

@@ -388,13 +388,22 @@ class Domain:
             raise ValueError(
                 f"output column {value_alias!r} already exists in the frame"
             )
+        clash = {"__shard", "__slot"}.intersection(df.columns)
+        if clash:
+            raise ValueError(
+                f"columns {sorted(clash)} collide with bulk_join's internal "
+                "columns — alias them first"
+            )
         if self._fmt != "parquet":
+            dk = "__dk"
+            while dk in df.columns or dk == value_alias:
+                dk += "_"
             matched = self.scan(version).drop("shard").withColumnRenamed(
-                "key", "__dk"
+                "key", dk
             ).withColumnRenamed("value", value_alias)
             return df.join(
-                matched, df[key_col] == F.col("__dk"), "left"
-            ).drop("__dk")
+                matched, df[key_col] == F.col(dk), "left"
+            ).drop(dk)
         import pandas as pd  # noqa: F401 - worker-side dependency
 
         from elephantdb_spark.sharding import with_slot_column
@@ -419,39 +428,53 @@ class Domain:
         )
 
         def run(batches):
+            import pandas as pd
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark import TaskContext
 
-            shard_kv = None  # lazy: empty partitions never read the shard
-            for pdf in batches:
-                if shard_kv is None:
-                    pid = TaskContext.get().partitionId()
-                    sdir = os.path.join(vpath, shard_dirname(pid))
-                    tables = []
-                    if os.path.isdir(sdir):
-                        for fname in sorted(os.listdir(sdir)):
-                            if fname.endswith(".parquet"):
-                                tables.append(pq.read_table(
-                                    os.path.join(sdir, fname),
-                                    columns=["key", "value"],
-                                ))
-                    if tables:
-                        kv = pa.concat_tables(tables).combine_chunks()
-                        shard_kv = (kv.column("key"), kv.column("value"))
-                    else:
-                        empty = pa.array([], type=pa.binary())
-                        shard_kv = (empty, empty)
-                # C++-side hash probe: index_in + take, no python dict
-                # (the dict build was the hot cost at 600k keys/task)
-                karr = pa.array(
-                    (None if k is None else bytes(k) for k in pdf[key_col]),
-                    type=pa.binary(),
+            # buffer the partition's batches and probe ONCE: index_in
+            # rebuilds its hash table per call, so probing per Arrow
+            # batch would re-hash the whole shard ~(partition/10k) times.
+            # Memory = one task's probe slice + one shard — the same
+            # sizing rule the shard read itself relies on.
+            pdfs = list(batches)
+            if not pdfs:
+                return  # empty partition: never touch the filesystem
+            if not os.path.isdir(vpath):
+                # an EMPTY shard merely lacks its shard=<p> dir; the
+                # version dir itself vanishing means the pinned version
+                # was GC'd after plan construction — all-null results
+                # would be a silent 100% miss, so fail loudly like the
+                # Spark read paths do
+                raise RuntimeError(
+                    f"domain version dir disappeared: {vpath} (GC'd "
+                    "after bulk_join was planned?)"
                 )
-                idx = pc.index_in(karr, value_set=shard_kv[0])
-                pdf[value_alias] = pc.take(shard_kv[1], idx).to_pandas()
-                yield pdf[out_cols + [value_alias]]
+            pid = TaskContext.get().partitionId()
+            sdir = os.path.join(vpath, shard_dirname(pid))
+            tables = []
+            if os.path.isdir(sdir):
+                for fname in sorted(os.listdir(sdir)):
+                    if fname.endswith(".parquet"):
+                        tables.append(pq.read_table(
+                            os.path.join(sdir, fname),
+                            columns=["key", "value"],
+                        ))
+            if tables:
+                kv = pa.concat_tables(tables).combine_chunks()
+                shard_keys, shard_vals = kv.column("key"), kv.column("value")
+            else:
+                shard_keys = shard_vals = pa.array([], type=pa.binary())
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            # C-side conversion + hash probe: BinaryType arrives as
+            # bytes/None, which pa.array converts directly — no per-key
+            # python loop anywhere
+            karr = pa.array(pdf[key_col], type=pa.binary())
+            idx = pc.index_in(karr, value_set=shard_keys)
+            pdf[value_alias] = pc.take(shard_vals, idx).to_pandas()
+            yield pdf[out_cols + [value_alias]]
 
         return probe.mapInPandas(run, schema)
 

@@ -141,9 +141,7 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
     # bulk enrichment (r5): whole fact table probed against its domain —
     # probe exchange + per-task shard reads; expect ~linear (both sides
     # grow together, per-task work = probe_rows/shards + shard size)
-    from elephantdb_spark.engine import Domain
-
-    li_dom = Domain(spark, eng.domain_root("li"))
+    li_dom = eng.domain("li")
     with timed("bulk_join_fact"):
         li_dom.bulk_join(
             lineitem.select(

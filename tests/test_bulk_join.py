@@ -124,3 +124,31 @@ def test_bulk_join_orc_fallback(spark, tmp_path):
         ).collect()
     }
     assert got == {b"k001": b"v1", b"gone": None}
+
+
+def test_bulk_join_rejects_internal_column_clash(spark, dom):
+    df = spark.createDataFrame(
+        [(1, b"k001", 5)], "probe_id long, k binary, __shard long"
+    )
+    with pytest.raises(ValueError, match="internal"):
+        dom.bulk_join(df, "k")
+
+
+def test_bulk_join_fails_loudly_when_version_gcd(spark, tmp_path):
+    """Review finding: a GC'd version dir must raise, not return a
+    silent 100% miss (the Spark read paths fail loudly in this race)."""
+    import shutil
+
+    root = str(tmp_path / "d")
+    build_domain(
+        spark,
+        spark.createDataFrame(PAIRS[:20], "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=2),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    df = dom.bulk_join(_probe(spark, [b"k000"]), "k")  # lazy: pins vpath
+    shutil.rmtree(dom.store.version_path(1))
+    with pytest.raises(Exception, match="disappeared"):
+        df.collect()

@@ -372,7 +372,12 @@ class Domain:
 
         Returns ``df``'s columns plus ``value_alias`` (binary; null on
         miss — multiGet's miss-preserving semantics). NULL probe keys get
-        a null value. Memory shape: one task holds one shard's KV pairs
+        a null value. Duplicate DOMAIN keys (possible only under
+        dedup='none' builds) yield exactly ONE value per probe row —
+        first-match semantics; which duplicate wins is unspecified but
+        both the parquet path (pc.index_in = first occurrence) and the
+        fallback (dropDuplicates before the join) never multiply probe
+        rows. Memory shape: one task holds one shard's KV pairs
         (the serving-host sizing rule — a shard fits a host by design;
         reference loads shards into local stores the same way,
         JavaBerkDB.java:40-56). Parquet domains only; other formats fall
@@ -398,9 +403,17 @@ class Domain:
             dk = "__dk"
             while dk in df.columns or dk == value_alias:
                 dk += "_"
-            matched = self.scan(version).drop("shard").withColumnRenamed(
-                "key", dk
-            ).withColumnRenamed("value", value_alias)
+            # ONE value per probe key, matching the parquet path's
+            # first-match semantics (pc.index_in returns the first hit):
+            # a domain built with dedup='none' that carries duplicate keys
+            # must not multiply probe rows. Which duplicate wins is
+            # unspecified in both paths — LWW-built domains (the default)
+            # have unique keys, so the rule only matters for dedup='none'.
+            matched = self.scan(version).drop("shard").dropDuplicates(
+                ["key"]
+            ).withColumnRenamed("key", dk).withColumnRenamed(
+                "value", value_alias
+            )
             return df.join(
                 matched, df[key_col] == F.col(dk), "left"
             ).drop(dk)

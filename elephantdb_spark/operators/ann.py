@@ -289,25 +289,16 @@ def train_ivf_centroids_hierarchical(
         # trim the largest allocations back down — returning more than
         # n_cells centroids would assign vectors to cells the index's
         # slot table does not know, silently dropping them from the build
+        # the trim always reaches remainder == 0: branch is clamped to
+        # ≤ n_cells above, so len(nonempty) ≤ n_cells and the all-at-floor
+        # state sums to ≤ n_cells — a branch > n_cells request is clamped,
+        # not honored (more super-cells than total cells is meaningless
+        # for the hierarchy, and an oversized centroid set would assign
+        # vectors to cells the index's slot table does not know).
         while remainder < 0:
             idx = int(np.argmax(alloc))
-            if alloc[idx] <= 1:
-                break  # every super-cell at the 1-centroid floor
             alloc[idx] -= 1
             remainder += 1
-        if int(alloc.sum()) > n_cells:
-            # every super-cell at the floor and STILL over budget: more
-            # non-empty super-cells than n_cells (unreachable from
-            # branch≈sqrt(n_cells) call sites, but direct callers can
-            # pass branch > n_cells). Keep the n_cells most-populated
-            # super-cells (stable tiebreak by index) — dropping a
-            # quantizer centroid is safe (vectors re-assign to the
-            # nearest survivor); returning an oversized set is not (the
-            # slot table would silently drop their vectors).
-            keep = np.argsort(-counts[nonempty], kind="stable")[:n_cells]
-            keep = np.sort(keep)
-            nonempty = nonempty[keep]
-            alloc = alloc[keep]
     out = []
     for j, sc in enumerate(nonempty):
         members = mat[assign == sc]

@@ -64,11 +64,22 @@ def _movi_frames(payload: bytes, pos: int, end: int) -> list[bytes]:
     """Collect video chunks from a movi body, descending into the
     ``LIST rec `` interleave groups standard muxers (VFW et al.) wrap
     around each frame — a flat walk would silently drop every frame of
-    an interleaved AVI."""
+    an interleaved AVI.
+
+    Iterative (explicit stack of chunk walkers), so adversarially deep
+    ``rec `` nesting cannot escape as RecursionError: every level costs
+    ≥12 payload bytes, so the stack is bounded by the payload size and
+    any malformed shape still surfaces as the contract's ValueError."""
     out: list[bytes] = []
-    for fourcc, s, e in _chunks(payload, pos, end):
+    stack = [_chunks(payload, pos, end)]
+    while stack:
+        try:
+            fourcc, s, e = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
         if fourcc == b"LIST" and e - s >= 4 and payload[s:s + 4] == b"rec ":
-            out.extend(_movi_frames(payload, s + 4, e))
+            stack.append(_chunks(payload, s + 4, e))
         elif fourcc[2:4] in (b"dc", b"db"):
             # '##dc' compressed / '##db' uncompressed video chunks
             out.append(payload[s:e])

@@ -121,8 +121,9 @@ def test_hierarchical_trainer_caps_at_n_cells_with_wide_branch(spark):
     )
 
     emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
-    # branch > n_cells: more non-empty super-cells than the cell budget —
-    # the floor-of-1 allocation would overshoot without the truncation
+    # branch > n_cells is clamped to n_cells (more super-cells than total
+    # cells is meaningless for the hierarchy); with the clamp in place the
+    # floor-of-1 trim loop always converges and the budget holds exactly
     cents = train_ivf_centroids_hierarchical(
         emb, n_cells=4, branch=16, sample_size=256
     )

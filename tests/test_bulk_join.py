@@ -126,6 +126,31 @@ def test_bulk_join_orc_fallback(spark, tmp_path):
     assert got == {b"k001": b"v1", b"gone": None}
 
 
+def test_bulk_join_orc_fallback_duplicate_domain_keys_first_match(spark, tmp_path):
+    """ADVICE r5: a dedup='none' domain with duplicate keys must yield
+    ONE value per probe row in the fallback path too (the parquet path's
+    pc.index_in first-match semantics), not multiply probe rows."""
+    root = str(tmp_path / "ddup")
+    build_domain(
+        spark,
+        spark.createDataFrame(
+            [(b"dup", b"v1"), (b"dup", b"v2"), (b"one", b"only")],
+            "key binary, value binary",
+        ),
+        root,
+        DomainSpec(num_shards=2, persistence_format="orc"),
+        version=1,
+        dedup="none",
+    )
+    dom = Domain(spark, root)
+    rows = dom.bulk_join(_probe(spark, [b"dup", b"one", b"dup"]), "k").collect()
+    assert len(rows) == 3  # one output row per probe row, never multiplied
+    by_id = {r["probe_id"]: bytes(r["value"]) for r in rows}
+    assert by_id[0] in (b"v1", b"v2")  # which duplicate wins: unspecified
+    assert by_id[0] == by_id[2]  # ...but consistent within one run
+    assert by_id[1] == b"only"
+
+
 def test_bulk_join_rejects_internal_column_clash(spark, dom):
     df = spark.createDataFrame(
         [(1, b"k001", 5)], "probe_id long, k binary, __shard long"

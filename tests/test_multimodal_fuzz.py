@@ -598,3 +598,30 @@ def test_avi_bitflip_never_crashes():
             decode_avi_mjpeg_frames(bytes(mutated))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_avi_deeply_nested_rec_lists_never_recursion_error():
+    """ADVICE r5: 2000 nested 'LIST rec ' groups used to escape as
+    RecursionError (outside the ValueError malformed-input contract,
+    so it failed whole Spark tasks). The movi walk is now iterative —
+    the frame inside the deepest group must still decode."""
+    from elephantdb_spark.operators.avi import (
+        _chunk,
+        _list,
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+    from elephantdb_spark.operators.jpeg import encode_jpeg
+
+    jpeg = encode_jpeg(np.full((4, 4, 3), 128, np.uint8), quality=85)
+    inner = _chunk(b"00dc", jpeg)
+    for _ in range(2000):
+        inner = _list(b"rec ", inner)
+    # graft the hostile movi into a valid header from a real encode
+    base = encode_avi_mjpeg([np.full((4, 4, 3), 128, np.uint8)])
+    movi_at = base.index(b"movi")
+    hdrl = base[12:movi_at - 8]  # everything up to the movi LIST header
+    body = b"AVI " + hdrl + _list(b"movi", inner)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = parse_avi(payload)  # must not RecursionError
+    assert out["frame_chunks"] == [jpeg]

@@ -654,6 +654,15 @@ def main() -> None:
             [("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"), ("i", "n")],
         ).agg(F.sum("n_bpe_tokens")).collect()
 
+    # full production-shape training run (r6): ONE corpus pass + the
+    # driver-side incremental merge loop — 1000 requested merges complete
+    # in ~the cost of the corpus pass (the synthetic vocab saturates at
+    # ~107 merges; a real 1M-word vocab adds only in-memory loop time)
+    from elephantdb_spark.operators.bpe import train_bpe
+
+    with timed("bpe_train_1k"):
+        assert len(train_bpe(documents, "text", 1000, min_pair_count=1)) > 50
+
     # skew path (verdict r2 item 8): detect hot keys then join through the
     # explicit salting operator on synthetic celebrity-key data (~1/3 of
     # all event rows collapsed onto one user_id)

@@ -192,17 +192,25 @@ def main() -> None:
     # handle — exercises the _pq_cache under concurrency. The recorded
     # value is wall seconds for 8x10 batches of 100 keys (8000 key
     # lookups); bench JSON stays one-number-per-entry, qps = 8000/value.
+    import resource as _resource
     import threading as _threading
+
+    call_lat: list[float] = []  # per-call (100-key batch) wall seconds
 
     def _serve_worker(tid, out, errs):
         try:
             batch = li_keys[tid * 100:(tid + 1) * 100]
+            lats = []
             for _ in range(10):
+                c0 = time.perf_counter()
                 res = dom.local_multi_get(batch)
+                lats.append(time.perf_counter() - c0)
                 out[tid] = sum(v is not None for v in res.values())
+            call_lat.extend(lats)
         except BaseException as e:  # surfaced after join, not a KeyError
             errs.append(e)
 
+    rss_before_kb = _resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss
     with timed("local_multiget_concurrent_8t"):
         hits: dict[int, int] = {}
         errs: list[BaseException] = []
@@ -218,6 +226,24 @@ def main() -> None:
             raise errs[0]
         assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
                    for t in range(8)), hits
+    # serving-throughput figures (VERDICT r5 item 8): the reference's
+    # anchor is a 64-thread THsHaServer (common/thrift.clj:111-118);
+    # report keys/sec plus per-key latency percentiles so rounds compare
+    # as serving throughput, and the probe's driver-side peak-RSS delta
+    # (bounded by LOCAL_PROBE_BATCH_ROWS streaming — VERDICT r5 item 4)
+    call_lat.sort()
+    _n = len(call_lat)
+    serving_stats = {
+        "keys_per_sec": round(8000 / timings["local_multiget_concurrent_8t"], 1),
+        "per_key_p50_ms": round(call_lat[_n // 2] / 100 * 1000, 4),
+        "per_key_p99_ms": round(call_lat[min(_n - 1, _n * 99 // 100)] / 100 * 1000, 4),
+        "batch_keys": 100,
+        "threads": 8,
+        "peak_rss_delta_mib": round(
+            (_resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss - rss_before_kb)
+            / 1024.0, 1,
+        ),
+    }
 
     # bulk enrichment (r5): the WHOLE lineitem fact probed against its
     # KV domain — one probe-side exchange, zero domain-side shuffle
@@ -231,6 +257,27 @@ def main() -> None:
                 ),
                 "k",
             )
+            .agg(F.sum(F.col("value").isNotNull().cast("long")))
+            .collect()[0][0]
+        )
+        assert n_hit > 0
+
+    # sub-shard parallel enrichment (r6): an 8-shard domain (the
+    # parallelism-starved shape) probed by the whole fact with
+    # tasks_per_shard=4 — 32 slice tasks instead of 8, each reading only
+    # its row-group range of the shard file
+    build_domain(  # untimed fixture
+        spark, li_kv, eng.domain_root("lineitem_kv8"),
+        DomainSpec(num_shards=8), version=1,
+    )
+    dom8 = eng.domain("lineitem_kv8")
+    probe8 = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("k")
+    )
+    with timed("bulk_join_8shard_subshard4"):
+        n_hit = (
+            dom8.bulk_join(probe8, "k", tasks_per_shard=4)
             .agg(F.sum(F.col("value").isNotNull().cast("long")))
             .collect()[0][0]
         )
@@ -777,6 +824,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "serving": serving_stats,
         "sf": _sf_tag(SF_DIR),
     }))
 

@@ -513,8 +513,12 @@ def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
     """Video frame sampling: REAL for animated GIF (operators/gif — LZW
     decode) and MJPEG-in-AVI (operators/avi — RIFF walk, each frame a
     baseline JPEG through operators/jpeg); every_n-th frame as an
-    (h, w, c) uint8 array. STUB only for inter-frame codecs (H.264/VP9
-    etc. — temporal prediction needs ffmpeg/av)."""
+    (h, w, c) uint8 array. Inter-frame codecs (H.264/VP9 etc. —
+    temporal prediction needs a real codec library) route to a
+    registry-resolved backend (``registry.resolve_video_decoder`` —
+    ffmpeg CLI when present, operators/video_ffmpeg); when NO backend's
+    dependency is available the honest STUB ``NotImplementedError``
+    remains (r6 — the error now fires only when no backend exists)."""
     if payload and bytes(payload[:6]) in _GIF_MAGICS:
         from elephantdb_spark.operators.gif import decode_gif_frames
 
@@ -527,9 +531,15 @@ def sample_frames(payload: bytes, every_n: int = 30) -> "list[object]":
 
         if is_avi(bytes(payload)):
             return decode_avi_mjpeg_frames(bytes(payload), every_n)
+    from elephantdb_spark.registry import resolve_video_decoder
+
+    backend = resolve_video_decoder()
+    if backend is not None:
+        return backend(bytes(payload or b""), every_n)
     raise NotImplementedError(
-        "STUB: inter-frame codec video (H.264/VP9/...) needs ffmpeg/av, "
-        "not present here (animated GIF and MJPEG AVI decode natively)"
+        "STUB: inter-frame codec video (H.264/VP9/...) needs an ffmpeg "
+        "backend (registry.register_video_decoder), none available here "
+        "(animated GIF and MJPEG AVI decode natively)"
     )
 
 

@@ -1,0 +1,95 @@
+"""Optional ffmpeg-CLI video decoder backend (VERDICT r5 item 7).
+
+The multimodal layer decodes GIF and MJPEG-AVI natively (pure
+stdlib+numpy); inter-frame codecs (H.264/VP9/...) need a real codec
+library. This module wires the honest ``NotImplementedError`` stub to
+the ``ffmpeg``/``ffprobe`` binaries WHEN PRESENT, resolved through
+``registry.resolve_video_decoder`` so environments without ffmpeg skip
+it cleanly and keep the stub (nothing in this package imports ffmpeg at
+module load — the factory probes PATH at resolve time).
+
+This is an extension-point implementation, not a distributed operator:
+the decode callable runs inside the same Arrow-batched ``mapInPandas``
+tasks the native codecs use (operators/multimodal.sample_frames), one
+subprocess per payload. Reference anchor: the registry's
+load-class-by-name surface (DomainSpec.java:46-62 via Utils.java:31-37)
+— a backend is to video what a Coordinator is to storage.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import numpy as np
+
+#: bound on a single decoded-frame dimension — a hostile container
+#: header must not make the rawvideo reshape allocate unboundedly
+MAX_DIM = 8192
+
+
+def ffmpeg_cli_decoder(timeout_s: float = 60.0):
+    """Factory: returns ``decode(payload, every_n) -> list[np.ndarray]``
+    backed by the ffmpeg CLI, or raises RuntimeError when the binaries
+    are not on PATH (registry resolution treats that as 'backend
+    unavailable' and moves on)."""
+    ffmpeg = shutil.which("ffmpeg")
+    ffprobe = shutil.which("ffprobe")
+    if not ffmpeg or not ffprobe:
+        raise RuntimeError("ffmpeg/ffprobe not on PATH")
+
+    def _probe_dims(payload: bytes) -> tuple[int, int]:
+        out = subprocess.run(
+            [
+                ffprobe, "-v", "error", "-select_streams", "v:0",
+                "-show_entries", "stream=width,height",
+                "-of", "csv=p=0", "pipe:0",
+            ],
+            input=payload, capture_output=True, timeout=timeout_s,
+        )
+        try:
+            w, h = (int(x) for x in out.stdout.decode().strip().split(","))
+        except Exception as e:
+            raise ValueError(
+                f"ffprobe could not read video dimensions: "
+                f"{out.stderr.decode(errors='replace')[:200]}"
+            ) from e
+        if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+            raise ValueError(f"implausible video dimensions {w}x{h}")
+        return w, h
+
+    def decode(payload: bytes, every_n: int = 1) -> list[np.ndarray]:
+        payload = bytes(payload)
+        w, h = _probe_dims(payload)
+        # select every_n-th frame inside ffmpeg (never decode-and-drop
+        # in python); rgb24 rawvideo frames concatenate on stdout
+        sel = f"select=not(mod(n\\,{max(1, every_n)}))"
+        out = subprocess.run(
+            [
+                ffmpeg, "-v", "error", "-i", "pipe:0",
+                "-vf", sel, "-vsync", "vfr",
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+            ],
+            input=payload, capture_output=True, timeout=timeout_s,
+        )
+        if out.returncode != 0:
+            raise ValueError(
+                f"ffmpeg decode failed: "
+                f"{out.stderr.decode(errors='replace')[:200]}"
+            )
+        frame_bytes = w * h * 3
+        raw = out.stdout
+        n_frames, rem = divmod(len(raw), frame_bytes)
+        if rem:
+            raise ValueError("ffmpeg emitted a truncated rawvideo frame")
+        return [
+            np.frombuffer(
+                raw, np.uint8, frame_bytes, i * frame_bytes
+            ).reshape(h, w, 3).copy()
+            for i in range(n_frames)
+        ]
+
+    return decode
+
+
+__all__ = ["ffmpeg_cli_decoder", "MAX_DIM"]

@@ -398,14 +398,7 @@ def q100_compact_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins to literal true. Reference shape:
     cascalog/keyval.clj:55-64 (reshard at the same shard count)."""
     dom = _engine(spark, sf_dir).domain("orders_frag")
-    v2 = dom.store.most_recent_version()
-    vpath = dom.store.version_path(v2)
-    per_shard = [
-        len([f for f in os.listdir(os.path.join(vpath, d))
-             if not f.startswith(("_", "."))])
-        for d in os.listdir(vpath) if d.startswith("shard=")
-    ]
-    one_file = bool(per_shard) and max(per_shard) == 1
+    one_file = dom.layout_report()["one_file_per_shard"]
     return dom.scan().select(
         F.col("key").cast("string").alias("k"),
         F.col("value").cast("string").alias("v"),

@@ -106,3 +106,51 @@ def resolve_indexer(name: str) -> Callable:
     if not callable(obj):
         raise TypeError(f"indexer {name!r} is not callable")
     return obj
+
+
+# ---------------------------------------------------------------------------
+# Video-decoder backends (r6, VERDICT r5 item 7). Inter-frame codecs
+# (H.264/VP9/...) need a real codec library; the pure-python GIF/MJPEG
+# paths stay the default. A backend FACTORY returns a decode callable
+# ``(payload: bytes, every_n: int) -> list[np.ndarray]`` or raises
+# (ImportError/OSError/RuntimeError) when its dependency is absent —
+# resolution skips unavailable backends cleanly, so environments without
+# ffmpeg keep the honest NotImplementedError stub.
+# ---------------------------------------------------------------------------
+
+
+def _ffmpeg_backend():
+    from elephantdb_spark.operators.video_ffmpeg import ffmpeg_cli_decoder
+
+    return ffmpeg_cli_decoder()
+
+
+_VIDEO_DECODERS: dict[str, Callable[[], Callable]] = {
+    "ffmpeg": _ffmpeg_backend,
+}
+
+
+def register_video_decoder(name: str, factory: Callable[[], Callable]) -> None:
+    _VIDEO_DECODERS[name] = factory
+
+
+def unregister_video_decoder(name: str) -> None:
+    _VIDEO_DECODERS.pop(name, None)
+
+
+def resolve_video_decoder(name: str | None = None) -> Callable | None:
+    """Instantiate the named backend, or the first AVAILABLE one when
+    ``name`` is None. Returns None when every candidate's dependency is
+    missing (→ caller keeps the stub behavior); an explicitly named but
+    unknown backend raises ValueError."""
+    if name is not None and name not in _VIDEO_DECODERS:
+        raise ValueError(
+            f"unknown video decoder {name!r}; registered: "
+            f"{sorted(_VIDEO_DECODERS)}"
+        )
+    for n in ([name] if name is not None else list(_VIDEO_DECODERS)):
+        try:
+            return _VIDEO_DECODERS[n]()
+        except (ImportError, OSError, RuntimeError):
+            continue
+    return None

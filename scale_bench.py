@@ -142,14 +142,63 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
     # probe exchange + per-task shard reads; expect ~linear (both sides
     # grow together, per-task work = probe_rows/shards + shard size)
     li_dom = eng.domain("li")
+    li_probe = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("k")
+    )
     with timed("bulk_join_fact"):
-        li_dom.bulk_join(
-            lineitem.select(
-                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-                .cast("binary").alias("k")
-            ),
-            "k",
-        ).agg(F.sum(F.col("value").isNotNull().cast("long"))).collect()
+        li_dom.bulk_join(li_probe, "k").agg(
+            F.sum(F.col("value").isNotNull().cast("long"))
+        ).collect()
+
+    # sub-shard parallelism (r6, VERDICT r5 item 2): an 8-shard domain —
+    # the parallelism-starved shape a 100 TB fact probing a small serving
+    # domain hits — with and without tasks_per_shard=4. m1 is capped at
+    # 8 tasks on 32 cores; m4 runs 32 row-group-sliced tasks. The m4/m1
+    # gap should WIDEN at 10x (per-task probe slice grows 10x at m1).
+    build_domain(spark, li_kv, eng.domain_root("li8"),  # untimed fixture
+                 DomainSpec(num_shards=8), version=1)
+    li8 = eng.domain("li8")
+    with timed("bulk_join_8shard_m1"):
+        li8.bulk_join(li_probe, "k").agg(
+            F.sum(F.col("value").isNotNull().cast("long"))
+        ).collect()
+    with timed("bulk_join_8shard_m4"):
+        li8.bulk_join(li_probe, "k", tasks_per_shard=4).agg(
+            F.sum(F.col("value").isNotNull().cast("long"))
+        ).collect()
+
+    # concurrent serving (r6, VERDICT r5 item 5): fixed 8x10x100-key load
+    # against the Nx domain — the probe is row-group-pruned + batch-
+    # streamed, so time should stay ~flat as the domain grows 10x
+    import threading as _threading
+
+    li_keys = [
+        f"{r.l_orderkey}-{r.l_linenumber}".encode()
+        for r in lineitem.select("l_orderkey", "l_linenumber")
+        .limit(800).collect()
+    ]
+
+    def _serve_worker(tid, errs):
+        try:
+            batch = li_keys[tid * 100:(tid + 1) * 100]
+            for _ in range(10):
+                li_dom.local_multi_get(batch)
+        except BaseException as e:
+            errs.append(e)
+
+    with timed("local_multiget_concurrent_8t"):
+        errs: list[BaseException] = []
+        ths = [
+            _threading.Thread(target=_serve_worker, args=(t, errs))
+            for t in range(8)
+        ]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        if errs:
+            raise errs[0]
 
     from elephantdb_spark.operators.dedup import (
         jaccard_shingle_pairs,
@@ -240,6 +289,30 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
         strip_duplicate_lines(documents, "doc_id", "text").agg(
             F.sum("n_lines_removed")
         ).collect()
+
+    # BPE (r6, VERDICT r5 item 5): the round-0 pair aggregation and the
+    # full driver-fast-path training run — both dominated by the ONE
+    # corpus-sized pass, so ~linear; the in-memory merge loop is
+    # corpus-size-independent (vocab-bounded)
+    from elephantdb_spark.operators.bpe import (
+        apply_bpe,
+        initial_pair_counts,
+        train_bpe,
+    )
+
+    with timed("bpe_pair_counts"):
+        initial_pair_counts(documents, "text").orderBy(
+            F.col("count").desc(), "a", "b"
+        ).limit(20).collect()
+
+    with timed("bpe_encode"):
+        apply_bpe(
+            documents, "doc_id", "text",
+            [("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"), ("i", "n")],
+        ).agg(F.sum("n_bpe_tokens")).collect()
+
+    with timed("bpe_train_1k"):
+        train_bpe(documents, "text", 1000, min_pair_count=1)
 
     # --- round-5: the mapInPandas-heavy round-4 operators (VERDICT r4
     # item 2). Untimed worker warm first: a cold fan-out pays ~1 s/worker
@@ -364,6 +437,30 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
     with timed("gif_frame_sampling"):
         sample_frames_df(
             docs_nc.mapInPandas(_gen_gifs, MULTIMODAL_SCHEMA), every_n=2
+        ).count()
+
+    # MJPEG-AVI sampled-frame decode (r6, VERDICT r5 item 5): RIFF walk
+    # + every-2nd-frame baseline-JPEG decode, pure per-row python —
+    # expect ~linear with corpus size
+    def _gen_avis(batches):
+        import pandas as _pd
+
+        from elephantdb_spark.operators.avi import synth_avi
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["doc_id"],
+                "payload": [
+                    synth_avi(int(n) % 16 + 8, int(n) % 8 + 8, int(n) % 6 + 2)
+                    for n in pdf["n_chars"]
+                ],
+                "meta": [{"media_type": "video/x-msvideo", "lang": None,
+                          "source": "synth"}] * len(pdf),
+            })
+
+    with timed("avi_frame_sampling"):
+        sample_frames_df(
+            docs_nc.mapInPandas(_gen_avis, MULTIMODAL_SCHEMA), every_n=2
         ).count()
 
     from elephantdb_spark.operators.sampling import write_shuffled_export

@@ -159,6 +159,74 @@ def test_bulk_join_rejects_internal_column_clash(spark, dom):
         dom.bulk_join(df, "k")
 
 
+def test_bulk_join_subshard_matches_default_path(spark, dom):
+    """tasks_per_shard=m must return exactly the default path's result
+    (hits, misses, nulls, duplicates) for every m, including m larger
+    than any shard's row-group count."""
+    keys = [f"k{i:03d}".encode() for i in range(0, 200, 3)]
+    probe_rows = [(i, k) for i, k in enumerate(keys + [b"missing", None, b"k000"])]
+    probe = spark.createDataFrame(probe_rows, "probe_id long, k binary")
+    base = {r["probe_id"]: r["value"] for r in dom.bulk_join(probe, "k").collect()}
+    for m in (2, 4, 16):
+        got = {
+            r["probe_id"]: r["value"]
+            for r in dom.bulk_join(probe, "k", tasks_per_shard=m).collect()
+        }
+        assert got == base, m
+    assert len(base) == len(probe_rows)
+
+
+def test_bulk_join_subshard_splits_row_groups(spark, tmp_path):
+    """With multi-row-group shard files, the cut table must actually
+    split each shard into multiple sub-ranges, sub-tasks must read ONLY
+    their slice's row groups, and the plan keeps ONE shuffle exchange."""
+    import pyarrow.parquet as pq
+
+    from elephantdb_spark.plans import count_exchanges
+
+    root = str(tmp_path / "dbig")
+    pairs = [(f"key{i:05d}".encode(), f"v{i}".encode()) for i in range(4000)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(
+            num_shards=2,
+            # tiny row groups → many per shard file → real cut points
+            persistence_opts={"parquet.block.size": 4096},
+        ),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    cuts = dom._subshard_cuts(dom.store.version_path(1), 4)
+    assert set(cuts) == {0, 1}
+    for p, cl in cuts.items():
+        assert 1 <= len(cl) <= 3, (p, cl)
+        assert cl == sorted(cl) and len(set(cl)) == len(cl)
+        # every cut is a real row-group boundary min of that shard
+        import glob as _glob
+        import os as _os
+
+        mins = set()
+        vdir = dom.store.version_path(1)
+        for f in _glob.glob(_os.path.join(vdir, f"shard={p}", "*.parquet")):
+            pf = pq.ParquetFile(f)
+            ki = pf.schema_arrow.get_field_index("key")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ki).statistics
+                mins.add(st.min)
+        assert set(cl) <= mins, (p, cl)
+    probe = _probe(spark, [k for k, _ in pairs[::7]] + [b"absent"])
+    out = dom.bulk_join(probe, "k", tasks_per_shard=4)
+    assert count_exchanges(out) == 1  # broadcast range join adds NO shuffle
+    got = {bytes(r["k"]): r["value"] for r in out.collect()}
+    assert len(got) == len(pairs[::7]) + 1
+    assert got[b"absent"] is None
+    assert all(
+        bytes(got[k]) == v for k, v in pairs[::7]
+    )
+
+
 def test_bulk_join_fails_loudly_when_version_gcd(spark, tmp_path):
     """Review finding: a GC'd version dir must raise, not return a
     silent 100% miss (the Spark read paths fail loudly in this race)."""

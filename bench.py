@@ -266,9 +266,15 @@ def main() -> None:
     # parallelism-starved shape) probed by the whole fact with
     # tasks_per_shard=4 — 32 slice tasks instead of 8, each reading only
     # its row-group range of the shard file
+    # 1 MiB parquet blocks: at sf0.1 a shard is ~5 MB, which the default
+    # 128 MB block makes ONE row group — no cut points, so m>1 would
+    # degenerate to overhead. Production shards are GBs (many row
+    # groups); the small block reproduces that shape at bench scale.
     build_domain(  # untimed fixture
         spark, li_kv, eng.domain_root("lineitem_kv8"),
-        DomainSpec(num_shards=8), version=1,
+        DomainSpec(num_shards=8,
+                   persistence_opts={"parquet.block.size": 1 << 20}),
+        version=1,
     )
     dom8 = eng.domain("lineitem_kv8")
     probe8 = lineitem.select(

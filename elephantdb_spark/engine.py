@@ -46,6 +46,25 @@ from elephantdb_spark.store import DomainStore, shard_dirname
 #: materializes whole).
 LOCAL_PROBE_BATCH_ROWS = 8192
 
+
+def slice_row_groups(pf, key_index: int, lo, hi) -> list[int]:
+    """Row groups of a key-sorted shard file whose key min/max stats
+    overlap the slice ``[lo, hi)`` (None = open bound); row groups
+    without stats are included conservatively. Shared by bulk_join's
+    sub-shard tasks and the bounded-per-task-memory tests — the rule
+    that makes ``tasks_per_shard`` memory-safe must have exactly one
+    implementation."""
+    out = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(key_index).statistics
+        if st is not None and st.has_min_max:
+            if lo is not None and st.max < lo:
+                continue
+            if hi is not None and st.min >= hi:
+                continue
+        out.append(rg)
+    return out
+
 KV_SCHEMA = StructType(
     [
         StructField("key", BinaryType(), False),
@@ -506,7 +525,17 @@ class Domain:
         m = tasks_per_shard
         sharded = df.withColumn("__shard", shard_expr)
         if m > 1:
+            from elephantdb_spark.sharding import exact_partition_slots
+
             cuts_by_shard = self._subshard_cuts(vpath, m)
+            # the broadcast table carries the FINAL exact-placement slot
+            # per (shard, slice), so the md5 shard expression has
+            # exactly ONE consumer (the join key) — routing it through a
+            # downstream `__shard * m + __sub` projection lets
+            # CollapseProject inline the expensive md5 expr into every
+            # consumer and evaluate it twice per row (measured: +90% on
+            # the whole probe stage at 6M rows)
+            slots = exact_partition_slots(n * m)
             ranges = []
             for p in range(n):
                 cl = cuts_by_shard[p]
@@ -515,34 +544,41 @@ class Domain:
                         p, j,
                         bytearray(cl[j - 1]) if j > 0 else None,
                         bytearray(cl[j]) if j < len(cl) else None,
+                        slots[p * m + j],
                     ))
             cuts_df = self.spark.createDataFrame(
-                ranges, "__shard int, __sub int, __lo binary, __hi binary"
+                ranges,
+                "__shard int, __sub int, __lo binary, __hi binary, __slot int",
             )
             k = F.col(key_col)
             # every probe row matches EXACTLY one slice: the slices
             # partition each shard's key space (open outer bounds), and
             # NULL keys — which binary comparisons evaluate to NULL —
             # get the explicit sub-0 arm
-            cond = (sharded["__shard"] == cuts_df["__shard"]) & (
+            # eqNullSafe: plain `=` makes the inner join INFER an
+            # isnotnull(shard_expr) Filter — a separate operator, so
+            # per-operator subexpression elimination re-evaluates the
+            # md5 expression there (measured: 2x the probe-stage cost).
+            # The shard expr is never null by construction (NULL keys
+            # CASE to 0), so null-safe equality is semantically
+            # identical and suppresses the inferred filter.
+            cond = (sharded["__shard"].eqNullSafe(cuts_df["__shard"])) & (
                 (k.isNull() & (cuts_df["__sub"] == 0))
                 | (
                     (cuts_df["__lo"].isNull() | (k >= cuts_df["__lo"]))
                     & (cuts_df["__hi"].isNull() | (k < cuts_df["__hi"]))
                 )
             )
-            sharded = (
+            probe = (
                 sharded.join(F.broadcast(cuts_df), cond)
-                .drop(cuts_df["__shard"]).drop("__lo", "__hi")
-                .withColumn(
-                    "__shard",
-                    F.col("__shard") * F.lit(m) + F.col("__sub"),
-                )
-                .drop("__sub")
+                .repartition(n * m, F.col("__slot"))
+                .drop(cuts_df["__shard"])
+                .drop("__lo", "__hi", "__sub", "__slot", "__shard")
             )
-        probe = with_slot_column(
-            self.spark, sharded, n * m, "__shard"
-        ).repartition(n * m, F.col("__slot")).drop("__slot", "__shard")
+        else:
+            probe = with_slot_column(
+                self.spark, sharded, n, "__shard"
+            ).repartition(n, F.col("__slot")).drop("__slot", "__shard")
         out_cols = list(df.columns)
         dtypes = dict(df.dtypes)
         schema = ", ".join(
@@ -600,15 +636,7 @@ class Domain:
                     # conservatively into every slice of the shard
                     pf = pq.ParquetFile(fpath)
                     ki = pf.schema_arrow.get_field_index("key")
-                    rgs = []
-                    for rg in range(pf.metadata.num_row_groups):
-                        st = pf.metadata.row_group(rg).column(ki).statistics
-                        if st is not None and st.has_min_max:
-                            if lo is not None and st.max < lo:
-                                continue
-                            if hi is not None and st.min >= hi:
-                                continue
-                        rgs.append(rg)
+                    rgs = slice_row_groups(pf, ki, lo, hi)
                     if rgs:
                         tables.append(pf.read_row_groups(
                             rgs, columns=["key", "value"],

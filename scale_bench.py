@@ -146,6 +146,15 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
         F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
         .cast("binary").alias("k")
     )
+    # untimed worker warm: bulk_join is mapInPandas-backed; the m=4
+    # entry runs CPUS concurrent python tasks and a cold fan-out would
+    # bill ~1 s/worker of staggered imports (+ the one-time post-fork
+    # JVM penalty) to whichever bulk_join entry runs first — the r5
+    # fork-storm lesson applied to this section
+    wdf0 = lineitem.select("l_orderkey").limit(50000).repartition(CPUS)
+    wdf0.mapInPandas(lambda it: it, "l_orderkey long").count()
+    lineitem.groupBy("l_linestatus").count().collect()  # absorb storm
+
     with timed("bulk_join_fact"):
         li_dom.bulk_join(li_probe, "k").agg(
             F.sum(F.col("value").isNotNull().cast("long"))
@@ -156,8 +165,14 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
     # domain hits — with and without tasks_per_shard=4. m1 is capped at
     # 8 tasks on 32 cores; m4 runs 32 row-group-sliced tasks. The m4/m1
     # gap should WIDEN at 10x (per-task probe slice grows 10x at m1).
+    # 1 MiB parquet blocks: the default 128 MB block makes a bench-scale
+    # shard ONE row group (no cut points — m>1 degenerates to overhead);
+    # production shards are GBs with many row groups, which this
+    # reproduces (~5 rgs/shard at 1x, ~50 at 10x)
     build_domain(spark, li_kv, eng.domain_root("li8"),  # untimed fixture
-                 DomainSpec(num_shards=8), version=1)
+                 DomainSpec(num_shards=8,
+                            persistence_opts={"parquet.block.size": 1 << 20}),
+                 version=1)
     li8 = eng.domain("li8")
     with timed("bulk_join_8shard_m1"):
         li8.bulk_join(li_probe, "k").agg(

@@ -227,6 +227,74 @@ def test_bulk_join_subshard_splits_row_groups(spark, tmp_path):
     )
 
 
+def test_bulk_join_subshard_per_task_rows_bounded(spark, tmp_path):
+    """The memory contract behind tasks_per_shard (deterministic — no
+    wall clocks): with m=4, every sub-task's loaded row count is
+    ~shard/4 (+ at most one boundary row group), never the whole shard,
+    and the slices together cover every row group exactly once when cuts
+    land on row-group boundaries."""
+    import pyarrow.parquet as pq
+
+    from elephantdb_spark.engine import slice_row_groups
+
+    root = str(tmp_path / "dmem")
+    pairs = [(f"key{i:06d}".encode(), b"v" * 40) for i in range(20000)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=4,
+                   persistence_opts={"parquet.block.size": 16384}),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    m = 4
+    cuts = dom._subshard_cuts(dom.store.version_path(1), m)
+    import glob
+    import os
+
+    for p, cl in cuts.items():
+        assert len(cl) == m - 1, (p, cl)  # enough row groups → full split
+        files = glob.glob(os.path.join(
+            dom.store.version_path(1), f"shard={p}", "*.parquet"
+        ))
+        shard_rows = 0
+        rg_rows_max = 0
+        per_slice = []
+        covered = []
+        for j in range(len(cl) + 1):
+            lo = cl[j - 1] if j > 0 else None
+            hi = cl[j] if j < len(cl) else None
+            rows_j = 0
+            for f in files:
+                pf = pq.ParquetFile(f)
+                ki = pf.schema_arrow.get_field_index("key")
+                rgs = slice_row_groups(pf, ki, lo, hi)
+                rows_j += sum(
+                    pf.metadata.row_group(rg).num_rows for rg in rgs
+                )
+                covered.extend((f, rg) for rg in rgs)
+            per_slice.append(rows_j)
+        for f in files:
+            pf = pq.ParquetFile(f)
+            shard_rows += pf.metadata.num_rows
+            rg_rows_max = max(
+                rg_rows_max,
+                max(pf.metadata.row_group(rg).num_rows
+                    for rg in range(pf.metadata.num_row_groups)),
+            )
+        # coverage: every row group loaded by exactly one slice (cuts on
+        # row-group mins → no boundary straddle in a key-sorted build)
+        assert sorted(set(covered)) == sorted(covered)
+        assert sum(per_slice) == shard_rows
+        # bound: no slice holds more than its share + one row group
+        assert max(per_slice) <= shard_rows // m + rg_rows_max, (
+            p, per_slice, shard_rows, rg_rows_max
+        )
+        # and the split is real: the max slice is well under the shard
+        assert max(per_slice) < shard_rows
+
+
 def test_bulk_join_fails_loudly_when_version_gcd(spark, tmp_path):
     """Review finding: a GC'd version dir must raise, not return a
     silent 100% miss (the Spark read paths fail loudly in this race)."""

@@ -772,30 +772,39 @@ class Domain:
                     # (≤ len(wanted)) hits ever reach Python.
                     wmax = max(wanted)
                     want_arr = pa.array(wanted, type=pa.binary())
-                    with pf_lock:  # per-file: handle reads are not MT-safe
-                        for rb in pf.iter_batches(
-                            batch_size=LOCAL_PROBE_BATCH_ROWS,
-                            row_groups=[rg],
-                            columns=["key", "value"],
-                        ):
-                            if len(rb) == 0:
-                                continue
-                            kcol = rb.column(rb.schema.get_field_index("key"))
-                            mask = pc.is_in(kcol, value_set=want_arr)
-                            if pc.any(mask).as_py():
-                                hits = rb.filter(mask)
-                                hk = hits.column(
-                                    hits.schema.get_field_index("key")
-                                )
-                                hv = hits.column(
-                                    hits.schema.get_field_index("value")
-                                )
-                                for kk, vv in zip(
-                                    hk.to_pylist(), hv.to_pylist()
-                                ):
-                                    out[kk] = vv
-                            if kcol[len(kcol) - 1].as_py() >= wmax:
-                                break
+                    batches = pf.iter_batches(
+                        batch_size=LOCAL_PROBE_BATCH_ROWS,
+                        row_groups=[rg],
+                        columns=["key", "value"],
+                    )
+                    while True:
+                        # lock covers ONLY the handle I/O (pyarrow file
+                        # handles are not MT-safe); the C++ filter and
+                        # hit extraction run outside it so concurrent
+                        # serving threads on a hot file don't serialize
+                        # on each other's CPU work
+                        with pf_lock:
+                            rb = next(batches, None)
+                        if rb is None:
+                            break
+                        if len(rb) == 0:
+                            continue
+                        kcol = rb.column(rb.schema.get_field_index("key"))
+                        mask = pc.is_in(kcol, value_set=want_arr)
+                        if pc.any(mask).as_py():
+                            hits = rb.filter(mask)
+                            hk = hits.column(
+                                hits.schema.get_field_index("key")
+                            )
+                            hv = hits.column(
+                                hits.schema.get_field_index("value")
+                            )
+                            for kk, vv in zip(
+                                hk.to_pylist(), hv.to_pylist()
+                            ):
+                                out[kk] = vv
+                        if kcol[len(kcol) - 1].as_py() >= wmax:
+                            break
         return out
 
     def local_get(self, key: bytes, version: int | None = None) -> bytes | None:
@@ -887,13 +896,19 @@ class Domain:
             )
             row_groups = rows = 0
             if self._fmt == "parquet":
+                import pyarrow.parquet as pq
+
                 for f in files:
                     if f.endswith(".parquet"):
-                        pf, _lock, _ki = self._open_shard_file(
-                            os.path.join(sdir, f)
-                        )
-                        row_groups += pf.metadata.num_row_groups
-                        rows += pf.metadata.num_rows
+                        # transient footer read, NOT _open_shard_file:
+                        # auditing a >512-file fragmented domain (the
+                        # exact shape this API exists for) through the
+                        # bounded serving cache would wholesale-clear
+                        # hot probe handles and refill with audit-only
+                        # entries
+                        meta = pq.read_metadata(os.path.join(sdir, f))
+                        row_groups += meta.num_row_groups
+                        rows += meta.num_rows
             shards[p] = {
                 "present": True, "files": len(files), "bytes": n_bytes,
                 "row_groups": row_groups, "rows": rows,

@@ -244,10 +244,12 @@ def train_bpe(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     wc = word_counts(docs, text_col, min_count)
     if driver_vocab_max:
-        # the count is one job over the already-aggregated table; the
-        # collect moves (word, count) rows only — never symbol arrays
-        if wc.count() <= driver_vocab_max:
-            rows = wc.collect()
+        # ONE action decides path AND fetches the vocab: collecting
+        # limit(max+1) runs the corpus aggregation once and moves at
+        # most max+1 (word, count) rows — a separate count() first
+        # would re-run the whole corpus pass for the collect
+        rows = wc.limit(driver_vocab_max + 1).collect()
+        if len(rows) <= driver_vocab_max:
             return _train_bpe_inmem(
                 [(r["w"], r["c"]) for r in rows], n_merges, min_pair_count
             )

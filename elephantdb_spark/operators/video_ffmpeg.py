@@ -39,14 +39,19 @@ def ffmpeg_cli_decoder(timeout_s: float = 60.0):
         raise RuntimeError("ffmpeg/ffprobe not on PATH")
 
     def _probe_dims(payload: bytes) -> tuple[int, int]:
-        out = subprocess.run(
-            [
-                ffprobe, "-v", "error", "-select_streams", "v:0",
-                "-show_entries", "stream=width,height",
-                "-of", "csv=p=0", "pipe:0",
-            ],
-            input=payload, capture_output=True, timeout=timeout_s,
-        )
+        try:
+            out = subprocess.run(
+                [
+                    ffprobe, "-v", "error", "-select_streams", "v:0",
+                    "-show_entries", "stream=width,height",
+                    "-of", "csv=p=0", "pipe:0",
+                ],
+                input=payload, capture_output=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a hung probe on a hostile member is malformed input, not a
+            # task failure — the package-wide ValueError contract
+            raise ValueError(f"ffprobe timed out after {timeout_s}s") from e
         try:
             w, h = (int(x) for x in out.stdout.decode().strip().split(","))
         except Exception as e:
@@ -62,16 +67,23 @@ def ffmpeg_cli_decoder(timeout_s: float = 60.0):
         payload = bytes(payload)
         w, h = _probe_dims(payload)
         # select every_n-th frame inside ffmpeg (never decode-and-drop
-        # in python); rgb24 rawvideo frames concatenate on stdout
+        # in python); rgb24 rawvideo frames concatenate on stdout.
+        # -noautorotate: ffprobe reports CODED dims while ffmpeg would
+        # otherwise apply a display-rotation matrix and emit transposed
+        # frames that silently reshape into scrambled arrays (portrait
+        # phone video is the common case)
         sel = f"select=not(mod(n\\,{max(1, every_n)}))"
-        out = subprocess.run(
-            [
-                ffmpeg, "-v", "error", "-i", "pipe:0",
-                "-vf", sel, "-vsync", "vfr",
-                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-            ],
-            input=payload, capture_output=True, timeout=timeout_s,
-        )
+        try:
+            out = subprocess.run(
+                [
+                    ffmpeg, "-v", "error", "-noautorotate", "-i", "pipe:0",
+                    "-vf", sel, "-vsync", "vfr",
+                    "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+                ],
+                input=payload, capture_output=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired as e:
+            raise ValueError(f"ffmpeg timed out after {timeout_s}s") from e
         if out.returncode != 0:
             raise ValueError(
                 f"ffmpeg decode failed: "

@@ -131,7 +131,14 @@ _VIDEO_DECODERS: dict[str, Callable[[], Callable]] = {
 
 
 def register_video_decoder(name: str, factory: Callable[[], Callable]) -> None:
-    _VIDEO_DECODERS[name] = factory
+    """Register a backend. Registrations take PRECEDENCE over earlier
+    entries (incl. the builtin ffmpeg backend) in unnamed resolution —
+    a user plugging in a backend expects it to be used even on a
+    machine where ffmpeg happens to be on PATH."""
+    global _VIDEO_DECODERS
+    _VIDEO_DECODERS = {name: factory, **{
+        k: v for k, v in _VIDEO_DECODERS.items() if k != name
+    }}
 
 
 def unregister_video_decoder(name: str) -> None:

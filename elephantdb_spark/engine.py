@@ -466,7 +466,10 @@ class Domain:
         broadcast range join against the (n·m)-row cut table, and each
         task pyarrow-reads ONLY the row groups overlapping its slice.
         Still exactly ONE probe-side shuffle exchange; per-task memory
-        drops to ~(probe/(n·m) + shard/m) rows."""
+        drops to ~(probe/(n·m) + shard/m) rows. When NO shard has a cut
+        point (single-row-group shard files — small domains), the call
+        degrades to the plain path automatically: slicing could not
+        reduce per-task reads, so the routing would be pure overhead."""
         if key_col not in df.columns:
             raise ValueError(f"column {key_col!r} not in frame: {df.columns}")
         if dict(df.dtypes)[key_col] != "binary":
@@ -523,11 +526,18 @@ class Domain:
             self._scheme.shard_col(F.col(key_col), n)
         )
         m = tasks_per_shard
+        if m > 1:
+            cuts_by_shard = self._subshard_cuts(vpath, m)
+            if not any(cuts_by_shard.values()):
+                # no shard has a single cut point (every shard file is
+                # one row group — small domains under the default
+                # 128 MB parquet block): slicing cannot reduce per-task
+                # reads, so the broadcast routing would be pure
+                # overhead. Degrade to the plain path.
+                m = 1
         sharded = df.withColumn("__shard", shard_expr)
         if m > 1:
             from elephantdb_spark.sharding import exact_partition_slots
-
-            cuts_by_shard = self._subshard_cuts(vpath, m)
             # the broadcast table carries the FINAL exact-placement slot
             # per (shard, slice), so the md5 shard expression has
             # exactly ONE consumer (the join key) — routing it through a

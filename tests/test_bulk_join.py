@@ -159,21 +159,41 @@ def test_bulk_join_rejects_internal_column_clash(spark, dom):
         dom.bulk_join(df, "k")
 
 
-def test_bulk_join_subshard_matches_default_path(spark, dom):
+@pytest.fixture(scope="module")
+def dom_rg(spark, tmp_path_factory):
+    """Multi-row-group shards (tiny parquet blocks) — the shape where
+    tasks_per_shard actually slices instead of degrading."""
+    root = str(tmp_path_factory.mktemp("bjrg") / "d")
+    pairs = [(f"k{i:04d}".encode(), f"v{i}".encode()) for i in range(4000)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=8,
+                   persistence_opts={"parquet.block.size": 4096}),
+        version=1,
+    )
+    return Domain(spark, root)
+
+
+def test_bulk_join_subshard_matches_default_path(spark, dom_rg):
     """tasks_per_shard=m must return exactly the default path's result
     (hits, misses, nulls, duplicates) for every m, including m larger
-    than any shard's row-group count."""
-    keys = [f"k{i:03d}".encode() for i in range(0, 200, 3)]
-    probe_rows = [(i, k) for i, k in enumerate(keys + [b"missing", None, b"k000"])]
+    than any shard's row-group count. The fixture has real cut points,
+    so the sliced path (not the no-cuts degrade) is what's exercised."""
+    assert any(dom_rg._subshard_cuts(dom_rg.store.version_path(1), 4).values())
+    keys = [f"k{i:04d}".encode() for i in range(0, 4000, 61)]
+    probe_rows = [(i, k) for i, k in enumerate(keys + [b"missing", None, b"k0000"])]
     probe = spark.createDataFrame(probe_rows, "probe_id long, k binary")
-    base = {r["probe_id"]: r["value"] for r in dom.bulk_join(probe, "k").collect()}
+    base = {r["probe_id"]: r["value"] for r in dom_rg.bulk_join(probe, "k").collect()}
     for m in (2, 4, 16):
         got = {
             r["probe_id"]: r["value"]
-            for r in dom.bulk_join(probe, "k", tasks_per_shard=m).collect()
+            for r in dom_rg.bulk_join(probe, "k", tasks_per_shard=m).collect()
         }
         assert got == base, m
     assert len(base) == len(probe_rows)
+    assert sum(v is not None for v in base.values()) == len(keys) + 1
 
 
 def test_bulk_join_subshard_splits_row_groups(spark, tmp_path):
@@ -225,6 +245,30 @@ def test_bulk_join_subshard_splits_row_groups(spark, tmp_path):
     assert all(
         bytes(got[k]) == v for k, v in pairs[::7]
     )
+
+
+def test_bulk_join_subshard_degrades_when_no_cuts(spark, dom):
+    """A domain whose shard files are single row groups (the default
+    128 MB block at test scale) has no cut points — tasks_per_shard
+    must degrade to the plain path (no broadcast join, same plan) so
+    callers can set m unconditionally without paying routing overhead
+    on small domains."""
+    import io
+    from contextlib import redirect_stdout
+
+    from elephantdb_spark.plans import count_exchanges
+
+    assert not any(
+        dom._subshard_cuts(dom.store.version_path(1), 4).values()
+    )
+    df = dom.bulk_join(_probe(spark, [b"k001", b"zz"]), "k", tasks_per_shard=4)
+    assert count_exchanges(df) == 1
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BroadcastHashJoin" not in buf.getvalue()
+    got = {bytes(r["k"]): r["value"] for r in df.collect()}
+    assert bytes(got[b"k001"]) == b"v1" and got[b"zz"] is None
 
 
 def test_bulk_join_subshard_per_task_rows_bounded(spark, tmp_path):

@@ -105,9 +105,12 @@ def exact_dedup(
 
 def _md5_long_col(col, seed: int | None = None):
     """Signed int64 from the high 64 bits of ``md5(col [ || ':seed' ])`` —
-    byte-exact DuckDB parity via the same unsigned-decimal → signed
-    two-halves trick as ``sharding.md5_mod_col`` (the hex high half is
-    interpreted as an unsigned 64-bit value, then wrapped to signed).
+    byte-exact DuckDB parity via an unsigned-decimal → signed wrap (the
+    hex high half is interpreted as an unsigned 64-bit value, then
+    wrapped to signed). ``sharding.md5_mod_col`` used the same decimal
+    trick until r6; it is now 3-chunk long arithmetic because it mods by
+    a small n — here the full 64-bit value is the OUTPUT, so it cannot
+    be chunk-composed and the decimal form stays.
     Slower than xxhash64 (md5 + base conversion per value) but
     SQL-replicable: the oracle mode for the signature pipelines. The
     seed suffix is fixed per permutation, so within a permutation two

@@ -14,10 +14,14 @@ Three interchangeable implementations, all verified equal in tests:
   DuckDB correctness oracle.
 
 Java's ``BigInteger(byte[])`` interprets the 16 MD5 bytes as a *signed*
-big-endian integer, and ``BigInteger.mod`` is always non-negative. We
-reproduce that with 64-bit halves: ``value = hi_signed * 2^64 + lo`` and
-``value mod n == ((hi_signed mod n) * (2^64 mod n) + lo mod n) mod n``
-(all mods taken non-negative).
+big-endian integer, and ``BigInteger.mod`` is always non-negative. The
+Spark expression reproduces that in pure LONG arithmetic with three hex
+chunks (48+40+40 bits): ``value = c1·2^80 + c2·2^40 + c3`` composes
+chunk-wise under mod, and the sign correction subtracts ``2^128 mod n``
+when the digest's top bit is set (see :func:`md5_mod_col` for the
+overflow envelope — it is TIGHT at large n, unlike the old decimal
+form). The DuckDB oracle twin still uses two 64-bit halves because
+DuckDB has native ``hugeint``.
 """
 
 from __future__ import annotations
@@ -51,12 +55,14 @@ def md5_mod_col(key: Column, num_shards: int) -> Column:
     composition in ``decimal(20,0)`` over two 64-bit halves — measured
     3.2x slower at 6M keys (decimal mod/multiply are object ops;
     long pmod is a codegen primitive). r6 swap, byte-exact parity
-    property-tested in tests/test_sharding.py and re-verified over
-    adversarial keys at n in {1, 2, 7, 8, 32, 64, 1000, 131071}.
+    property-tested in tests/test_sharding.py, including an adversarial
+    sweep (empty/0x00/0xff/random keys) at n up to 2^31-1
+    (test_md5_mod_col_adversarial_large_n).
 
     Overflow bound: every pmod operand is ≤ (n-1)·(2n-1) < 2^63 for any
-    int32 ``num_shards`` (worst case n = 2^31-1 leaves ~1.7e10 of
-    headroom below Long.MAX_VALUE).
+    int32 ``num_shards`` (worst case n = 2^31-1 leaves ~1.5e10 of
+    headroom below Long.MAX_VALUE — tight; do NOT widen a chunk or add
+    a fourth term without redoing this bound).
 
     Java's ``BigInteger(byte[])`` reads the digest SIGNED big-endian:
     signed = unsigned - 2^128·[top bit set], so the signed mod is the

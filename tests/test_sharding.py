@@ -68,6 +68,30 @@ def test_spark_jvm_expression_matches(spark, n):
         assert r.shard == shard_index(bytes(r.key), n), (bytes(r.key), n)
 
 
+@pytest.mark.parametrize("n", [7, 32, 1000, 131071, 2**31 - 1])
+def test_md5_mod_col_adversarial_large_n(spark, n):
+    """Overflow-critical regime for the r6 3-chunk long arithmetic.
+
+    Each pmod operand is bounded by (n-1)(2n-1); at n = 2^31-1 that sits
+    only ~1.5e10 below Long.MAX_VALUE, so large-n parity is the test
+    that would catch a silent 64-bit wrap (the old decimal form had
+    ~10^20 of slack and could never exercise this)."""
+    import random
+
+    rnd = random.Random(0xED6)
+    keys = (
+        EDGE_KEYS
+        + HIGH_BIT_KEYS[:30]
+        + [bytes([0]) * 16, bytes([255]) * 16]
+        + [rnd.randbytes(rnd.randint(1, 48)) for _ in range(60)]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "key binary")
+    rows = df.select("key", md5_mod_col(F.col("key"), n).alias("shard")).collect()
+    assert len(rows) == len(keys)
+    for r in rows:
+        assert r.shard == shard_index(bytes(r.key), n), (bytes(r.key).hex(), n)
+
+
 @pytest.mark.parametrize("n", [1, 2, 4, 8, 64, 257])
 def test_duckdb_oracle_expression_matches(n):
     con = duckdb.connect()

@@ -1277,6 +1277,159 @@ def q80_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q104 signature parameters (md5 mode so the DuckDB oracle can replay
+#: the hashes); threshold 0.7 ≈ "flag at estimated Jaccard ≥ 0.7".
+_ND_NUM_PERM, _ND_BANDS, _ND_SHINGLE_LEN = 32, 8, 3
+_ND_THRESHOLD = 0.7
+
+
+def _neardup_history_batch(docs: DataFrame) -> DataFrame:
+    """Four deterministic ingest classes: %10==0 exact re-ingest, %10==5
+    near-dup (tail append), %10==3 novel vocabulary, %10==7 too short to
+    shingle (no signature)."""
+    did = F.col("doc_id")
+    return docs.filter((did % 10).isin(0, 3, 5, 7)).select(
+        (did + _HISTORY_BATCH_ID_SHIFT).alias("doc_id"),
+        F.when(did % 10 == 0, F.col("text"))
+        .when(
+            did % 10 == 5,
+            F.concat(
+                F.col("text"), F.lit(" trailing fresh tokens appended here now")
+            ),
+        )
+        .when(
+            did % 10 == 3,
+            F.concat(
+                F.lit("quux"),
+                did.cast("string"),
+                F.lit(" glorp zephyr wibble flume brox "),
+                F.repeat(
+                    F.concat(F.lit("mk"), did.cast("string"), F.lit(" ")), 6
+                ),
+            ),
+        )
+        .otherwise(F.lit("one two"))
+        .alias("text"),
+    )
+
+
+_ND_HISTORY_BATCH_SQL = (
+    f"SELECT doc_id + {_HISTORY_BATCH_ID_SHIFT} AS doc_id, "
+    "CASE WHEN doc_id % 10 = 0 THEN text "
+    "WHEN doc_id % 10 = 5 THEN text || ' trailing fresh tokens appended here now' "
+    "WHEN doc_id % 10 = 3 THEN 'quux' || CAST(doc_id AS VARCHAR) || "
+    "' glorp zephyr wibble flume brox ' || "
+    "repeat('mk' || CAST(doc_id AS VARCHAR) || ' ', 6) "
+    "ELSE 'one two' END AS text "
+    "FROM documents WHERE doc_id % 10 IN (0, 3, 5, 7)"
+)
+
+
+def _neardup_history_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process MinHash signature history over the documents
+    corpus (the q104 fixture — same shape as _dedup_history_root)."""
+    from elephantdb_spark.operators.neardup_history import build_neardup_history
+    from elephantdb_spark.spec import DomainSpec
+
+    sf_dir = os.path.abspath(sf_dir)
+    key = f"neardup_history::{sf_dir}"
+    cached = _INDEX_ROOTS.get(key)
+    if cached is not None:
+        return cached
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"edb_nd_hist_{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # pid-reuse leftovers
+    root = os.path.join(base, "minhash")
+    docs = _table(spark, sf_dir, "documents")
+    build_neardup_history(
+        spark, docs, root, "doc_id", "text",
+        num_perm=_ND_NUM_PERM, bands=_ND_BANDS, shingle_len=_ND_SHINGLE_LEN,
+        hash_fn="md5", spec=DomainSpec(num_shards=8), version=1,
+    )
+    _INDEX_ROOTS[key] = root
+    return root
+
+
+def q104_neardup_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/neardup_history): the corpus's
+    MinHash signatures live in a persisted domain pair (band index + full
+    signatures); an ingestion batch is flagged by two bulk_joins — band
+    match then signature-agreement scoring (the Broder Jaccard estimate).
+    History text is never stored or read; the oracle replays signatures,
+    banding, representative choice, and the estimator stage-for-stage in
+    SQL (md5 hash mode, the q29 convention)."""
+    from elephantdb_spark.operators.neardup_history import (
+        filter_against_neardup_history,
+    )
+
+    root = _neardup_history_root(spark, sf_dir)
+    batch = _neardup_history_batch(_table(spark, sf_dir, "documents"))
+    return (
+        # cache_sigs=False: driver session has no release hook (q80 note)
+        filter_against_neardup_history(
+            spark, batch, root, "doc_id", "text",
+            threshold=_ND_THRESHOLD, cache_sigs=False,
+        )
+        .select(
+            "doc_id",
+            "is_neardup",
+            "match_id",
+            F.round(F.col("est_jaccard"), 6).alias("est_j6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q104_oracle_sql() -> str:
+    """Stage-for-stage SQL replay of q104: md5-mode signatures over history
+    and batch, band-vector matching against the per-band MIN-doc
+    representative, component-agreement estimate, best-match selection
+    (est DESC, string id ASC), threshold flag."""
+    n, bands = _ND_NUM_PERM, _ND_BANDS
+    rpb = n // bands
+    mins = ", ".join(
+        f"MIN({_md5_long_sql('shingle', i)}) AS mh{i}" for i in range(n)
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc, {b} AS band, "
+            + " || ',' || ".join(
+                f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            )
+            + f" AS bk FROM {src}"
+            for b in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN b.mh{i} = h.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return (
+        f"WITH batch AS ({_ND_HISTORY_BATCH_SQL}), "
+        f"hsh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM documents), "
+        f"bsh AS (SELECT doc_id AS doc, unnest({_SHINGLES_EXPR}) AS shingle FROM batch), "
+        f"hsig AS (SELECT doc, {mins} FROM hsh GROUP BY doc), "
+        f"bsig AS (SELECT doc, {mins} FROM bsh GROUP BY doc), "
+        f"hbands AS ({band_rows('hsig')}), "
+        f"bbands AS ({band_rows('bsig')}), "
+        "reps AS (SELECT band, bk, MIN(doc) AS rep FROM hbands GROUP BY band, bk), "
+        "cand AS (SELECT DISTINCT bb.doc, r.rep FROM bbands bb "
+        "         JOIN reps r ON r.band = bb.band AND r.bk = bb.bk), "
+        "scored AS (SELECT c.doc, c.rep, "
+        f"  CAST(({agree}) AS DOUBLE) / {n} AS est "
+        "  FROM cand c JOIN bsig b ON b.doc = c.doc JOIN hsig h ON h.doc = c.rep), "
+        "best AS (SELECT doc, CAST(rep AS VARCHAR) AS match_id, est, "
+        "  row_number() OVER (PARTITION BY doc "
+        "    ORDER BY est DESC, CAST(rep AS VARCHAR) ASC) AS rk "
+        f"  FROM scored WHERE est >= {_ND_THRESHOLD}) "
+        "SELECT bt.doc_id, b.match_id IS NOT NULL AS is_neardup, b.match_id, "
+        "  round(b.est, 6) AS est_j6 "
+        "FROM batch bt LEFT JOIN (SELECT * FROM best WHERE rk = 1) b "
+        "  ON b.doc = bt.doc_id "
+        "ORDER BY bt.doc_id"
+    )
+
+
 BM25_K = 10
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -1445,6 +1598,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_gopher_filter": q85_gopher_filter,
     "q86_curation_pipeline": q86_curation_pipeline,
     "q80_dedup_against_history": q80_dedup_against_history,
+    "q104_neardup_vs_history": q104_neardup_vs_history,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
     "q22_quality_score": q22_quality_score,
@@ -1933,6 +2087,7 @@ EXT_ORACLES: dict[str, str] = {
         "FROM batch b ORDER BY b.doc_id"
     ),
     "q29_minhash_lsh_neardup": _q29_oracle_sql(),
+    "q104_neardup_vs_history": _q104_oracle_sql(),
     "q30_simhash_neardup": _q30_oracle_sql(),
     "q31_ann_lsh_topk": _q31_oracle_sql(),
     # q35: centroids are data-dependent (no static SQL replay); the query

@@ -1,0 +1,368 @@
+"""Incremental NEAR-duplicate filtering against a persisted MinHash
+signature history — the fuzzy analogue of :mod:`~elephantdb_spark.operators.history`.
+
+``operators.history`` answers "have I seen EXACTLY this content?" against
+everything ever ingested at O(batch) cost. A production crawl pipeline
+also needs the fuzzy form — "have I seen content *this similar*?" — and
+the one-shot operators (:func:`~elephantdb_spark.operators.dedup.
+minhash_lsh_pairs`) can't answer it without rescanning all history. This
+module persists the corpus's MinHash state in the engine's own KV
+machinery (A17 versioned publish, A20 incremental copy-forward —
+reference: elephantdb-core/src/jvm/elephantdb/store/VersionedStore.java:102-108,
+DomainStore.java:156-180) and probes it batch-at-a-time:
+
+State = two KV domains under one root, versions moving in lockstep:
+
+* ``root/bands`` — LSH band-vector key → representative doc id. The
+  index probed first: a batch doc whose band vector equals a stored one
+  is a candidate.
+* ``root/sigs`` — doc id → the full ``num_perm``-component signature
+  (comma-joined signed int64 text). Fetched only for candidates, to
+  score them.
+
+Probe = two :meth:`~elephantdb_spark.engine.Domain.bulk_join` calls:
+the history side NEVER shuffles at any size (tasks pyarrow-read their
+own shard); the probe side pays one exchange of (batch × bands) band
+keys plus one of candidate ids — both O(batch), never O(history).
+
+Scoring uses the classic MinHash estimator (Broder 1997: for a random
+permutation, P[min hash agrees] = Jaccard, so component-agreement/
+``num_perm`` is an unbiased Jaccard estimate). No historical TEXT is
+ever stored or read: 100 TB of ingested corpus costs
+~``num_perm``·8 B + ``bands`` band keys per doc of history state —
+a few hundred bytes per document, the same digests-only argument as
+``operators.history``.
+
+Why there is NO hot-shingle guard here, unlike ``minhash_lsh_pairs``:
+signatures must be comparable ACROSS batches and across time. A
+corpus-frequency-dependent shingle filter would give the same text a
+different signature depending on which batch it arrived with. Strip
+boilerplate upstream (``curation.normalize_text_col``,
+``dedup.strip_duplicate_lines``) before fingerprinting instead.
+
+Within-batch near-dups are the caller's choice (run
+``minhash_lsh_pairs`` on the accepted survivors), exactly as
+``filter_against_history`` leaves within-batch exact dups to the caller.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elephantdb_spark.build import build_domain, update_domain
+from elephantdb_spark.engine import Domain
+from elephantdb_spark.operators.dedup import (
+    _persist_tracked,
+    _shingle_index,
+    _signature_hash,
+)
+from elephantdb_spark.spec import DomainSpec
+
+PARAMS_FILE = "neardup_params.json"
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_len: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-independent MinHash signatures: one row per doc that has at
+    least one ``shingle_len``-token shingle, columns ``doc, mh0..mh{n-1}``.
+
+    Docs with fewer than ``shingle_len`` tokens produce NO row (no
+    signature exists for them); probes treat them as trivially new.
+    One shuffle (the groupBy); the ``num_perm`` hashes are map-side
+    combinable mins, all JVM-side."""
+    inv = _shingle_index(df, id_col, text_col, shingle_len)
+    aggs = [
+        F.min(_signature_hash(F.col("shingle"), i, hash_fn)).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return inv.groupBy("doc").agg(*aggs)
+
+
+def _band_key_cols(num_perm: int, bands: int) -> list[Column]:
+    """One binary key per band: ``"{band}|" + comma-joined band components``.
+    Longs render without commas, so distinct vectors ⇔ distinct strings."""
+    rpb = num_perm // bands
+    return [
+        F.encode(
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rpb + r}").cast("string")
+                        for r in range(rpb)
+                    ],
+                ),
+            ),
+            "UTF-8",
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+
+
+def _sig_value_col(num_perm: int) -> Column:
+    return F.encode(
+        F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in range(num_perm)]),
+        "UTF-8",
+    )
+
+
+def _id_key_col(id_col: str) -> Column:
+    return F.col(id_col).cast("string").cast("binary")
+
+
+def _band_kv(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(band key → representative doc id) rows, one per DISTINCT band key.
+
+    The representative is the MIN doc id (by the id column's own type) so
+    the build is deterministic and oracle-replicable; collapsing here lets
+    the domain build skip its LWW pass (dedup='none', single shuffle)."""
+    exploded = sigs.select(
+        F.col("doc"),
+        F.explode(F.array(*_band_key_cols(num_perm, bands))).alias("key"),
+    )
+    return exploded.groupBy("key").agg(
+        F.min("doc").cast("string").cast("binary").alias("value")
+    )
+
+
+def _sig_kv(sigs: DataFrame, num_perm: int) -> DataFrame:
+    return sigs.select(
+        F.col("doc").cast("string").cast("binary").alias("key"),
+        _sig_value_col(num_perm).alias("value"),
+    )
+
+
+def _write_params(root: str, params: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, PARAMS_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(params, fh)
+    os.replace(tmp, os.path.join(root, PARAMS_FILE))
+
+
+def read_params(root: str) -> dict:
+    """The signature parameters this history was built with. Probes and
+    appends MUST reuse them (a different num_perm/shingle_len/hash_fn
+    would silently compare incomparable signatures), so both read this
+    file instead of taking parameters."""
+    path = os.path.join(root, PARAMS_FILE)
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{path} not found: not a neardup-history root "
+            "(build one with build_neardup_history)"
+        ) from None
+
+
+def build_neardup_history(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    hash_fn: str = "xxhash64",
+    spec: DomainSpec | None = None,
+    version: int | None = None,
+) -> int:
+    """Publish the initial signature history from a corpus snapshot.
+
+    One corpus text pass (the signature groupBy), persisted once and fed
+    to both domain builds; both builds are single-shuffle (keys are
+    pre-distinct). Returns the published version id (identical for both
+    sub-domains)."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_len, hash_fn
+    ).persist()
+    try:
+        v = build_domain(
+            spark,
+            _band_kv(sigs, num_perm, bands),
+            os.path.join(root, "bands"),
+            spec,
+            version=version,
+            dedup="none",
+        )
+        build_domain(
+            spark,
+            _sig_kv(sigs, num_perm),
+            os.path.join(root, "sigs"),
+            spec,
+            version=v,
+            dedup="none",
+        )
+    finally:
+        sigs.unpersist()
+    _write_params(
+        root,
+        {
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_len": shingle_len,
+            "hash_fn": hash_fn,
+        },
+    )
+    return v
+
+
+def append_neardup_history(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    id_col: str,
+    text_col: str,
+    version: int | None = None,
+) -> int:
+    """Append a batch's signatures as a NEW history version through the
+    engine's incremental-update path (A20): untouched shards copy
+    forward, readers hot-swap at the publish token. Signature parameters
+    come from the root's params file — they are a property of the
+    history, not the call.
+
+    A batch band key colliding with an existing one REPLACES the stored
+    representative (update_domain's batch-wins upsert); any member of a
+    band bucket is an equally valid representative, so this only changes
+    which equal-banded doc later probes are scored against. Callers
+    typically append only the rows :func:`filter_against_neardup_history`
+    left unflagged, but appending flagged rows is harmless."""
+    p = read_params(root)
+    sigs = minhash_signatures(
+        batch, id_col, text_col, p["num_perm"], p["shingle_len"], p["hash_fn"]
+    ).persist()
+    try:
+        v = update_domain(
+            spark,
+            _band_kv(sigs, p["num_perm"], p["bands"]),
+            os.path.join(root, "bands"),
+            version=version,
+        )
+        update_domain(
+            spark, _sig_kv(sigs, p["num_perm"]), os.path.join(root, "sigs"), version=v
+        )
+    finally:
+        sigs.unpersist()
+    return v
+
+
+def filter_against_neardup_history(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    version: int | None = None,
+    tasks_per_shard: int = 1,
+    cache_sigs: bool = True,
+) -> DataFrame:
+    """Flag each batch row against the signature history: returns the
+    batch columns plus
+
+    * ``is_neardup`` — true ⇔ some stored signature agrees with the
+      row's on ≥ ``threshold`` of its components (the Broder estimate of
+      Jaccard ≥ threshold; recall is governed by the banding exactly as
+      in one-shot LSH — a true near-dup sharing no full band is missed,
+      see SCALE.md's measured recall at production banding),
+    * ``match_id`` — the best-scoring matched history doc id (string —
+      ids round-trip through the domain as text; ties broken by
+      ascending string id), null unless flagged,
+    * ``est_jaccard`` — that match's agreement fraction, null unless
+      flagged.
+
+    Rows with fewer than ``shingle_len`` tokens have no signature and
+    come back ``(false, null, null)``.
+
+    ``cache_sigs`` persists the batch signature frame consumed by both
+    the band probe and the scoring join (tracked like the shingle
+    indexes — ``dedup.release_shingle_caches()`` frees it); pass False
+    in long-lived many-query sessions with no release hook.
+
+    ``version`` pins BOTH sub-domains (their versions move in lockstep);
+    ``tasks_per_shard`` passes through to the band-probe bulk_join for
+    corpus-sized batches."""
+    clash = {"is_neardup", "match_id", "est_jaccard"} & set(batch.columns)
+    if clash:
+        raise ValueError(
+            f"batch columns collide with the output flags: {sorted(clash)}"
+        )
+    p = read_params(root)
+    num_perm, bands = p["num_perm"], p["bands"]
+    sigs = minhash_signatures(
+        batch, id_col, text_col, num_perm, p["shingle_len"], p["hash_fn"]
+    )
+    if cache_sigs:
+        sigs = _persist_tracked(sigs)
+    banded = sigs.select(
+        "doc", F.explode(F.array(*_band_key_cols(num_perm, bands))).alias("key")
+    )
+    bands_dom = Domain(spark, os.path.join(root, "bands"))
+    hits = (
+        bands_dom.bulk_join(
+            banded, "key", value_alias="__rep",
+            version=version, tasks_per_shard=tasks_per_shard,
+        )
+        .filter(F.col("__rep").isNotNull())
+        .select("doc", F.col("__rep").cast("string").alias("match_id"))
+        .distinct()
+    )
+    sigs_dom = Domain(spark, os.path.join(root, "sigs"))
+    fetched = sigs_dom.bulk_join(
+        hits.select("doc", "match_id", F.encode("match_id", "UTF-8").alias("__sk")),
+        "__sk",
+        value_alias="__hsig",
+        version=version,
+        tasks_per_shard=tasks_per_shard,
+    )
+    bsig = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    hsig = F.transform(
+        F.split(F.col("__hsig").cast("string"), ","), lambda x: x.cast("long")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(bsig, hsig, lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    scored = (
+        fetched.join(sigs, "doc")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("est_jaccard").desc(), F.col("match_id").asc()
+    )
+    best = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("doc").alias("__nd_doc"), "match_id", "est_jaccard"
+        )
+    )
+    out_cols = [
+        *batch.columns,
+        F.col("match_id").isNotNull().alias("is_neardup"),
+        "match_id",
+        "est_jaccard",
+    ]
+    return batch.join(
+        best, batch[id_col] == best["__nd_doc"], "left"
+    ).select(*out_cols)

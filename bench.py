@@ -367,6 +367,28 @@ def main() -> None:
             spark, _history_batch(documents), hist_root, ["text"]
         ).count()
 
+    # incremental NEAR-dup: persist the corpus MinHash state (band index +
+    # signatures) as a domain pair, then flag an ingestion batch with two
+    # bulk_joins + the agreement estimator (q104 shape, production
+    # xxhash64 mode)
+    from elephantdb_spark.extensions import _neardup_history_batch
+    from elephantdb_spark.operators.neardup_history import (
+        build_neardup_history,
+        filter_against_neardup_history,
+    )
+
+    nd_root = eng.domain_root("neardup_history")
+    with timed("neardup_history_build"):
+        build_neardup_history(
+            spark, documents, nd_root, "doc_id", "text",
+            spec=DomainSpec(num_shards=NUM_SHARDS), version=1,
+        )
+    with timed("neardup_history_probe"):
+        filter_against_neardup_history(
+            spark, _neardup_history_batch(documents), nd_root,
+            "doc_id", "text", cache_sigs=False,
+        ).count()
+
     with timed("minhash_lsh_documents"):
         minhash_lsh_pairs(documents, "doc_id", "text",
                           num_perm=32, bands=8, threshold=0.5).count()

@@ -230,6 +230,30 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
             neardup_corpus, "doc_id", "text", shingle_len=3, threshold=0.5
         ).count()
 
+    # incremental near-dup vs persisted signature history (r6, q104):
+    # build = ONE corpus text pass + two single-shuffle domain builds —
+    # ~linear; probe = batch signatures + two bulk_joins whose history
+    # side never shuffles (tasks pyarrow-read their shards), so probe
+    # cost is O(batch) + per-task shard reads — both sides grow with n,
+    # expect ~linear, never super-linear
+    from elephantdb_spark.extensions import _neardup_history_batch
+    from elephantdb_spark.operators.neardup_history import (
+        build_neardup_history,
+        filter_against_neardup_history,
+    )
+
+    nd_root = eng.domain_root("neardup_history")
+    with timed("neardup_history_build"):
+        build_neardup_history(
+            spark, documents, nd_root, "doc_id", "text",
+            spec=DomainSpec(num_shards=NUM_SHARDS), version=1,
+        )
+    with timed("neardup_history_probe"):
+        filter_against_neardup_history(
+            spark, _neardup_history_batch(documents), nd_root,
+            "doc_id", "text", cache_sigs=False,
+        ).agg(F.sum(F.col("is_neardup").cast("long"))).collect()
+
     from elephantdb_spark.analytics import load_events, sessionize, ts_from_nanos
 
     events = load_events(spark, os.path.dirname(paths["events"]))

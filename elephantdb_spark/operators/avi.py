@@ -40,6 +40,13 @@ import numpy as np
 AVI_MAGIC_RIFF = b"RIFF"
 AVI_MAGIC_TYPE = b"AVI "
 
+#: Maximum ``LIST rec `` nesting depth the movi walk will descend. Real
+#: muxers emit exactly ONE level of interleave groups; a generous cap
+#: turns an adversarial deeply-nested payload (each 12-byte header adds
+#: a live generator — ~payload/12 of them, an executor-OOM shape) into
+#: the contract's fail-fast ValueError instead.
+AVI_MAX_REC_DEPTH = 1024
+
 
 def is_avi(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[:4] == AVI_MAGIC_RIFF and payload[8:12] == AVI_MAGIC_TYPE
@@ -67,9 +74,11 @@ def _movi_frames(payload: bytes, pos: int, end: int) -> list[bytes]:
     an interleaved AVI.
 
     Iterative (explicit stack of chunk walkers), so adversarially deep
-    ``rec `` nesting cannot escape as RecursionError: every level costs
-    ≥12 payload bytes, so the stack is bounded by the payload size and
-    any malformed shape still surfaces as the contract's ValueError."""
+    ``rec `` nesting cannot escape as RecursionError; depth is capped at
+    :data:`AVI_MAX_REC_DEPTH` so a hostile payload of nothing but nested
+    12-byte ``LIST rec `` headers (one live generator per level —
+    unbounded memory at ~payload/12 levels) fails fast with the
+    contract's ValueError instead of OOMing the executor."""
     out: list[bytes] = []
     stack = [_chunks(payload, pos, end)]
     while stack:
@@ -79,7 +88,11 @@ def _movi_frames(payload: bytes, pos: int, end: int) -> list[bytes]:
             stack.pop()
             continue
         if fourcc == b"LIST" and e - s >= 4 and payload[s:s + 4] == b"rec ":
-            stack.append(_chunks(payload, s + 4, e))
+            if len(stack) >= AVI_MAX_REC_DEPTH:
+                raise ValueError(
+                    f"AVI 'rec ' nesting exceeds {AVI_MAX_REC_DEPTH} levels"
+                )
+            stack.append(_chunks(payload, s + 4, end=e))
         elif fourcc[2:4] in (b"dc", b"db"):
             # '##dc' compressed / '##db' uncompressed video chunks
             out.append(payload[s:e])

@@ -339,6 +339,83 @@ def test_bulk_join_subshard_per_task_rows_bounded(spark, tmp_path):
         assert max(per_slice) < shard_rows
 
 
+def test_auto_tasks_per_shard_selection(spark, dom):
+    """VERDICT r6 item 1a: the DEFAULT must pick m from the probe-size
+    estimate — m>1 for a corpus-sized probe with known stats, m=1 for a
+    small one, and m=1 (never a guess) when stats are the unknown-leaf
+    sentinel (driver-made probes)."""
+    from elephantdb_spark.engine import (
+        BULK_MAX_TASKS_PER_SHARD,
+        BULK_PROBE_ROWS_PER_TASK,
+        estimate_plan_rows,
+    )
+
+    n = dom.spec.num_shards
+    # parquet scan: real byte-based stats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert estimate_plan_rows(docs) is not None
+    assert dom._auto_tasks_per_shard(docs) == 1  # tiny corpus → m=1
+    # spark.range carries exact-size stats; large → m>1, clamped
+    big = spark.range(n * BULK_PROBE_ROWS_PER_TASK * 6).select(
+        F.col("id").cast("string").cast("binary").alias("k")
+    )
+    m = dom._auto_tasks_per_shard(big)
+    assert 1 < m <= BULK_MAX_TASKS_PER_SHARD
+    huge = spark.range(n * BULK_PROBE_ROWS_PER_TASK * 10_000).select(
+        F.col("id").cast("string").cast("binary").alias("k")
+    )
+    assert dom._auto_tasks_per_shard(huge) == BULK_MAX_TASKS_PER_SHARD
+    # createDataFrame probes are LogicalRDD → unknown stats → m=1
+    assert estimate_plan_rows(_probe(spark, [b"k001"])) is None
+    assert dom._auto_tasks_per_shard(_probe(spark, [b"k001"])) == 1
+
+
+def test_bulk_join_default_is_auto_and_correct(spark, dom_rg):
+    """tasks_per_shard defaults to auto-selection and still returns
+    exactly the m=1 result on a domain WITH real cut points."""
+    keys = [f"k{i:04d}".encode() for i in range(0, 4000, 97)] + [b"nope"]
+    probe = _probe(spark, keys)
+    base = {
+        bytes(r["k"]): r["value"]
+        for r in dom_rg.bulk_join(probe, "k", tasks_per_shard=1).collect()
+    }
+    got = {
+        bytes(r["k"]): r["value"] for r in dom_rg.bulk_join(probe, "k").collect()
+    }
+    assert got == base
+
+
+def test_bulk_join_chunked_probe_equivalence(spark, dom_rg, monkeypatch):
+    """VERDICT r6 item 1b: tasks probe in bounded chunks instead of
+    buffering the whole partition. Force many small Arrow batches and a
+    tiny chunk bound — results must be identical to the unchunked path,
+    including nulls, misses and cross-chunk duplicates."""
+    import elephantdb_spark.engine as eng
+
+    keys = [f"k{i:04d}".encode() for i in range(0, 4000, 3)]
+    rows = [(i, k) for i, k in enumerate(keys + [b"nope", None, keys[0]])]
+    probe = spark.createDataFrame(rows, "probe_id long, k binary")
+    expect = {
+        r["probe_id"]: r["value"]
+        for r in dom_rg.bulk_join(probe, "k", tasks_per_shard=2).collect()
+    }
+    monkeypatch.setattr(eng, "BULK_PROBE_CHUNK_ROWS", 37)
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "19")
+    try:
+        got = {
+            r["probe_id"]: r["value"]
+            for r in dom_rg.bulk_join(probe, "k", tasks_per_shard=2).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    assert got == expect
+    assert got[len(rows) - 3] is None and got[len(rows) - 2] is None
+    assert bytes(got[len(rows) - 1]) == bytes(got[0])
+
+
 def test_bulk_join_fails_loudly_when_version_gcd(spark, tmp_path):
     """Review finding: a GC'd version dir must raise, not return a
     silent 100% miss (the Spark read paths fail loudly in this race)."""

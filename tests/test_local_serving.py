@@ -129,6 +129,80 @@ def test_concurrent_local_multi_get_threads(dom):
     assert not errors, errors[:3]
 
 
+def test_serving_caches_lru_keep_hot_entry(dom, monkeypatch):
+    """VERDICT r6 item 3: the handle/listing caches evict LRU per entry,
+    not wholesale — a hot entry re-touched between cold inserts must
+    survive a sweep larger than the capacity (the old clear() dropped it
+    the moment the 512th cold file arrived), and capacity holds."""
+    import glob
+    import os
+
+    import elephantdb_spark.engine as eng
+
+    files = sorted(
+        glob.glob(os.path.join(dom.store.version_path(1), "shard=*", "*.parquet"))
+    )
+    assert len(files) >= 6
+    hot = files[0]
+    monkeypatch.setattr(eng, "SERVING_CACHE_CAP", 3)
+    dom._pq_cache.clear()
+    dom._dir_cache.clear()
+    hot_entry = dom._open_shard_file(hot)
+    for cold in files[1:6]:
+        assert dom._open_shard_file(hot) is hot_entry  # re-touch: hot
+        dom._open_shard_file(cold)
+    assert dom._open_shard_file(hot) is hot_entry
+    assert len(dom._pq_cache) <= 3
+    assert hot in dom._pq_cache
+    # listings: same policy
+    dirs = sorted({os.path.dirname(f) for f in files})
+    hot_dir = dirs[0]
+    hot_files = dom._shard_file_list(hot_dir)
+    for cold_dir in dirs[1:6]:
+        assert dom._shard_file_list(hot_dir) is hot_files
+        dom._shard_file_list(cold_dir)
+    assert dom._shard_file_list(hot_dir) is hot_files
+    assert len(dom._dir_cache) <= 3
+    dom._pq_cache.clear()
+    dom._dir_cache.clear()
+
+
+def test_rg_bound_index_matches_stats_walk(spark, tmp_path):
+    """VERDICT r6 item 2: the cached row-group bound index + bisect must
+    find every key the old per-probe stats walk found — including on
+    fragmented multi-file, multi-row-group domains after appends."""
+    from elephantdb_spark import update_domain
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "frag")
+    pairs = [(f"k{i:05d}".encode(), f"v{i}".encode() * 10) for i in range(8000)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=2, persistence_opts={"parquet.block.size": 8192}),
+        version=1,
+    )
+    # appends fragment the shard dirs (multiple files per shard)
+    update_domain(
+        spark,
+        spark.createDataFrame(
+            [(f"k{i:05d}".encode(), b"NEW") for i in range(0, 8000, 1000)],
+            "key binary, value binary",
+        ),
+        root,
+        version=2,
+    )
+    d = Domain(spark, root)
+    keys = [f"k{i:05d}".encode() for i in range(0, 8000, 157)] + [b"zzz", b""]
+    got = d.local_multi_get(keys)
+    truth = dict(pairs)
+    for i in range(0, 8000, 1000):
+        truth[f"k{i:05d}".encode()] = b"NEW"
+    for k in keys:
+        assert got[k] == truth.get(k), k
+
+
 def test_concurrent_probes_across_cache_clear(spark, tmp_path):
     """Concurrent readers while a version publish drops the handle cache:
     in-flight probes hold their own handle refs, so they finish correctly

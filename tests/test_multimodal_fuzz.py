@@ -600,28 +600,45 @@ def test_avi_bitflip_never_crashes():
             pass
 
 
-def test_avi_deeply_nested_rec_lists_never_recursion_error():
-    """ADVICE r5: 2000 nested 'LIST rec ' groups used to escape as
-    RecursionError (outside the ValueError malformed-input contract,
-    so it failed whole Spark tasks). The movi walk is now iterative —
-    the frame inside the deepest group must still decode."""
-    from elephantdb_spark.operators.avi import (
-        _chunk,
-        _list,
-        encode_avi_mjpeg,
-        parse_avi,
-    )
+def _nested_rec_avi(depth: int) -> tuple[bytes, bytes]:
+    """A valid AVI whose movi body wraps one MJPEG frame in ``depth``
+    nested 'LIST rec ' groups; returns (payload, frame_jpeg)."""
+    from elephantdb_spark.operators.avi import _chunk, _list, encode_avi_mjpeg
     from elephantdb_spark.operators.jpeg import encode_jpeg
 
     jpeg = encode_jpeg(np.full((4, 4, 3), 128, np.uint8), quality=85)
     inner = _chunk(b"00dc", jpeg)
-    for _ in range(2000):
+    for _ in range(depth):
         inner = _list(b"rec ", inner)
     # graft the hostile movi into a valid header from a real encode
     base = encode_avi_mjpeg([np.full((4, 4, 3), 128, np.uint8)])
     movi_at = base.index(b"movi")
     hdrl = base[12:movi_at - 8]  # everything up to the movi LIST header
     body = b"AVI " + hdrl + _list(b"movi", inner)
-    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body, jpeg
+
+
+def test_avi_deeply_nested_rec_lists_never_recursion_error():
+    """ADVICE r5: deeply nested 'LIST rec ' groups used to escape as
+    RecursionError (outside the ValueError malformed-input contract,
+    so it failed whole Spark tasks). The movi walk is iterative — a
+    frame inside a generously-deep (but sub-cap) group must decode."""
+    from elephantdb_spark.operators.avi import AVI_MAX_REC_DEPTH, parse_avi
+
+    payload, jpeg = _nested_rec_avi(AVI_MAX_REC_DEPTH - 2)
     out = parse_avi(payload)  # must not RecursionError
     assert out["frame_chunks"] == [jpeg]
+
+
+def test_avi_rec_nesting_beyond_cap_is_contract_valueerror():
+    """ADVICE r6: the iterative walk held one live generator per nesting
+    level — a hostile payload of pure nested 12-byte headers allocated
+    ~payload/12 of them (executor OOM, not fail-fast). Past
+    AVI_MAX_REC_DEPTH the walk must raise the contract ValueError."""
+    import pytest
+
+    from elephantdb_spark.operators.avi import AVI_MAX_REC_DEPTH, parse_avi
+
+    payload, _ = _nested_rec_avi(AVI_MAX_REC_DEPTH + 50)
+    with pytest.raises(ValueError, match="nesting exceeds"):
+        parse_avi(payload)

@@ -65,7 +65,12 @@ def word_counts(docs: DataFrame, text_col: str, min_count: int = 1) -> DataFrame
 
 def _symbolize(wc: DataFrame) -> DataFrame:
     """word → initial symbol sequence: characters + the EOW marker.
-    JVM-side (split on the empty pattern yields the char array)."""
+    JVM-side. Java's split on the empty pattern advances past empty
+    matches by CODE POINT (surrogate pairs stay whole on Java 9+,
+    verified on this runtime), so the symbol alphabet is identical to
+    the driver fast path's Python ``list(w)`` — including astral-plane
+    text (tests/test_bpe.py::test_driver_fast_path_equals_distributed_loop_non_bmp
+    locks the invariant, ADVICE r6)."""
     chars = F.expr("filter(split(w, ''), s -> s != '')")
     return wc.select(
         "w", "c", F.concat(chars, F.array(F.lit(EOW))).alias("syms")
@@ -146,6 +151,9 @@ def _train_bpe_inmem(
     import heapq
     from collections import Counter
 
+    # list(w) = code points — identical to _symbolize's Java-side empty-
+    # pattern split (code-point advance, non-BMP parity test in
+    # test_bpe.py), so path choice by vocab size never changes the alphabet
     vocab: list[list] = [[list(w) + [EOW], c] for w, c in wc_rows]
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}

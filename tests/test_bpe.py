@@ -94,6 +94,30 @@ def test_driver_fast_path_equals_distributed_loop(spark, docs):
     assert train_bpe(docs, "text", 10, driver_vocab_max=2) == fast
 
 
+def test_driver_fast_path_equals_distributed_loop_non_bmp(spark):
+    """ADVICE r6: the driver path symbolizes with Python list(w) (code
+    points) and the distributed path with Java split(w, '') — on this
+    runtime (Java 17) both yield CODE POINTS (the regex engine advances
+    past empty matches by code point, keeping surrogate pairs whole), so
+    the 'identical merge list' invariant must hold for astral-plane text
+    (emoji-laden web corpora) too, on both routes."""
+    rows = [
+        (1, "\U0001F600\U0001F600x \U0001F600x \U0001F600\U0001F600x y\U0001F680y"),
+        (2, "\U0001F600x y\U0001F680y y\U0001F680y plain words plain"),
+        (3, "\U0001F600\U0001F600x snow☃man snow☃man"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = train_bpe(docs, "text", 8)
+    dist = train_bpe(docs, "text", 8, driver_vocab_max=None)
+    assert fast == dist and len(fast) > 0
+    # symbols are whole code points on both routes — no lone surrogates
+    for a, b in fast:
+        for sym in (a, b):
+            assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in sym), fast
+    # at least one learned merge touches an astral-plane symbol
+    assert any("\U0001F600" in a + b for a, b in fast), fast
+
+
 def test_inmem_incremental_matches_naive_reference_random_corpora():
     """Property: the incremental pair-count/heap trainer equals the
     naive recount-everything reference on random corpora (covers pair

@@ -1281,6 +1281,7 @@ def q80_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the hashes); threshold 0.7 ≈ "flag at estimated Jaccard ≥ 0.7".
 _ND_NUM_PERM, _ND_BANDS, _ND_SHINGLE_LEN = 32, 8, 3
 _ND_THRESHOLD = 0.7
+_ND_MAX_BUCKET = 32
 
 
 def _neardup_history_batch(docs: DataFrame) -> DataFrame:
@@ -1344,7 +1345,8 @@ def _neardup_history_root(spark: SparkSession, sf_dir: str) -> str:
     build_neardup_history(
         spark, docs, root, "doc_id", "text",
         num_perm=_ND_NUM_PERM, bands=_ND_BANDS, shingle_len=_ND_SHINGLE_LEN,
-        hash_fn="md5", spec=DomainSpec(num_shards=8), version=1,
+        hash_fn="md5", max_bucket=_ND_MAX_BUCKET,
+        spec=DomainSpec(num_shards=8), version=1,
     )
     _INDEX_ROOTS[key] = root
     return root
@@ -1356,8 +1358,9 @@ def q104_neardup_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures); an ingestion batch is flagged by two bulk_joins — band
     match then signature-agreement scoring (the Broder Jaccard estimate).
     History text is never stored or read; the oracle replays signatures,
-    banding, representative choice, and the estimator stage-for-stage in
-    SQL (md5 hash mode, the q29 convention)."""
+    banding, member-bucket formation (min-k truncation), and the
+    estimator stage-for-stage in SQL (md5 hash mode, the q29
+    convention)."""
     from elephantdb_spark.operators.neardup_history import (
         filter_against_neardup_history,
     )
@@ -1382,9 +1385,10 @@ def q104_neardup_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q104_oracle_sql() -> str:
     """Stage-for-stage SQL replay of q104: md5-mode signatures over history
-    and batch, band-vector matching against the per-band MIN-doc
-    representative, component-agreement estimate, best-match selection
-    (est DESC, string id ASC), threshold flag."""
+    and batch, band-vector matching against EVERY stored bucket member
+    (the max_bucket string-smallest ids per band key — ADVICE r6),
+    component-agreement estimate, best-match selection (est DESC, string
+    id ASC), threshold flag."""
     n, bands = _ND_NUM_PERM, _ND_BANDS
     rpb = n // bands
     mins = ", ".join(
@@ -1412,15 +1416,18 @@ def _q104_oracle_sql() -> str:
         f"bsig AS (SELECT doc, {mins} FROM bsh GROUP BY doc), "
         f"hbands AS ({band_rows('hsig')}), "
         f"bbands AS ({band_rows('bsig')}), "
-        "reps AS (SELECT band, bk, MIN(doc) AS rep FROM hbands GROUP BY band, bk), "
-        "cand AS (SELECT DISTINCT bb.doc, r.rep FROM bbands bb "
-        "         JOIN reps r ON r.band = bb.band AND r.bk = bb.bk), "
-        "scored AS (SELECT c.doc, c.rep, "
+        "hmem AS (SELECT band, bk, doc, row_number() OVER ("
+        "  PARTITION BY band, bk ORDER BY CAST(doc AS VARCHAR)) AS rn "
+        "  FROM hbands), "
+        "cand AS (SELECT DISTINCT bb.doc, m.doc AS member FROM bbands bb "
+        "         JOIN hmem m ON m.band = bb.band AND m.bk = bb.bk "
+        f"         AND m.rn <= {_ND_MAX_BUCKET}), "
+        "scored AS (SELECT c.doc, c.member, "
         f"  CAST(({agree}) AS DOUBLE) / {n} AS est "
-        "  FROM cand c JOIN bsig b ON b.doc = c.doc JOIN hsig h ON h.doc = c.rep), "
-        "best AS (SELECT doc, CAST(rep AS VARCHAR) AS match_id, est, "
+        "  FROM cand c JOIN bsig b ON b.doc = c.doc JOIN hsig h ON h.doc = c.member), "
+        "best AS (SELECT doc, CAST(member AS VARCHAR) AS match_id, est, "
         "  row_number() OVER (PARTITION BY doc "
-        "    ORDER BY est DESC, CAST(rep AS VARCHAR) ASC) AS rk "
+        "    ORDER BY est DESC, CAST(member AS VARCHAR) ASC) AS rk "
         f"  FROM scored WHERE est >= {_ND_THRESHOLD}) "
         "SELECT bt.doc_id, b.match_id IS NOT NULL AS is_neardup, b.match_id, "
         "  round(b.est, 6) AS est_j6 "

@@ -13,9 +13,14 @@ DomainStore.java:156-180) and probes it batch-at-a-time:
 
 State = two KV domains under one root, versions moving in lockstep:
 
-* ``root/bands`` — LSH band-vector key → representative doc id. The
-  index probed first: a batch doc whose band vector equals a stored one
-  is a candidate.
+* ``root/bands`` — LSH band-vector key → the band's MEMBER BUCKET: the
+  newline-joined, string-sorted doc ids sharing that band vector, capped
+  at the ``max_bucket`` smallest (ADVICE r6: a single stored
+  representative silently unflagged batch docs whose true match was a
+  non-representative bucket member). The cap makes the bucket an
+  order-independent bounded set union — "the ``max_bucket``
+  string-smallest ids ever inserted" — so append order can never change
+  probe results (min-k is commutative, associative and idempotent).
 * ``root/sigs`` — doc id → the full ``num_perm``-component signature
   (comma-joined signed int64 text). Fetched only for candidates, to
   score them.
@@ -23,7 +28,28 @@ State = two KV domains under one root, versions moving in lockstep:
 Probe = two :meth:`~elephantdb_spark.engine.Domain.bulk_join` calls:
 the history side NEVER shuffles at any size (tasks pyarrow-read their
 own shard); the probe side pays one exchange of (batch × bands) band
-keys plus one of candidate ids — both O(batch), never O(history).
+keys plus one of candidate ids — both O(batch·bucket hits), never
+O(history).
+
+Recall contract: a batch doc is flagged iff some bucket member of one of
+its bands scores ≥ threshold — i.e. FULL one-shot LSH bucket semantics
+(a true near-dup sharing no complete band is still missed, exactly as in
+``minhash_lsh_pairs``), degraded only when a band bucket overflows
+``max_bucket`` (members beyond the ``max_bucket`` string-smallest ids
+are dropped; an overflowing band vector is near-boilerplate shared by
+many docs, and any of its kept members is an equally-near match for
+threshold purposes in practice — but the truncation is a real, bounded
+recall loss and is documented here rather than hidden).
+
+Doc ids must not contain a newline when rendered as strings (the bucket
+separator); ids are otherwise arbitrary and round-trip as text.
+
+Crash ordering (ADVICE r6): build/append publish ``sigs`` BEFORE
+``bands``. An orphaned sigs version is harmless — no band key points at
+it; probes with ``version=None`` resolve ONE shared snapshot from the
+bands domain and pin both bulk_joins to it, so a crash between the two
+publishes can never pair new band buckets with a sigs version that
+lacks their signatures.
 
 Scoring uses the classic MinHash estimator (Broder 1997: for a random
 permutation, P[min hash agrees] = Jaccard, so component-agreement/
@@ -63,6 +89,11 @@ from elephantdb_spark.operators.dedup import (
 from elephantdb_spark.spec import DomainSpec
 
 PARAMS_FILE = "neardup_params.json"
+
+#: Default cap on stored members per band bucket. A bucket at the cap is
+#: a band vector shared by ≥32 documents — near-boilerplate; keeping the
+#: 32 string-smallest ids bounds state AND keeps merges order-independent.
+DEFAULT_MAX_BUCKET = 32
 
 
 def minhash_signatures(
@@ -117,22 +148,31 @@ def _sig_value_col(num_perm: int) -> Column:
     )
 
 
-def _id_key_col(id_col: str) -> Column:
-    return F.col(id_col).cast("string").cast("binary")
+def _band_kv(sigs: DataFrame, num_perm: int, bands: int, max_bucket: int) -> DataFrame:
+    """(band key → member bucket) rows, one per DISTINCT band key; the
+    bucket value is the newline-joined ASCENDING string ids of the
+    bucket's ``max_bucket`` string-smallest members (ADVICE r6:
+    all members, not one representative — probes score against each).
 
-
-def _band_kv(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """(band key → representative doc id) rows, one per DISTINCT band key.
-
-    The representative is the MIN doc id (by the id column's own type) so
-    the build is deterministic and oracle-replicable; collapsing here lets
-    the domain build skip its LWW pass (dedup='none', single shuffle)."""
+    Shape: window row_number per band key (bounded, spillable sort)
+    rather than collect-then-truncate, so a degenerate near-boilerplate
+    band shared by millions of docs never materializes an unbounded
+    array in one aggregation buffer; the follow-on groupBy reuses the
+    window's hash partitioning (one exchange total). Collapsing to
+    distinct keys here lets the domain build skip its LWW pass
+    (dedup='none', single shuffle)."""
     exploded = sigs.select(
-        F.col("doc"),
+        F.col("doc").cast("string").alias("__doc"),
         F.explode(F.array(*_band_key_cols(num_perm, bands))).alias("key"),
     )
-    return exploded.groupBy("key").agg(
-        F.min("doc").cast("string").cast("binary").alias("value")
+    w = Window.partitionBy("key").orderBy(F.col("__doc").asc())
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    return kept.groupBy("key").agg(
+        F.encode(
+            F.concat_ws("\n", F.sort_array(F.collect_list("__doc"))), "UTF-8"
+        ).alias("value")
     )
 
 
@@ -155,16 +195,20 @@ def read_params(root: str) -> dict:
     """The signature parameters this history was built with. Probes and
     appends MUST reuse them (a different num_perm/shingle_len/hash_fn
     would silently compare incomparable signatures), so both read this
-    file instead of taking parameters."""
+    file instead of taking parameters. Roots written before the bucket
+    cap existed default to ``max_bucket=1`` — exactly the single-MIN-doc
+    semantics they were built with."""
     path = os.path.join(root, PARAMS_FILE)
     try:
         with open(path) as fh:
-            return json.load(fh)
+            p = json.load(fh)
     except FileNotFoundError:
         raise ValueError(
             f"{path} not found: not a neardup-history root "
             "(build one with build_neardup_history)"
         ) from None
+    p.setdefault("max_bucket", 1)
+    return p
 
 
 def build_neardup_history(
@@ -177,6 +221,7 @@ def build_neardup_history(
     bands: int = 8,
     shingle_len: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     spec: DomainSpec | None = None,
     version: int | None = None,
 ) -> int:
@@ -184,26 +229,30 @@ def build_neardup_history(
 
     One corpus text pass (the signature groupBy), persisted once and fed
     to both domain builds; both builds are single-shuffle (keys are
-    pre-distinct). Returns the published version id (identical for both
-    sub-domains)."""
+    pre-distinct). ``sigs`` publishes BEFORE ``bands`` (ADVICE r6 crash
+    ordering — an orphaned sigs version is unreachable garbage, while
+    orphaned band buckets would silently drop matches). Returns the
+    published version id (identical for both sub-domains)."""
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_len, hash_fn
     ).persist()
     try:
         v = build_domain(
             spark,
-            _band_kv(sigs, num_perm, bands),
-            os.path.join(root, "bands"),
+            _sig_kv(sigs, num_perm),
+            os.path.join(root, "sigs"),
             spec,
             version=version,
             dedup="none",
         )
         build_domain(
             spark,
-            _sig_kv(sigs, num_perm),
-            os.path.join(root, "sigs"),
+            _band_kv(sigs, num_perm, bands, max_bucket),
+            os.path.join(root, "bands"),
             spec,
             version=v,
             dedup="none",
@@ -217,6 +266,7 @@ def build_neardup_history(
             "bands": bands,
             "shingle_len": shingle_len,
             "hash_fn": hash_fn,
+            "max_bucket": max_bucket,
         },
     )
     return v
@@ -236,26 +286,49 @@ def append_neardup_history(
     come from the root's params file — they are a property of the
     history, not the call.
 
-    A batch band key colliding with an existing one REPLACES the stored
-    representative (update_domain's batch-wins upsert); any member of a
-    band bucket is an equally valid representative, so this only changes
-    which equal-banded doc later probes are scored against. Callers
+    A batch band key colliding with an existing bucket MERGES member
+    lists (bounded set union: the ``max_bucket`` string-smallest ids of
+    old ∪ new — min-k, so the merged state is independent of append
+    order and probe recall can only grow within the cap, never drift,
+    ADVICE r6). The merge reads the colliding buckets via one O(batch)
+    ``bulk_join`` against the pre-append bands snapshot. Callers
     typically append only the rows :func:`filter_against_neardup_history`
-    left unflagged, but appending flagged rows is harmless."""
+    left unflagged, but appending flagged rows is harmless (their ids
+    join the buckets; min-k dedups re-appends)."""
     p = read_params(root)
+    max_bucket = p["max_bucket"]
     sigs = minhash_signatures(
         batch, id_col, text_col, p["num_perm"], p["shingle_len"], p["hash_fn"]
     ).persist()
     try:
+        bands_dom = Domain(spark, os.path.join(root, "bands"))
+        # pin the merge read to the PRE-append snapshot explicitly: the
+        # bulk_join executes lazily inside update_domain's write, by
+        # which point a concurrent publish could have moved 'latest'
+        pin = bands_dom.store.most_recent_version()
+        new_bands = _band_kv(sigs, p["num_perm"], p["bands"], max_bucket)
+        joined = bands_dom.bulk_join(
+            new_bands, "key", value_alias="__old", version=pin
+        )
+        new_arr = F.split(F.decode(F.col("value"), "UTF-8"), "\n")
+        old_arr = F.when(
+            F.col("__old").isNull(), F.array().cast("array<string>")
+        ).otherwise(F.split(F.decode(F.col("__old"), "UTF-8"), "\n"))
+        merged = F.slice(
+            F.array_sort(F.array_union(new_arr, old_arr)), 1, max_bucket
+        )
+        merged_bands = joined.select(
+            "key",
+            F.encode(F.concat_ws("\n", merged), "UTF-8").alias("value"),
+        )
+        # sigs FIRST (crash ordering, ADVICE r6): bands@v implies sigs@v
         v = update_domain(
             spark,
-            _band_kv(sigs, p["num_perm"], p["bands"]),
-            os.path.join(root, "bands"),
+            _sig_kv(sigs, p["num_perm"]),
+            os.path.join(root, "sigs"),
             version=version,
         )
-        update_domain(
-            spark, _sig_kv(sigs, p["num_perm"]), os.path.join(root, "sigs"), version=v
-        )
+        update_domain(spark, merged_bands, os.path.join(root, "bands"), version=v)
     finally:
         sigs.unpersist()
     return v
@@ -269,17 +342,19 @@ def filter_against_neardup_history(
     text_col: str,
     threshold: float = 0.7,
     version: int | None = None,
-    tasks_per_shard: int = 1,
+    tasks_per_shard: int | None = None,
     cache_sigs: bool = True,
 ) -> DataFrame:
     """Flag each batch row against the signature history: returns the
     batch columns plus
 
-    * ``is_neardup`` — true ⇔ some stored signature agrees with the
-      row's on ≥ ``threshold`` of its components (the Broder estimate of
-      Jaccard ≥ threshold; recall is governed by the banding exactly as
-      in one-shot LSH — a true near-dup sharing no full band is missed,
-      see SCALE.md's measured recall at production banding),
+    * ``is_neardup`` — true ⇔ some stored bucket member of one of the
+      row's bands has a signature agreeing on ≥ ``threshold`` of its
+      components (the Broder estimate of Jaccard ≥ threshold). Recall is
+      governed by the banding exactly as in one-shot LSH — a true
+      near-dup sharing no full band is missed (see SCALE.md's measured
+      recall at production banding) — plus the documented ``max_bucket``
+      truncation for overflowing (near-boilerplate) band buckets,
     * ``match_id`` — the best-scoring matched history doc id (string —
       ids round-trip through the domain as text; ties broken by
       ascending string id), null unless flagged,
@@ -295,8 +370,10 @@ def filter_against_neardup_history(
     in long-lived many-query sessions with no release hook.
 
     ``version`` pins BOTH sub-domains (their versions move in lockstep);
-    ``tasks_per_shard`` passes through to the band-probe bulk_join for
-    corpus-sized batches."""
+    when None, ONE shared snapshot is resolved from the bands domain —
+    publishes go sigs-then-bands, so any bands version has its sigs twin
+    even across a crash window (ADVICE r6). ``tasks_per_shard`` passes
+    through to both bulk_joins (default: auto-tuned per probe size)."""
     clash = {"is_neardup", "match_id", "est_jaccard"} & set(batch.columns)
     if clash:
         raise ValueError(
@@ -313,13 +390,20 @@ def filter_against_neardup_history(
         "doc", F.explode(F.array(*_band_key_cols(num_perm, bands))).alias("key")
     )
     bands_dom = Domain(spark, os.path.join(root, "bands"))
+    if version is None:
+        version = bands_dom.store.most_recent_version()
     hits = (
         bands_dom.bulk_join(
-            banded, "key", value_alias="__rep",
+            banded, "key", value_alias="__bucket",
             version=version, tasks_per_shard=tasks_per_shard,
         )
-        .filter(F.col("__rep").isNotNull())
-        .select("doc", F.col("__rep").cast("string").alias("match_id"))
+        .filter(F.col("__bucket").isNotNull())
+        .select(
+            "doc",
+            F.explode(
+                F.split(F.decode(F.col("__bucket"), "UTF-8"), "\n")
+            ).alias("match_id"),
+        )
         .distinct()
     )
     sigs_dom = Domain(spark, os.path.join(root, "sigs"))

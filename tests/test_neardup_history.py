@@ -60,27 +60,33 @@ def _collect_sigs(spark, rows):
     }
 
 
-def _python_replay(hist_sigs, batch_sigs):
-    """Independent replay of band index + representative + estimator over
-    Spark-computed signatures (Spark is used only as the hash function)."""
-    rpb = NUM_PERM // BANDS
-    reps: dict[tuple, int] = {}
+def _python_replay(
+    hist_sigs, batch_sigs, num_perm=NUM_PERM, bands=BANDS,
+    threshold=THRESHOLD, max_bucket=32,
+):
+    """Independent replay of band index + member buckets + estimator over
+    Spark-computed signatures (Spark is used only as the hash function).
+    Buckets keep the max_bucket string-smallest member ids (min-k) and
+    probes score against EVERY kept member (ADVICE r6)."""
+    rpb = num_perm // bands
+    buckets: dict[tuple, list] = {}
     for doc, sig in hist_sigs.items():
-        for b in range(BANDS):
+        for b in range(bands):
             k = (b, tuple(sig[b * rpb:(b + 1) * rpb]))
-            reps[k] = min(reps.get(k, doc), doc)
+            buckets.setdefault(k, []).append(doc)
+    for k, docs in buckets.items():
+        buckets[k] = sorted(docs, key=str)[:max_bucket]
     want = {}
     for doc, sig in batch_sigs.items():
-        cands = {
-            reps[(b, tuple(sig[b * rpb:(b + 1) * rpb]))]
-            for b in range(BANDS)
-            if (b, tuple(sig[b * rpb:(b + 1) * rpb])) in reps
-        }
+        cands = set()
+        for b in range(bands):
+            k = (b, tuple(sig[b * rpb:(b + 1) * rpb]))
+            cands.update(buckets.get(k, ()))
         scored = [
-            (sum(a == b for a, b in zip(sig, hist_sigs[c])) / NUM_PERM, c)
+            (sum(a == b for a, b in zip(sig, hist_sigs[c])) / num_perm, c)
             for c in cands
         ]
-        hits = [(e, c) for e, c in scored if e >= THRESHOLD]
+        hits = [(e, c) for e, c in scored if e >= threshold]
         if hits:
             # max est, ties by ascending STRING id (the operator contract)
             est, match = min(hits, key=lambda t: (-t[0], str(t[1])))
@@ -147,6 +153,7 @@ def test_params_file_contract(spark, nd_root, tmp_path):
     assert p == {
         "num_perm": NUM_PERM, "bands": BANDS,
         "shingle_len": SHINGLE_LEN, "hash_fn": "xxhash64",
+        "max_bucket": 32,
     }
     with pytest.raises(ValueError, match="not a neardup-history root"):
         filter_against_neardup_history(
@@ -162,6 +169,101 @@ def test_output_column_clash_raises(spark, nd_root):
     )
     with pytest.raises(ValueError, match="collide"):
         filter_against_neardup_history(spark, bad, nd_root, "doc_id", "text")
+
+
+# Triple found by offline search against the real xxhash64 signatures:
+# A and B share exactly one band (forced by the anchor token run), the
+# probe P satisfies est(P,A)=15/32 < 0.7 <= est(P,B)=23/32. A's id sorts
+# before B's, so a single-representative band index would score only A
+# and silently unflag P (the ADVICE r6 failure mode).
+_ADV_ANCHOR = " ".join(f"anchor0x{j}" for j in range(40))
+_ADV_A = (
+    "row scan scan column batch hash vector data window data row order "
+    "batch sort agg value column part spark value vector row table column "
+    "spark " + _ADV_ANCHOR
+)
+_ADV_B = (
+    "merge order scan vector join query spark query agg window join query "
+    "table agg sort data table spark vector filter order join stream table "
+    "table " + _ADV_ANCHOR
+)
+_ADV_P = (
+    "merge order part vector join query spark query agg batch join data "
+    "table agg agg data join spark vector filter order join stream table "
+    "table " + _ADV_ANCHOR
+)
+
+
+def _adv_probe(spark, root, **kw):
+    batch = spark.createDataFrame([(100, _ADV_P)], "doc_id int, text string")
+    return filter_against_neardup_history(
+        spark, batch, root, "doc_id", "text",
+        threshold=THRESHOLD, cache_sigs=False, **kw,
+    ).collect()[0]
+
+
+def _adv_build(spark, path, rows, **kw):
+    build_neardup_history(
+        spark,
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        path, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        spec=DomainSpec(num_shards=2), version=1, **kw,
+    )
+    return path
+
+
+def test_bucket_members_beyond_smallest_are_scored(spark, tmp_path):
+    """ADVICE r6 (medium): history {A, B} share a band bucket and only B
+    clears the threshold against the probe. A representative-only index
+    (min doc id = A) silently unflagged the probe; the member bucket
+    must score EVERY member and flag via B."""
+    root = _adv_build(
+        spark, str(tmp_path / "adv"), [(1, _ADV_A), (2, _ADV_B)]
+    )
+    out = _adv_probe(spark, root)
+    assert out.is_neardup is True
+    assert out.match_id == "2"  # B — NOT the bucket's min-id member A
+    assert abs(out.est_jaccard - 23 / 32) < 1e-9
+    # and the sub-threshold member alone must NOT flag (fixture sanity)
+    root_a = _adv_build(spark, str(tmp_path / "advA"), [(1, _ADV_A)])
+    assert _adv_probe(spark, root_a).is_neardup is False
+
+
+def test_append_merges_band_buckets(spark, tmp_path):
+    """Append must MERGE colliding band buckets (bounded set union), not
+    replace them — and the min-k merge is append-order independent: the
+    probe's verdict is identical whichever of {A, B} arrived first."""
+    for first, second, tag in [(1, 2, "ab"), (2, 1, "ba")]:
+        docs = {1: _ADV_A, 2: _ADV_B}
+        root = _adv_build(
+            spark, str(tmp_path / f"m{tag}"), [(first, docs[first])]
+        )
+        append_neardup_history(
+            spark,
+            spark.createDataFrame(
+                [(second, docs[second])], "doc_id int, text string"
+            ),
+            root, "doc_id", "text",
+        )
+        out = _adv_probe(spark, root)
+        assert out.is_neardup is True, tag
+        assert out.match_id == "2", tag
+        assert abs(out.est_jaccard - 23 / 32) < 1e-9, tag
+
+
+def test_max_bucket_truncation_keeps_smallest(spark, tmp_path):
+    """max_bucket=1 reproduces the legacy single-representative
+    semantics exactly (the params-file default for pre-bucket roots):
+    only the string-smallest member is kept, so the probe that needs B
+    goes unflagged — the documented, bounded recall loss."""
+    root = _adv_build(
+        spark, str(tmp_path / "trunc"), [(1, _ADV_A), (2, _ADV_B)],
+        max_bucket=1,
+    )
+    assert read_params(root)["max_bucket"] == 1
+    out = _adv_probe(spark, root)
+    assert out.is_neardup is False and out.match_id is None
 
 
 def test_bands_must_divide_num_perm(spark, tmp_path):

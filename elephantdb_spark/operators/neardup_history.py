@@ -334,6 +334,60 @@ def append_neardup_history(
     return v
 
 
+def compact_neardup_history(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    max_files_per_shard: int = 1,
+) -> int:
+    """Compact the history's physical layout (VERDICT r6 item 4). A
+    locally-run append rewrites each touched shard as one fresh file, so
+    appends alone don't fragment — fragmentation comes from
+    ``maxRecordsPerFile`` splits and per-task output files at cluster
+    scale, and each extra file per shard is an extra open+footer-read on
+    every probe of that shard. Rewrites each sub-domain's fragmented shards into
+    ``max_files_per_shard`` key-sorted files (``build.compact_domain`` —
+    the reference's version-chain rewrite shape,
+    cascalog/keyval.clj:55-64, DomainStore.java:156-180).
+
+    Both lockstep sub-domains publish the SAME new version id — a
+    non-fragmented sub-domain rides a pure file-level copy-forward
+    publish (no Spark job) so the lockstep invariant (bands@v ⇒ sigs@v)
+    survives; ``sigs`` publishes first (the module's crash ordering).
+    Returns the new version id, or the CURRENT version unchanged when
+    neither sub-domain is fragmented (no-op — no job, no new version).
+    Probe results are byte-identical across a compaction; pinning a
+    pre-compaction version keeps reading the old layout (A12)."""
+    import time
+
+    from elephantdb_spark.build import compact_domain
+
+    read_params(root)  # validates this is a neardup-history root
+    sigs_root = os.path.join(root, "sigs")
+    bands_root = os.path.join(root, "bands")
+    frag = {}
+    for r in (sigs_root, bands_root):
+        rep = Domain(spark, r).layout_report()
+        frag[r] = rep["max_files_per_shard"] > max_files_per_shard
+    if not any(frag.values()):
+        return Domain(spark, bands_root).store.most_recent_version()
+    if version is None:
+        version = int(time.time() * 1000)
+    for r in (sigs_root, bands_root):  # sigs FIRST (crash ordering)
+        if frag[r]:
+            compact_domain(
+                spark, r, version=version,
+                max_files_per_shard=max_files_per_shard,
+            )
+        else:
+            store = Domain(spark, r).store
+            prev = store.most_recent_version()
+            store.create_version(version)
+            store.synchronize_versions(prev, version)
+            store.succeed_version(version)
+    return version
+
+
 def filter_against_neardup_history(
     spark: SparkSession,
     batch: DataFrame,

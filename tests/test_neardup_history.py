@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from elephantdb_spark.operators.neardup_history import (
     append_neardup_history,
     build_neardup_history,
+    compact_neardup_history,
     filter_against_neardup_history,
     minhash_signatures,
     read_params,
@@ -264,6 +265,53 @@ def test_max_bucket_truncation_keeps_smallest(spark, tmp_path):
     assert read_params(root)["max_bucket"] == 1
     out = _adv_probe(spark, root)
     assert out.is_neardup is False and out.match_id is None
+
+
+def test_compaction_lifecycle(spark, tmp_path):
+    """VERDICT r6 item 4: repeated appends fragment both sub-domains
+    (one file per touched shard per append); compaction must collapse
+    every shard to one file IN BOTH lockstep domains at ONE shared new
+    version, with byte-identical probe results, and a pinned
+    pre-compaction version must keep reading the old layout."""
+    import os
+
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "compact")
+    corpus = spark.createDataFrame(CORPUS[:10], "doc_id int, text string")
+    build_neardup_history(
+        spark, corpus, root, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        # maxRecordsPerFile is where real-world fragmentation comes from
+        # (per-task output splits at cluster scale); appends re-apply it
+        spec=DomainSpec(
+            num_shards=4, persistence_opts={"maxRecordsPerFile": 5}
+        ),
+        version=1,
+    )
+    for j in range(5):
+        append_neardup_history(
+            spark,
+            spark.createDataFrame(
+                [(2000 + 10 * j + i, t) for i, t in CORPUS[10 + 2 * j:12 + 2 * j]],
+                "doc_id int, text string",
+            ),
+            root, "doc_id", "text", version=2 + j,
+        )
+    pre_bands = Domain(spark, os.path.join(root, "bands")).layout_report()
+    assert pre_bands["max_files_per_shard"] > 1  # appends really fragment
+    before = _probe(spark, root)
+    pre_version = Domain(spark, os.path.join(root, "bands")).store.most_recent_version()
+    v = compact_neardup_history(spark, root, version=100)
+    assert v == 100
+    for sub in ("bands", "sigs"):
+        d = Domain(spark, os.path.join(root, sub))
+        assert d.store.most_recent_version() == 100, sub  # lockstep version
+        assert d.layout_report()["one_file_per_shard"] is True, sub
+    assert _probe(spark, root) == before  # byte-identical probe results
+    assert _probe(spark, root, version=pre_version) == before  # pinned old
+    # idempotent: already-compact history is a no-op (no new version)
+    assert compact_neardup_history(spark, root) == 100
 
 
 def test_bands_must_divide_num_perm(spark, tmp_path):

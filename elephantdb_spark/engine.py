@@ -63,9 +63,15 @@ BULK_PROBE_ROWS_PER_TASK = 2_000_000
 #: work ~2× probe — while a mis-estimated (or adversarially huge) probe
 #: slice can no longer OOM the task.
 BULK_PROBE_CHUNK_ROWS = 1_000_000
+#: Parallelism arm of the auto-tune: lift m toward cluster parallelism
+#: only when every resulting task still gets at least this many probe
+#: rows — smaller probes don't amortize the broadcast-routing overhead.
+BULK_MIN_ROWS_PER_TASK = 25_000
 #: Ceiling on auto-chosen sub-shard parallelism; bounds the broadcast cut
-#: table at num_shards×this rows and the task count at the same product.
-BULK_MAX_TASKS_PER_SHARD = 32
+#: table at num_shards×this rows and the task count at the same product
+#: (a 64-shard domain tops out at 8192 tasks — cluster-scale fan-out;
+#: shards without enough row groups degrade to fewer real slices).
+BULK_MAX_TASKS_PER_SHARD = 128
 
 
 def estimate_plan_rows(df: DataFrame) -> int | None:
@@ -524,10 +530,20 @@ class Domain:
         return cuts_by_shard
 
     def _auto_tasks_per_shard(self, df: DataFrame) -> int:
-        """Pick ``tasks_per_shard`` so one task's probe slice is about
-        :data:`BULK_PROBE_ROWS_PER_TASK` rows (VERDICT r6 item 1 — the
-        m=1 default starved parallelism and buffered corpus-sized probe
-        slices; the scale-safe m must be the DEFAULT, not opt-in).
+        """Pick ``tasks_per_shard`` for the DEFAULT bulk_join plan
+        (VERDICT r6 item 1 — the m=1 default starved parallelism and
+        buffered corpus-sized probe slices; the scale-safe m must be the
+        default, not opt-in). Two arms, take the max:
+
+        * memory: m so one task's probe slice is about
+          :data:`BULK_PROBE_ROWS_PER_TASK` rows;
+        * parallelism (the r6-measured starvation: 8 shard-tasks on 32
+          cores ran 11.4× at 10×, m=4 ran 3.2×): m lifting the task
+          count to the cluster's default parallelism — applied only when
+          every resulting task still gets ≥
+          :data:`BULK_MIN_ROWS_PER_TASK` probe rows, so small probes
+          never pay the broadcast-routing overhead.
+
         Probe size comes from Catalyst statistics
         (:func:`estimate_plan_rows` — no job). Unknown-size plans
         (LogicalRDD's defaultSizeInBytes sentinel — in this API surface
@@ -544,8 +560,11 @@ class Domain:
         rows = estimate_plan_rows(df)
         if rows is None:
             return 1
-        m = -(-rows // (n * BULK_PROBE_ROWS_PER_TASK))
-        return max(1, min(BULK_MAX_TASKS_PER_SHARD, m))
+        m_mem = -(-rows // (n * BULK_PROBE_ROWS_PER_TASK))
+        m_par = -(-self.spark.sparkContext.defaultParallelism // n)
+        if rows < n * m_par * BULK_MIN_ROWS_PER_TASK:
+            m_par = 1
+        return max(1, min(BULK_MAX_TASKS_PER_SHARD, max(m_mem, m_par)))
 
     def bulk_join(
         self,

@@ -175,11 +175,20 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
                  version=1)
     li8 = eng.domain("li8")
     with timed("bulk_join_8shard_m1"):
-        li8.bulk_join(li_probe, "k").agg(
+        # pinned m=1: the deliberately-starved shape (r7 made the
+        # DEFAULT auto-select, so this entry must opt out explicitly)
+        li8.bulk_join(li_probe, "k", tasks_per_shard=1).agg(
             F.sum(F.col("value").isNotNull().cast("long"))
         ).collect()
     with timed("bulk_join_8shard_m4"):
         li8.bulk_join(li_probe, "k", tasks_per_shard=4).agg(
+            F.sum(F.col("value").isNotNull().cast("long"))
+        ).collect()
+    with timed("bulk_join_8shard_auto"):
+        # the r7 DEFAULT: m auto-selected from the Catalyst probe-size
+        # estimate (memory + parallelism arms) — should track the best
+        # manual m above once the probe outgrows BULK_MIN_ROWS_PER_TASK
+        li8.bulk_join(li_probe, "k").agg(
             F.sum(F.col("value").isNotNull().cast("long"))
         ).collect()
 
@@ -513,6 +522,84 @@ def run_entries(spark, paths: dict[str, str], n: int, tag: str) -> dict[str, flo
     return timings
 
 
+def run_scale_critical(spark, paths: dict[str, str], n: int, tag: str) -> dict:
+    """VERDICT r6 item 6: a ≥30× spot-check of the TWO probes whose
+    design carries the 100 TB scale argument — the auto-tuned bulk_join
+    (does the default plan keep per-task memory bounded and parallelism
+    provisioned as the probe grows?) and the neardup-history probe (two
+    bulk_joins whose history side never shuffles). Fixtures are built
+    untimed; returns timings plus the auto-chosen tasks_per_shard as
+    provenance."""
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix=f"edb_scale_crit_{tag}_")
+    eng = Engine(spark, work)
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+                from elephantdb_spark.operators.dedup import (
+                    release_shingle_caches,
+                )
+
+                release_shingle_caches()
+                spark.catalog.clearCache()
+
+        return _T()
+
+    lineitem = spark.read.parquet(paths["lineitem"])
+    documents = spark.read.parquet(paths["documents"])
+    li_kv = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("key"),
+        F.col("l_extendedprice").cast("string").cast("binary").alias("value"),
+    )
+    build_domain(spark, li_kv, eng.domain_root("li8"),  # untimed fixture
+                 DomainSpec(num_shards=8,
+                            persistence_opts={"parquet.block.size": 1 << 20}),
+                 version=1)
+    li8 = eng.domain("li8")
+    li_probe = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("k")
+    )
+    # untimed python-worker warm + sacrificial JVM job (the fork-storm
+    # lesson — see run_entries)
+    wdf = lineitem.select("l_orderkey").limit(50000).repartition(CPUS)
+    wdf.mapInPandas(lambda it: it, "l_orderkey long").count()
+    lineitem.groupBy("l_linestatus").count().collect()
+
+    auto_m = li8._auto_tasks_per_shard(li_probe)
+    with timed("bulk_join_8shard_auto"):
+        li8.bulk_join(li_probe, "k").agg(
+            F.sum(F.col("value").isNotNull().cast("long"))
+        ).collect()
+
+    from elephantdb_spark.extensions import _neardup_history_batch
+    from elephantdb_spark.operators.neardup_history import (
+        build_neardup_history,
+        filter_against_neardup_history,
+    )
+
+    nd_root = eng.domain_root("neardup_history")
+    build_neardup_history(  # untimed fixture
+        spark, documents, nd_root, "doc_id", "text",
+        spec=DomainSpec(num_shards=NUM_SHARDS), version=1,
+    )
+    with timed("neardup_history_probe"):
+        filter_against_neardup_history(
+            spark, _neardup_history_batch(documents), nd_root,
+            "doc_id", "text", cache_sigs=False,
+        ).agg(F.sum(F.col("is_neardup").cast("long"))).collect()
+
+    shutil.rmtree(work, ignore_errors=True)
+    timings["_auto_tasks_per_shard"] = auto_m
+    return timings
+
+
 def measure_lsh_recall(spark, paths: dict[str, str]) -> dict:
     """VERDICT r4 item 6: recall/precision of the MinHash-LSH scale tier
     vs the exact Jaccard tier at the production banding (32 perm,
@@ -558,6 +645,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     pn = materialize(spark, N_COPIES, BASE_SF)
+
+    if os.environ.get("EDB_SCALE_CRITICAL") == "1":
+        # ≥30× spot-check of the two scale-critical probes (r6 item 6)
+        p1 = materialize(spark, 1, BASE_SF)
+        run_scale_critical(spark, p1, 1, "warm")
+        t1 = run_scale_critical(spark, p1, 1, "x1")
+        tn = run_scale_critical(spark, pn, N_COPIES, "xN")
+        entries = {
+            k: {
+                "t1": t1[k],
+                f"t{N_COPIES}": tn[k],
+                "ratio": round(tn[k] / t1[k], 2) if t1[k] > 0 else None,
+            }
+            for k in t1 if not k.startswith("_")
+        }
+        print(json.dumps({
+            "metric": f"scale_critical_{N_COPIES}x",
+            "copies": N_COPIES,
+            "base": BASE_SF,
+            "auto_tasks_per_shard": {
+                "x1": t1["_auto_tasks_per_shard"],
+                f"x{N_COPIES}": tn["_auto_tasks_per_shard"],
+            },
+            "entries": entries,
+        }))
+        spark.stop()
+        return
 
     if os.environ.get("EDB_SCALE_RECALL") == "1":
         # recall mode: one measurement on the Nx corpus, own JSON line

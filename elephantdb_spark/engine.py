@@ -472,9 +472,16 @@ class Domain:
         Footers are read TRANSIENTLY (``pq.read_metadata``), never
         through the bounded ``_open_shard_file`` serving cache (ADVICE
         r6: cut derivation over a fragmented many-file domain would
-        churn hot probe handles), and in a small thread pool — at 64
-        shards of fragmented files the serial per-file driver walk was a
-        real plan-time stall (VERDICT r6 item 7)."""
+        churn hot probe handles). Parallelism is ADAPTIVE: the first
+        footer read is timed, and only when it looks I/O-latency-bound
+        (cold page cache / network storage — where a 64-shard fragmented
+        domain's serial walk is a real plan-time stall, VERDICT r6
+        item 7) do the rest fan out over a thread pool; warm local
+        footers parse in ~0.2 ms of GIL-holding C++ where a 16-thread
+        pool measured ~10× SLOWER than the serial loop (r7: 0.22 s vs
+        0.022 s over 192 files)."""
+        import time
+
         import pyarrow.parquet as pq
 
         n = self.spec.num_shards
@@ -495,15 +502,21 @@ class Domain:
                 for mn, rg in zip(mins, rgs)
             ]
 
-        if len(jobs) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        per_file = []
+        if jobs:
+            t0 = time.perf_counter()
+            per_file.append(footer_entries(jobs[0]))
+            first_dt = time.perf_counter() - t0
+            rest = jobs[1:]
+            if len(rest) > 8 and first_dt > 0.002:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(
-                max_workers=min(16, len(jobs))
-            ) as pool:
-                per_file = list(pool.map(footer_entries, jobs))
-        else:
-            per_file = [footer_entries(j) for j in jobs]
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(rest))
+                ) as pool:
+                    per_file.extend(pool.map(footer_entries, rest))
+            else:
+                per_file.extend(footer_entries(j) for j in rest)
         entries_by_shard: dict[int, list[tuple[bytes, int]]] = {
             p: [] for p in range(n)
         }

@@ -552,10 +552,11 @@ class Domain:
           :data:`BULK_PROBE_ROWS_PER_TASK` rows;
         * parallelism (the r6-measured starvation: 8 shard-tasks on 32
           cores ran 11.4× at 10×, m=4 ran 3.2×): m lifting the task
-          count to the cluster's default parallelism — applied only when
-          every resulting task still gets ≥
-          :data:`BULK_MIN_ROWS_PER_TASK` probe rows, so small probes
-          never pay the broadcast-routing overhead.
+          count to the cluster's default parallelism — lowered (not
+          zeroed) to the LARGEST m whose every task still gets ≥
+          :data:`BULK_MIN_ROWS_PER_TASK` probe rows, so mid-sized probes
+          get partial parallelism and small probes never pay the
+          broadcast-routing overhead.
 
         Probe size comes from Catalyst statistics
         (:func:`estimate_plan_rows` — no job). Unknown-size plans
@@ -575,8 +576,7 @@ class Domain:
             return 1
         m_mem = -(-rows // (n * BULK_PROBE_ROWS_PER_TASK))
         m_par = -(-self.spark.sparkContext.defaultParallelism // n)
-        if rows < n * m_par * BULK_MIN_ROWS_PER_TASK:
-            m_par = 1
+        m_par = max(1, min(m_par, rows // (n * BULK_MIN_ROWS_PER_TASK)))
         return max(1, min(BULK_MAX_TASKS_PER_SHARD, max(m_mem, m_par)))
 
     def bulk_join(

@@ -370,6 +370,39 @@ def test_auto_tasks_per_shard_selection(spark, dom):
     assert dom._auto_tasks_per_shard(_probe(spark, [b"k001"])) == 1
 
 
+def test_auto_tasks_partial_parallelism(monkeypatch):
+    """r7: a mid-sized probe — too small for full cluster parallelism at
+    BULK_MIN_ROWS_PER_TASK per task but big enough for SOME sub-sharding
+    — gets the LARGEST m meeting the bound, not a wholesale fall-back to
+    m=1. Estimate and cluster parallelism are both stubbed so the
+    selection arm is tested deterministically (Catalyst size-based row
+    estimates vary with schema width; session parallelism varies with
+    the test master)."""
+    import elephantdb_spark.engine as eng
+
+    n = 8
+
+    class _FakeSelf:
+        spec = DomainSpec(num_shards=n)
+
+        class spark:
+            class sparkContext:
+                defaultParallelism = 32  # full lift would be m=4
+
+    fake = _FakeSelf()
+    sel = lambda rows: (
+        monkeypatch.setattr(eng, "estimate_plan_rows", lambda df: rows)
+        or Domain._auto_tasks_per_shard(fake, None)
+    )
+    per_m = n * eng.BULK_MIN_ROWS_PER_TASK
+    assert sel(per_m * 2) == 2  # partial parallelism, not 1
+    assert sel(per_m * 2 - 1) == 1  # a notch below the m=2 bound
+    assert sel(per_m * 4) == 4  # full lift once every slice clears it
+    assert sel(per_m * 10) == 4  # parallelism arm capped at full lift
+    # memory arm takes over for genuinely huge probes
+    assert sel(n * eng.BULK_PROBE_ROWS_PER_TASK * 7) == 7
+
+
 def test_bulk_join_default_is_auto_and_correct(spark, dom_rg):
     """tasks_per_shard defaults to auto-selection and still returns
     exactly the m=1 result on a domain WITH real cut points."""

@@ -314,6 +314,52 @@ def test_compaction_lifecycle(spark, tmp_path):
     assert compact_neardup_history(spark, root) == 100
 
 
+def test_compaction_crash_window_recovery(spark, tmp_path):
+    """A crash BETWEEN compaction's two publishes (sigs compacted at the
+    new version, bands not yet) must leave probes correct — bands still
+    resolves the old version and the module's crash ordering guarantees
+    its sigs twin exists — and a rerun with the default version must
+    bring both sub-domains back to lockstep with unchanged results."""
+    import os
+
+    from elephantdb_spark.build import compact_domain
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "crashwin")
+    corpus = spark.createDataFrame(CORPUS[:10], "doc_id int, text string")
+    build_neardup_history(
+        spark, corpus, root, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        spec=DomainSpec(
+            num_shards=4, persistence_opts={"maxRecordsPerFile": 5}
+        ),
+        version=1,
+    )
+    append_neardup_history(
+        spark,
+        spark.createDataFrame(
+            [(2000 + i, t) for i, t in CORPUS[10:14]],
+            "doc_id int, text string",
+        ),
+        root, "doc_id", "text", version=2,
+    )
+    before = _probe(spark, root)
+    # simulate the crash: ONLY the sigs sub-domain reaches version 100
+    compact_domain(spark, os.path.join(root, "sigs"), version=100)
+    bands_dom = Domain(spark, os.path.join(root, "bands"))
+    assert bands_dom.store.most_recent_version() == 2  # bands untouched
+    # probes across the crash window: identical (bands@2 pins sigs@2)
+    assert _probe(spark, root) == before
+    # recovery: rerun with the default (timestamp) version
+    v = compact_neardup_history(spark, root)
+    assert v > 100
+    for sub in ("bands", "sigs"):
+        d = Domain(spark, os.path.join(root, sub))
+        assert d.store.most_recent_version() == v, sub
+        assert d.layout_report()["one_file_per_shard"] is True, sub
+    assert _probe(spark, root) == before
+
+
 def test_bands_must_divide_num_perm(spark, tmp_path):
     corpus = spark.createDataFrame(CORPUS[:3], "doc_id int, text string")
     with pytest.raises(ValueError, match="must divide"):

@@ -52,6 +52,22 @@ def _resolve_indexer_arg(indexer: Indexer | str | None) -> Indexer | None:
     return resolve_indexer(indexer) if isinstance(indexer, str) else indexer
 
 
+#: Default Parquet row-group byte target for domain shard files. Row groups
+#: are the probe granularity: `local_multi_get` prunes row groups via the
+#: cached (min,max) bound index, but WITHIN a row group it must decode from
+#: the group's start, so per-probe cost is O(row-group rows). Spark's
+#: writer default (128 MB) makes a small shard ONE monolithic group whose
+#: decode cost grows with the domain — the shape the r7 10x serving
+#: re-measure caught (fixed workload degraded 3.6x when the domain grew
+#: 10x). Capping the group at 16 MiB bounds per-probe work independent of
+#: shard size — the serving analogue of the reference's page-granular
+#: B-tree descent (JavaBerkDB.java:70-82) — while staying large enough
+#: that scan throughput and footer size are unaffected at 100 TB
+#: (a 1 GB shard carries 64 groups). Override per domain via
+#: ``persistence_opts={"parquet.block.size": ...}``.
+SERVING_ROW_GROUP_BYTES = 16 << 20
+
+
 def dedup_last_writer_wins(df: DataFrame, seq_col: str | None = None) -> DataFrame:
     """Keep one row per key — the last writer (A9, JavaBerkDB.java:84-94).
 
@@ -111,10 +127,13 @@ def _write_version(
         .partitionBy("shard")
         .format(fmt)
     )
-    # persistence_opts pass through as writer options — e.g.
-    # {"parquet.block.size": 16777216} gives 16 MB row groups so the local
-    # serving probe touches ~1/64 of a 1 GB shard per point read
-    for opt_k, opt_v in (store.spec.persistence_opts or {}).items():
+    # persistence_opts pass through as writer options; parquet row groups
+    # default to the serving-oriented SERVING_ROW_GROUP_BYTES cap unless
+    # the caller picks their own
+    opts = dict(store.spec.persistence_opts or {})
+    if fmt == "parquet":
+        opts.setdefault("parquet.block.size", SERVING_ROW_GROUP_BYTES)
+    for opt_k, opt_v in opts.items():
         writer = writer.option(opt_k, str(opt_v))
     writer.save(version_path)
 
@@ -492,7 +511,17 @@ def compact_domain(
             .format(fmt)
         )
         # deliberately NOT re-applying persistence_opts like
-        # maxRecordsPerFile here — those splits are what compaction undoes
+        # maxRecordsPerFile here — those splits are what compaction
+        # undoes. The row-group byte cap is different: it is a LAYOUT
+        # property of the domain (probe granularity), so the caller's
+        # value — or the serving default — must survive compaction.
+        if fmt == "parquet":
+            writer = writer.option(
+                "parquet.block.size",
+                str(store.spec.persistence_opts.get(
+                    "parquet.block.size", SERVING_ROW_GROUP_BYTES
+                )),
+            )
         writer.save(vpath)
         for name in extras:
             src = os.path.join(cur_path, name)

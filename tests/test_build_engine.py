@@ -59,6 +59,60 @@ def test_build_layout_and_publish(domain_root):
         assert len(files) == 1  # exactly one sorted file per shard
 
 
+def test_row_group_cap_default_and_override(spark, tmp_path):
+    """Shard files default to SERVING_ROW_GROUP_BYTES row groups (probe
+    granularity — per-probe decode is O(row-group rows), so the cap bounds
+    serving cost independent of shard size) and the caller's own
+    parquet.block.size wins over the default."""
+    import pyarrow.parquet as pq
+
+    from elephantdb_spark.build import SERVING_ROW_GROUP_BYTES
+
+    # ~3 MB of rows: far below the 16 MiB default (ONE row group) but
+    # far above a 64 KiB override (MANY row groups)
+    kv = spark.range(100_000).select(
+        F.concat(F.lit("k"), F.col("id")).cast("binary").alias("key"),
+        F.concat(F.lit("v" * 20), F.col("id")).cast("binary").alias("value"),
+    )
+
+    def rg_counts(root):
+        counts = []
+        vdir = os.path.join(root, "1")
+        for d in sorted(os.listdir(vdir)):
+            if not d.startswith("shard="):
+                continue
+            for f in os.listdir(os.path.join(vdir, d)):
+                if f.endswith(".parquet"):
+                    counts.append(
+                        pq.read_metadata(
+                            os.path.join(vdir, d, f)
+                        ).num_row_groups
+                    )
+        return counts
+
+    dflt = str(tmp_path / "dflt")
+    build_domain(spark, kv, dflt, DomainSpec(num_shards=2), version=1)
+    assert all(c == 1 for c in rg_counts(dflt))  # below the 16 MiB cap
+
+    small = str(tmp_path / "small")
+    build_domain(
+        spark, kv, small,
+        DomainSpec(num_shards=2,
+                   persistence_opts={"parquet.block.size": 1 << 16}),
+        version=1,
+    )
+    assert all(c > 1 for c in rg_counts(small))  # override applied
+    assert SERVING_ROW_GROUP_BYTES == 16 << 20
+
+    # identical reads either way
+    eng = Engine(spark, str(tmp_path))
+    probe = [b"k0", b"k99999", b"missing"]
+    assert (
+        eng.domain("dflt").local_multi_get(probe)
+        == eng.domain("small").local_multi_get(probe)
+    )
+
+
 def test_rows_placed_on_correct_shards(spark, domain_root):
     from elephantdb_spark import Domain
 

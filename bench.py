@@ -194,6 +194,33 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         # in the synthetic data) and the result is keyed by key
         assert sum(v is not None for v in got.values()) == len(set(li_keys))
 
+    # miss-heavy serving with/without the Bloom sidecar (bloom.py): the
+    # misses are IN-RANGE (linenumber 8 never exists but sorts between
+    # real keys), so the bound index cannot exclude them — the plain
+    # domain decodes a row group per file per miss batch, the bloom
+    # domain answers in memory (the reference's cheap B-tree miss,
+    # JavaBerkDB.java:70-82). Fixture build untimed.
+    li_kv_b = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("key"),
+        F.col("l_extendedprice").cast("string").cast("binary").alias("value"),
+    )
+    build_domain(spark, li_kv_b, eng.domain_root("lineitem_kv_bloom"),
+                 DomainSpec(num_shards=NUM_SHARDS,
+                            persistence_opts={"bloom_fpp": 0.01}),
+                 version=1)
+    bdom = eng.domain("lineitem_kv_bloom")
+    miss_keys = sorted({
+        f"{k.split(b'-')[0].decode()}-8".encode() for k in li_keys
+    })
+    bdom.local_multi_get([b"warm"])
+    with timed("local_multiget_miss_bloom"):
+        got = bdom.local_multi_get(miss_keys)
+        assert all(v is None for v in got.values())
+    with timed("local_multiget_miss_plain"):
+        got = dom.local_multi_get(miss_keys)
+        assert all(v is None for v in got.values())
+
     # concurrent serving throughput (VERDICT r4 item 3): the reference's
     # daemon serves from 64 Thrift worker threads (common/thrift.clj:
     # 111-118); drive 8 threads of multi_get batches through ONE Domain

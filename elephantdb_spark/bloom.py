@@ -1,0 +1,166 @@
+"""Per-shard-file Bloom sidecars: O(1) negative lookups for the serving path.
+
+The reference's serving store answers a MISS with an O(log n) B-tree
+descent over cached pages (JavaBerkDB.java:70-82) — misses are cheap.
+Our parquet probe prunes row groups via the (min,max) bound index, but a
+miss whose key falls INSIDE some group's range still decodes that group.
+For hash-shaped keys (digests, band keys — the near-dup history shape)
+group ranges tile the key space densely, so ~every miss pays a decode.
+A Bloom filter over each data file's keys short-circuits those misses in
+memory: a "no" is definitive (zero I/O), a "yes" (true hit or fpp false
+positive) falls through to the normal bound-index probe — correctness is
+therefore unaffected by construction, the filter only removes work.
+
+Sidecar layout: for data file ``<name>.parquet`` the filter lives at
+``.<name>.parquet.bloom`` in the same shard directory — leading dot so
+Spark scans, `layout_report`, and `_shard_file_list` all ignore it.
+Files are immutable once published, so a sidecar is built exactly once;
+`DomainStore.synchronize_versions`'s ``copytree`` carries sidecars
+forward with their shard dirs on incremental updates, and rewritten
+shards get fresh sidecars from :func:`build_bloom_sidecars` (a
+distributed Spark job — at 100 TB the one key-column pass parallelizes
+per file and repays itself on any miss-heavy serving workload).
+
+Format (little-endian): ``b"EDBBLOOM"  m:u64  k:u32  n:u64  bits``.
+Hashing is double hashing over one blake2b-128 of the key:
+``bit_i = (h1 + i*h2) mod m`` — deterministic across processes, no
+seed material beyond the key bytes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from hashlib import blake2b
+
+_MAGIC = b"EDBBLOOM"
+_HEADER = struct.Struct("<8sQIQ")
+
+#: Default false-positive target. 1% costs ~9.6 bits/key — ~1.2 MB per
+#: million keys per file, read once at open and held by the serving cache.
+DEFAULT_FPP = 0.01
+
+SIDECAR_SUFFIX = ".bloom"
+
+
+def sidecar_path(data_path: str) -> str:
+    """``.../<name>.parquet`` → ``.../.<name>.parquet.bloom`` (hidden)."""
+    d, f = os.path.split(data_path)
+    return os.path.join(d, "." + f + SIDECAR_SUFFIX)
+
+
+def _hash_pair(key: bytes) -> tuple[int, int]:
+    d = blake2b(key, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,  # odd → full-period stride
+    )
+
+
+class BloomFilter:
+    """Immutable-after-build Bloom filter over byte keys."""
+
+    __slots__ = ("m", "k", "n", "bits")
+
+    def __init__(self, m: int, k: int, n: int, bits: bytearray):
+        self.m = m
+        self.k = k
+        self.n = n
+        self.bits = bits
+
+    @classmethod
+    def build(cls, keys, fpp: float = DEFAULT_FPP) -> "BloomFilter":
+        keys = list(keys)
+        n = len(keys)
+        if not 0.0 < fpp < 1.0:
+            raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+        # standard sizing: m = -n ln p / ln^2 2, k = (m/n) ln 2
+        m = max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2))) if n else 1
+        bits = bytearray((m + 7) // 8)
+        for key in keys:
+            h1, h2 = _hash_pair(bytes(key))
+            for i in range(k):
+                pos = (h1 + i * h2) % m
+                bits[pos >> 3] |= 1 << (pos & 7)
+        return cls(m, k, n, bits)
+
+    def might_contain(self, key: bytes) -> bool:
+        h1, h2 = _hash_pair(bytes(key))
+        m, bits = self.m, self.bits
+        for i in range(self.k):
+            pos = (h1 + i * h2) % m
+            if not bits[pos >> 3] & (1 << (pos & 7)):
+                return False
+        return True
+
+    def to_bytes(self) -> bytes:
+        return _HEADER.pack(_MAGIC, self.m, self.k, self.n) + bytes(self.bits)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BloomFilter":
+        if len(raw) < _HEADER.size:
+            raise ValueError("bloom sidecar truncated")
+        magic, m, k, n = _HEADER.unpack_from(raw)
+        if magic != _MAGIC:
+            raise ValueError("bloom sidecar bad magic")
+        bits = bytearray(raw[_HEADER.size:])
+        if len(bits) != (m + 7) // 8:
+            raise ValueError("bloom sidecar size mismatch")
+        return cls(m, k, n, bits)
+
+
+def load_sidecar(data_path: str) -> BloomFilter | None:
+    """Load the sidecar for a data file; ``None`` when absent or invalid
+    (the filter is an optimization — a bad sidecar must never fail a
+    probe, only forfeit the short-circuit)."""
+    p = sidecar_path(data_path)
+    try:
+        with open(p, "rb") as fh:
+            return BloomFilter.from_bytes(fh.read())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_sidecar_for(data_path: str, fpp: float) -> None:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(data_path)
+    key_idx = pf.schema_arrow.get_field_index("key")
+    keys: list[bytes] = []
+    for batch in pf.iter_batches(columns=[pf.schema_arrow.field(key_idx).name]):
+        keys.extend(batch.column(0).to_pylist())
+    bf = BloomFilter.build((k for k in keys if k is not None), fpp)
+    out = sidecar_path(data_path)
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bf.to_bytes())
+    os.replace(tmp, out)  # atomic: readers see whole sidecars or none
+
+
+def build_bloom_sidecars(
+    spark, version_path: str, fpp: float = DEFAULT_FPP
+) -> int:
+    """Build missing sidecars for every data file under ``version_path``
+    (``shard=*/**.parquet``) as ONE distributed Spark job — one task per
+    file, each reading only its file's key column. Idempotent: files
+    that already have a sidecar are skipped, so a crashed run resumes by
+    rerunning. Returns the number of sidecars built."""
+    todo: list[str] = []
+    for d in sorted(os.listdir(version_path)):
+        sdir = os.path.join(version_path, d)
+        if not (d.startswith("shard=") and os.path.isdir(sdir)):
+            continue
+        for f in sorted(os.listdir(sdir)):
+            fp = os.path.join(sdir, f)
+            if f.endswith(".parquet") and not f.startswith(".") \
+                    and not os.path.exists(sidecar_path(fp)):
+                todo.append(fp)
+    if not todo:
+        return 0
+    sc = spark.sparkContext
+    sc.parallelize(todo, len(todo)).foreach(
+        lambda p: _write_sidecar_for(p, fpp)
+    )
+    return len(todo)

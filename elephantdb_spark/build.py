@@ -129,13 +129,31 @@ def _write_version(
     )
     # persistence_opts pass through as writer options; parquet row groups
     # default to the serving-oriented SERVING_ROW_GROUP_BYTES cap unless
-    # the caller picks their own
+    # the caller picks their own. bloom_fpp is OUR option (sidecar
+    # build, not a writer knob) — stripped here, consumed by
+    # _maybe_build_blooms after the write.
     opts = dict(store.spec.persistence_opts or {})
+    opts.pop("bloom_fpp", None)
     if fmt == "parquet":
         opts.setdefault("parquet.block.size", SERVING_ROW_GROUP_BYTES)
     for opt_k, opt_v in opts.items():
         writer = writer.option(opt_k, str(opt_v))
     writer.save(version_path)
+
+
+def _maybe_build_blooms(spark: SparkSession, store: DomainStore, vpath: str) -> None:
+    """When the spec opts in (``persistence_opts={"bloom_fpp": 0.01}``),
+    build Bloom sidecars for every data file in the version that lacks
+    one (bloom.py — one distributed job, one task per file). Runs BEFORE
+    the version token is published so a served version either has its
+    full sidecar set or is not visible; copy-forward carries existing
+    sidecars inside their shard dirs, so only rewritten files pay."""
+    fpp = (store.spec.persistence_opts or {}).get("bloom_fpp")
+    if not fpp or resolve_format(store.spec.persistence_format) != "parquet":
+        return
+    from elephantdb_spark.bloom import build_bloom_sidecars
+
+    build_bloom_sidecars(spark, vpath, float(fpp))
 
 
 def build_domain(
@@ -170,6 +188,7 @@ def build_domain(
         if indexer is not None:
             data = indexer(data).select("key", "value")
         _write_version(spark, data, store, vpath)
+        _maybe_build_blooms(spark, store, vpath)
         store.succeed_version(version)
     except Exception as exc:
         store.fail_version(version)  # rollback (ElephantDBTap.java:182-188)
@@ -255,6 +274,7 @@ def update_domain(
         finally:
             new_data.unpersist()
         store.synchronize_versions(prev, version)
+        _maybe_build_blooms(spark, store, vpath)  # rewritten shards only
         store.succeed_version(version)
     except Exception as exc:
         store.fail_version(version)
@@ -531,6 +551,7 @@ def compact_domain(
             else:
                 shutil.copy2(src, dst)
         store.synchronize_versions(current, version)
+        _maybe_build_blooms(spark, store, vpath)  # compacted shards only
         store.succeed_version(version)
     except Exception as exc:
         store.fail_version(version)

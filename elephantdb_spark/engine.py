@@ -950,9 +950,19 @@ class Domain:
             files = self._shard_file_list(sdir)
             targets = sorted(set(shard_keys))
             for fname in files:
-                pf, pf_lock, _key_idx, bounds = self._open_shard_file(
+                pf, pf_lock, _key_idx, bounds, bloom = self._open_shard_file(
                     os.path.join(sdir, fname)
                 )
+                # Bloom short-circuit (bloom.py): a sidecar "no" is
+                # definitive — the key is not in THIS file, no I/O. A
+                # "yes" (hit or fpp) falls through to the normal probe,
+                # so the filter can only remove work, never answers.
+                file_targets = (
+                    [k for k in targets if bloom.might_contain(k)]
+                    if bloom is not None else targets
+                )
+                if not file_targets:
+                    continue
                 # Candidate row groups per key by BISECT over the cached
                 # bound index — the old per-probe per-row-group
                 # `.statistics` walk deserialized Thrift metadata
@@ -965,13 +975,13 @@ class Domain:
                 # conservative containment the linear walk applied.
                 mins, maxs, stat_rgs, statless = bounds
                 by_rg: dict[int, list[bytes]] = {}
-                for k in targets:
+                for k in file_targets:
                     j = bisect.bisect_right(mins, k) - 1
                     while j >= 0 and maxs[j] >= k:
                         by_rg.setdefault(stat_rgs[j], []).append(k)
                         j -= 1
                 for rg in statless:
-                    by_rg[rg] = targets  # no stats → scan the row group
+                    by_rg[rg] = file_targets  # no stats → scan the group
                 for rg in sorted(by_rg):
                     wanted = sorted(set(by_rg[rg]))
                     # Stream the row group in bounded Arrow batches
@@ -1051,7 +1061,8 @@ class Domain:
 
     def _open_shard_file(self, path: str):
         """Open (or reuse) a pyarrow ParquetFile for a shard file; returns
-        ``(handle, per_file_lock, key_column_index, rg_bound_index)``. The
+        ``(handle, per_file_lock, key_column_index, rg_bound_index,
+        bloom_or_None)``. The
         reference keeps its local persistences open for the lifetime of a
         served version (common/domain.clj:184-206) — the probe must not
         re-read the footer per lookup. Resolved ONCE at open: the key
@@ -1076,11 +1087,16 @@ class Domain:
             # the loser serves its own request and is GC'd — harmless.
             pf = pq.ParquetFile(path)
             key_idx = pf.schema_arrow.get_field_index("key")
+            # optional Bloom sidecar (bloom.py): in-memory miss
+            # short-circuit; None when the domain was built without one
+            from elephantdb_spark.bloom import load_sidecar
+
             entry = (
                 pf,
                 threading.Lock(),
                 key_idx,
                 rg_bound_index(pf.metadata, key_idx),
+                load_sidecar(path),
             )
             with self._pq_lock:
                 while len(self._pq_cache) >= SERVING_CACHE_CAP:

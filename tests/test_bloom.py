@@ -1,0 +1,209 @@
+"""Bloom sidecar tests: sizing/serialization unit properties, the
+no-false-negative guarantee, and the build/update/compact/serving
+integration (bloom.py; consult point engine.py::local_multi_get).
+
+The reference's miss path is an O(log n) B-tree descent over cached
+pages (JavaBerkDB.java:70-82); the sidecar is our analogue — a miss
+answered in memory instead of a row-group decode."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephantdb_spark import DomainSpec, Engine, build_domain, update_domain
+from elephantdb_spark.bloom import (
+    BloomFilter,
+    build_bloom_sidecars,
+    load_sidecar,
+    sidecar_path,
+)
+from elephantdb_spark.build import compact_domain
+
+
+# ---------------------------------------------------------------- unit
+
+def test_no_false_negatives_and_fpp():
+    keys = [f"key-{i}".encode() for i in range(5000)]
+    bf = BloomFilter.build(keys, fpp=0.01)
+    assert all(bf.might_contain(k) for k in keys)  # NEVER a false negative
+    misses = sum(
+        bf.might_contain(f"other-{i}".encode()) for i in range(10000)
+    )
+    assert misses / 10000 < 0.03  # ~1% target, generous cap
+
+
+def test_roundtrip_and_validation():
+    bf = BloomFilter.build([b"a", b"b", b""], fpp=0.05)
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert (bf2.m, bf2.k, bf2.n, bf2.bits) == (bf.m, bf.k, bf.n, bf.bits)
+    with pytest.raises(ValueError, match="magic"):
+        BloomFilter.from_bytes(b"X" * 64)
+    with pytest.raises(ValueError, match="truncated"):
+        BloomFilter.from_bytes(b"EDB")
+    with pytest.raises(ValueError, match="size"):
+        BloomFilter.from_bytes(bf.to_bytes()[:-1])
+    with pytest.raises(ValueError, match="fpp"):
+        BloomFilter.build([b"a"], fpp=1.5)
+
+
+def test_empty_build():
+    bf = BloomFilter.build([], fpp=0.01)
+    assert bf.n == 0
+    assert not bf.might_contain(b"anything")  # all-zero bits: definitive no
+    assert not bf.might_contain(b"")
+
+
+# ---------------------------------------------------------- integration
+
+SPEC_BLOOM = DomainSpec(num_shards=4, persistence_opts={"bloom_fpp": 0.01})
+
+
+def _kv(spark, n=400, tag=""):
+    return spark.range(n).select(
+        F.concat(F.lit(f"k{tag}"), F.col("id")).cast("binary").alias("key"),
+        F.concat(F.lit(f"v{tag}"), F.col("id")).cast("binary").alias("value"),
+    )
+
+
+def _sidecars(root, version):
+    return sorted(
+        glob.glob(os.path.join(root, str(version), "shard=*", ".*.bloom"))
+    )
+
+
+def _datafiles(root, version):
+    return sorted(
+        glob.glob(os.path.join(root, str(version), "shard=*", "*.parquet"))
+    )
+
+
+@pytest.fixture
+def bloom_root(tmp_path, spark):
+    root = str(tmp_path / "domains" / "bl")
+    build_domain(spark, _kv(spark), root, SPEC_BLOOM, version=1)
+    return root
+
+
+def test_build_writes_one_sidecar_per_data_file(spark, bloom_root):
+    data = _datafiles(bloom_root, 1)
+    sides = _sidecars(bloom_root, 1)
+    assert len(data) >= 1
+    assert sides == sorted(sidecar_path(p) for p in data)
+    # hidden from spark scans and the serving file list
+    eng = Engine(spark, os.path.dirname(bloom_root))
+    dom = eng.domain("bl")
+    assert dom.count() == 400
+    assert dom.layout_report()["one_file_per_shard"] is True
+
+
+def test_probe_hits_and_misses_match_bloomless_domain(spark, tmp_path, bloom_root):
+    plain = str(tmp_path / "domains" / "plain")
+    build_domain(spark, _kv(spark), plain, DomainSpec(num_shards=4), version=1)
+    eng = Engine(spark, str(tmp_path / "domains"))
+    keys = [f"k{i}".encode() for i in range(0, 400, 7)] + [
+        b"missing-1", b"", b"\xff" * 8,
+    ]
+    got_b = eng.domain("bl").local_multi_get(keys)
+    got_p = eng.domain("plain").local_multi_get(keys)
+    assert got_b == got_p
+    assert got_b[b"k7"] == b"v7" and got_b[b"missing-1"] is None
+
+
+def test_miss_short_circuits_without_io(spark, bloom_root, monkeypatch):
+    import pyarrow.parquet as pq
+
+    eng = Engine(spark, os.path.dirname(bloom_root))
+    dom = eng.domain("bl")
+    dom.local_multi_get([b"warm"])  # open handles + load sidecars first
+    calls = []
+    orig = pq.ParquetFile.iter_batches
+    monkeypatch.setattr(
+        pq.ParquetFile, "iter_batches",
+        lambda self, *a, **kw: calls.append(1) or orig(self, *a, **kw),
+    )
+    # 50 misses: with ~1% fpp per file, expect (almost always) zero reads
+    out = dom.local_multi_get([f"no-such-key-{i}".encode() for i in range(50)])
+    assert all(v is None for v in out.values())
+    assert len(calls) <= 2  # fpp allowance; bloomless would decode per key
+    calls.clear()
+    assert dom.local_multi_get([b"k3"]) == {b"k3": b"v3"}  # hits still read
+    assert len(calls) >= 1
+
+
+def test_update_carries_and_rebuilds_sidecars(spark, tmp_path, bloom_root):
+    eng = Engine(spark, str(tmp_path / "domains"))
+    dom = eng.domain("bl")
+    batch = spark.createDataFrame(
+        [(b"k3", b"NEW"), (b"brand-new", b"BN")], "key binary, value binary"
+    )
+    update_domain(spark, batch, bloom_root, version=2)
+    # every v2 data file has a sidecar (copied forward or rebuilt)
+    data = _datafiles(bloom_root, 2)
+    assert sorted(sidecar_path(p) for p in data) == _sidecars(bloom_root, 2)
+    got = dom.local_multi_get(
+        [b"k3", b"brand-new", b"k5", b"nope"], version=2
+    )
+    assert got == {
+        b"k3": b"NEW", b"brand-new": b"BN", b"k5": b"v5", b"nope": None,
+    }
+    # old version untouched
+    assert dom.local_multi_get([b"k3"], version=1) == {b"k3": b"v3"}
+
+
+def test_compaction_rebuilds_sidecars(spark, tmp_path):
+    root = str(tmp_path / "domains" / "frag")
+    spec = DomainSpec(
+        num_shards=2,
+        persistence_opts={"bloom_fpp": 0.01, "maxRecordsPerFile": 40},
+    )
+    build_domain(spark, _kv(spark, 200), root, spec, version=1)
+    for v in (2, 3):
+        update_domain(
+            spark,
+            spark.createDataFrame(
+                [(f"extra-{v}".encode(), b"x")], "key binary, value binary"
+            ),
+            root, version=v,
+        )
+    eng = Engine(spark, str(tmp_path / "domains"))
+    dom = eng.domain("frag")
+    before = dom.local_multi_get(
+        [b"k0", b"k199", b"extra-2", b"extra-3", b"none"]
+    )
+    v = compact_domain(spark, root, version=9)
+    assert v == 9
+    data = _datafiles(root, 9)
+    assert sorted(sidecar_path(p) for p in data) == _sidecars(root, 9)
+    assert dom.layout_report()["one_file_per_shard"] is True
+    assert dom.local_multi_get(
+        [b"k0", b"k199", b"extra-2", b"extra-3", b"none"]
+    ) == before
+
+
+def test_corrupt_sidecar_degrades_gracefully(spark, bloom_root, tmp_path):
+    side = _sidecars(bloom_root, 1)[0]
+    with open(side, "wb") as fh:
+        fh.write(b"garbage not a bloom")
+    data_path = os.path.join(
+        os.path.dirname(side),
+        os.path.basename(side)[1:-len(".bloom")],  # strip dot + suffix
+    )
+    assert sidecar_path(data_path) == side
+    assert load_sidecar(data_path) is None  # invalid → forfeit, not fail
+    eng = Engine(spark, os.path.dirname(bloom_root))
+    dom = eng.domain("bl")
+    keys = [f"k{i}".encode() for i in range(20)] + [b"none"]
+    expect = {f"k{i}".encode(): f"v{i}".encode() for i in range(20)}
+    expect[b"none"] = None
+    assert dom.local_multi_get(keys) == expect
+
+
+def test_sidecar_build_idempotent(spark, bloom_root):
+    vpath = os.path.join(bloom_root, "1")
+    assert build_bloom_sidecars(spark, vpath, 0.01) == 0  # all present
+    os.remove(_sidecars(bloom_root, 1)[0])
+    assert build_bloom_sidecars(spark, vpath, 0.01) == 1  # fills the gap

@@ -70,21 +70,33 @@ class BloomFilter:
         self.bits = bits
 
     @classmethod
-    def build(cls, keys, fpp: float = DEFAULT_FPP) -> "BloomFilter":
-        keys = list(keys)
-        n = len(keys)
+    def sized(cls, n: int, fpp: float = DEFAULT_FPP) -> "BloomFilter":
+        """An empty filter sized for ``n`` keys at ``fpp`` — feed it with
+        :meth:`add`. Lets the sidecar builder stream keys batch-by-batch
+        (the key count is footer-known) instead of materializing a
+        shard file's whole key column in task memory."""
         if not 0.0 < fpp < 1.0:
             raise ValueError(f"fpp must be in (0, 1), got {fpp}")
         # standard sizing: m = -n ln p / ln^2 2, k = (m/n) ln 2
         m = max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
         k = max(1, round(m / n * math.log(2))) if n else 1
-        bits = bytearray((m + 7) // 8)
+        return cls(m, k, 0, bytearray((m + 7) // 8))
+
+    def add(self, key: bytes) -> None:
+        h1, h2 = _hash_pair(bytes(key))
+        m, bits = self.m, self.bits
+        for i in range(self.k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+        self.n += 1
+
+    @classmethod
+    def build(cls, keys, fpp: float = DEFAULT_FPP) -> "BloomFilter":
+        keys = list(keys)
+        bf = cls.sized(len(keys), fpp)
         for key in keys:
-            h1, h2 = _hash_pair(bytes(key))
-            for i in range(k):
-                pos = (h1 + i * h2) % m
-                bits[pos >> 3] |= 1 << (pos & 7)
-        return cls(m, k, n, bits)
+            bf.add(key)
+        return bf
 
     def might_contain(self, key: bytes) -> bool:
         h1, h2 = _hash_pair(bytes(key))
@@ -128,10 +140,16 @@ def _write_sidecar_for(data_path: str, fpp: float) -> None:
 
     pf = pq.ParquetFile(data_path)
     key_idx = pf.schema_arrow.get_field_index("key")
-    keys: list[bytes] = []
-    for batch in pf.iter_batches(columns=[pf.schema_arrow.field(key_idx).name]):
-        keys.extend(batch.column(0).to_pylist())
-    bf = BloomFilter.build((k for k in keys if k is not None), fpp)
+    key_name = pf.schema_arrow.field(key_idx).name
+    # size from the footer row count, then STREAM batches — task memory
+    # is one Arrow batch + the bit array, never the whole key column
+    # (keys are non-null by the build contract; a null would only
+    # oversize the filter by its row, never corrupt it)
+    bf = BloomFilter.sized(pf.metadata.num_rows, fpp)
+    for batch in pf.iter_batches(batch_size=65536, columns=[key_name]):
+        for k in batch.column(0).to_pylist():
+            if k is not None:
+                bf.add(k)
     out = sidecar_path(data_path)
     tmp = out + ".tmp"
     with open(tmp, "wb") as fh:

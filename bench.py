@@ -2,10 +2,15 @@
 """Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the LAST stdout line — the driver's tail
+capture parses it, so it must stay small; VERDICT r7 item 1: the r7
+line embedded every raw pass and overflowed the capture, leaving the
+official artifact ``parsed: null``):
   {"metric": "total_bench_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, "passes": N,
-   "raw_passes": [...], "provenance": {...}}
+   "queries": {name: sec, ...}, "serving": {...}, "sf": 0.1,
+   "passes": N, "provenance": {...scalars only...}}
+The full per-pass raw timings (the min-merge audit trail) go to the
+side file ``BENCH_raw_passes.json`` next to this script instead.
 
 The suite covers the reference's two real workloads — bulk domain build
 (shard+sort+write) and point/multi-point serving reads — plus the extension
@@ -968,6 +973,30 @@ def main() -> None:
         key=lambda i: raw[i].get("local_multiget_concurrent_8t", float("inf")),
     )
     total = round(sum(merged.values()), 3)
+    provenance = {
+        "merge": "per-entry min over warm passes in one JVM",
+        "pass_count": passes,
+        "serving_from_pass": best_serving,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "wall_sec_all_passes": round(time.perf_counter() - t_wall0, 1),
+        "cpus": CPUS,
+        "raw_passes_file": "BENCH_raw_passes.json",
+    }
+    # raw per-pass timings + per-pass serving blocks = the audit trail for
+    # the min-merge; a side file, NEVER the stdout line (VERDICT r7 item 1)
+    raw_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_raw_passes.json"
+    )
+    try:
+        with open(raw_path, "w") as f:
+            json.dump({
+                "raw_passes": raw,
+                "serving_passes": servings,
+                "provenance": provenance,
+            }, f, indent=1)
+    except OSError as e:  # a read-only checkout must not kill the bench
+        print(f"WARN: could not write {raw_path}: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "total_bench_sec",
         "value": total,
@@ -976,17 +1005,8 @@ def main() -> None:
         "serving": servings[best_serving],
         "sf": _sf_tag(SF_DIR),
         "passes": passes,
-        "raw_passes": raw,
-        "provenance": {
-            "merge": "per-entry min over warm passes in one JVM",
-            "pass_count": passes,
-            "serving_from_pass": best_serving,
-            "loadavg_before": [round(x, 2) for x in load_before],
-            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            "wall_sec_all_passes": round(time.perf_counter() - t_wall0, 1),
-            "cpus": CPUS,
-        },
-    }))
+        "provenance": provenance,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -90,12 +90,105 @@ class BloomFilter:
             bits[pos >> 3] |= 1 << (pos & 7)
         self.n += 1
 
+    def add_batch(self, keys) -> None:
+        """Vectorized bulk :meth:`add` — byte-identical filters, ~10×
+        cheaper per key (VERDICT r7 item 3: the per-key loop is one
+        blake2b + k Python big-int mod-and-set steps, ~µs/key — hours of
+        aggregate CPU at a 10^10-key domain). Here the only per-key
+        Python work is the blake2b call itself (C-side); the double-hash
+        positions and bit-sets run as ndarray ops.
+
+        Exactness (why the bytes cannot differ from ``add``): the pure
+        path computes ``(h1 + i*h2) % m`` with arbitrary-precision ints;
+        modular arithmetic gives ``(h1 + i*h2) % m ==
+        ((h1 % m) + i*(h2 % m)) % m``, and the reduced operands satisfy
+        ``r1 + i*r2 < (k+1)*m`` — with k ≈ -log2(fpp) and m ≤ ~10 bits/
+        key this never approaches 2^64, so uint64 ndarray arithmetic is
+        exact where raw ``h1 + i*h2`` would wrap."""
+        import numpy as np
+
+        try:  # keys are bytes by the build contract — hash them directly
+            digests = b"".join(
+                [blake2b(k, digest_size=16).digest() for k in keys]
+            )
+        except (TypeError, ValueError):  # bytes-like that hashlib rejects
+            digests = b"".join(
+                [blake2b(bytes(k), digest_size=16).digest() for k in keys]
+            )
+        self._fold_digests(digests)
+
+    def add_arrow(self, col) -> None:
+        """:meth:`add_batch` for a pyarrow binary array WITHOUT
+        materializing per-key Python ``bytes`` (``to_pylist`` was ~40% of
+        sidecar-builder cost on a 1M-key file): blake2b reads the Arrow
+        data buffer through zero-copy memoryview slices. Nulls are
+        skipped (same as the builder's drop_null), non-(large_)binary
+        arrays fall back to the pylist path."""
+        import numpy as np
+        import pyarrow as pa
+
+        if col.null_count:
+            col = col.drop_null()
+        if len(col) == 0:
+            return
+        t = col.type
+        if t == pa.binary():
+            odt, osz = np.int32, 4
+        elif t == pa.large_binary():
+            odt, osz = np.int64, 8
+        else:
+            self.add_batch(col.to_pylist())
+            return
+        bufs = col.buffers()  # [validity, offsets, data]
+        off = np.frombuffer(
+            bufs[1], dtype=odt, count=len(col) + 1, offset=col.offset * osz
+        ).tolist()
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        digests = b"".join(
+            [blake2b(mv[a:b], digest_size=16).digest()
+             for a, b in zip(off, off[1:])]
+        )
+        self._fold_digests(digests)
+
+    def _fold_digests(self, digests: bytes) -> None:
+        """Shared vectorized tail of the batch adders: double-hash the
+        16-byte digests into bit positions and OR them in."""
+        import numpy as np
+
+        cnt = len(digests) // 16
+        if not cnt:
+            return
+        h = np.frombuffer(digests, dtype="<u8").reshape(cnt, 2)
+        m = np.uint64(self.m)
+        pos = h[:, 0] % m  # fresh array — mutated by the recurrence below
+        r2 = (h[:, 1] | np.uint64(1)) % m  # odd-ify BEFORE mod, like add()
+        if self.m < (1 << 31):  # sum below stays < 2m < 2^32: narrow lanes
+            pos = pos.astype(np.uint32)
+            r2 = r2.astype(np.uint32)
+            m = np.uint32(self.m)
+            three, seven = np.uint32(3), np.uint32(7)
+        else:
+            three, seven = np.uint64(3), np.uint64(7)
+        bits = np.frombuffer(self.bits, dtype=np.uint8)  # shared memory
+        for i in range(self.k):
+            np.bitwise_or.at(
+                bits,
+                pos >> three,
+                np.left_shift(np.uint8(1), (pos & seven).astype(np.uint8)),
+            )
+            if i + 1 < self.k:
+                # (pos + r2) % m by conditional subtract — integer modulo
+                # has no SIMD path and dominated the loop; both operands
+                # are < m so the sum is < 2m, one subtract restores range
+                pos += r2
+                pos[pos >= m] -= m
+        self.n += cnt
+
     @classmethod
     def build(cls, keys, fpp: float = DEFAULT_FPP) -> "BloomFilter":
         keys = list(keys)
         bf = cls.sized(len(keys), fpp)
-        for key in keys:
-            bf.add(key)
+        bf.add_batch(keys)
         return bf
 
     def might_contain(self, key: bytes) -> bool:
@@ -147,9 +240,7 @@ def _write_sidecar_for(data_path: str, fpp: float) -> None:
     # oversize the filter by its row, never corrupt it)
     bf = BloomFilter.sized(pf.metadata.num_rows, fpp)
     for batch in pf.iter_batches(batch_size=65536, columns=[key_name]):
-        for k in batch.column(0).to_pylist():
-            if k is not None:
-                bf.add(k)
+        bf.add_arrow(batch.column(0))
     out = sidecar_path(data_path)
     tmp = out + ".tmp"
     with open(tmp, "wb") as fh:

@@ -93,6 +93,54 @@ def estimate_plan_rows(df: DataFrame) -> int | None:
     return max(1, size // row_bytes)
 
 
+def estimate_leaf_file_rows(df: DataFrame, max_footers: int = 8) -> int | None:
+    """Footer-known PRE-filter row estimate of a plan's file-source
+    leaves (VERDICT r7 item 7). :func:`estimate_plan_rows` divides the
+    scan's ``sizeInBytes`` (compressed on-disk bytes) by the schema's
+    estimated UNCOMPRESSED row width, a measured ~6× row under-count on
+    sf0.01 lineitem — and since non-CBO Catalyst propagates ``sizeInBytes``
+    through filters unchanged, no selectivity information offsets it.
+    Under-counting is memory-safe (the chunked probe bounds task memory)
+    but starves the parallelism arm of :meth:`Domain._auto_tasks_per_shard`
+    on mid-sized probes, so that arm floors its row figure here: total
+    on-disk bytes (exact, from the relation) × rows-per-byte sampled from
+    ≤``max_footers`` parquet footers (exact row counts, ~KB reads, no
+    job). Returns None for non-file plans (LogicalRDD, local relations)
+    or on any access failure — an estimator must degrade to "unknown",
+    never fail the query at plan time."""
+    try:
+        import pyarrow.parquet as pq
+
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        sampled_rows = 0
+        sampled_bytes = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                continue
+            rel = leaf.relation()
+            if rel.getClass().getSimpleName() != "HadoopFsRelation":
+                continue
+            files = list(rel.location().inputFiles())
+            if not files:
+                continue
+            step = max(1, len(files) // max_footers)
+            for fp in files[::step][:max_footers]:
+                if fp.startswith("file:"):
+                    fp = fp[len("file:"):]
+                elif "://" in fp:  # remote fs: no driver-side footer path
+                    return None
+                sampled_rows += pq.read_metadata(fp).num_rows
+                sampled_bytes += os.path.getsize(fp)
+            total += int(str(rel.sizeInBytes()))
+        if not sampled_bytes or not total:
+            return None
+        return max(1, int(total * (sampled_rows / sampled_bytes)))
+    except Exception:  # reflection/footer access is best-effort by contract
+        return None
+
+
 def rg_bound_index(meta, key_index: int):
     """One footer walk per file OPEN, reused by every probe (VERDICT r6
     item 2): ``pf.metadata.row_group(i).column(j).statistics``
@@ -574,6 +622,15 @@ class Domain:
         rows = estimate_plan_rows(df)
         if rows is None:
             return 1
+        # r7 item 7: the byte-width estimate under-counts file-backed
+        # probes ~6× (compressed bytes ÷ uncompressed width) and filters
+        # don't scale it either way (non-CBO) — floor with the leaves'
+        # footer-known PRE-filter rows. Over-picking m on a genuinely
+        # selective probe costs bounded routing overhead (m ≤ cap, no-cut
+        # degrade still applies); under-picking starves parallelism.
+        floor = estimate_leaf_file_rows(df)
+        if floor is not None:
+            rows = max(rows, floor)
         m_mem = -(-rows // (n * BULK_PROBE_ROWS_PER_TASK))
         m_par = -(-self.spark.sparkContext.defaultParallelism // n)
         m_par = max(1, min(m_par, rows // (n * BULK_MIN_ROWS_PER_TASK)))

@@ -674,6 +674,55 @@ def run_scale_serving(spark, paths: dict[str, str], n: int, tag: str) -> dict:
     return timings
 
 
+def run_scale_bloom_miss(spark, paths: dict[str, str], n: int, tag: str) -> dict:
+    """VERDICT r7 item 2: measure the Bloom-sidecar miss win where it is
+    STRUCTURAL. An in-range miss (the key falls inside some row group's
+    (min,max) bounds) pays that group's decode on the plain path, and
+    group size grows with the domain toward the 16 MiB serving cap —
+    while a sidecar "no" stays O(1) in memory regardless of scale. So the
+    FIXED 1000-key miss workload should cost ~flat with bloom and ~Nx
+    without. Default serving layout (no block-size override): at sf0.1 a
+    32-shard lineitem slice is one small group, at Nx the same shard is
+    one Nx-bigger group — exactly the shape bloom.py's docstring argues
+    from. Misses are "orderkey-8" keys: linenumber stops at 7, so the key
+    never exists but sorts between real keys (bound index cannot exclude
+    it)."""
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix=f"edb_scale_bloom_{tag}_")
+    eng = Engine(spark, work)
+    lineitem = spark.read.parquet(paths["lineitem"])
+    li_kv = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("key"),
+        F.col("l_extendedprice").cast("string").cast("binary").alias("value"),
+    )
+    build_domain(spark, li_kv, eng.domain_root("li_plain"),  # untimed
+                 DomainSpec(num_shards=NUM_SHARDS), version=1)
+    build_domain(spark, li_kv, eng.domain_root("li_bloom"),  # untimed
+                 DomainSpec(num_shards=NUM_SHARDS,
+                            persistence_opts={"bloom_fpp": 0.01}),
+                 version=1)
+    plain = eng.domain("li_plain")
+    bloom = eng.domain("li_bloom")
+    miss_keys = sorted({
+        f"{r.l_orderkey}-8".encode()
+        for r in lineitem.select("l_orderkey").limit(1100).collect()
+    })[:1000]
+
+    for name, dom in [("miss_plain", plain), ("miss_bloom", bloom)]:
+        got = dom.local_multi_get(miss_keys)  # untimed warm: handles+bounds
+        assert all(v is None for v in got.values())
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dom.local_multi_get(miss_keys)
+            t = time.perf_counter() - t0
+            best = min(best, t) if best is not None else t
+        timings[name] = round(best, 3)
+    shutil.rmtree(work, ignore_errors=True)
+    return timings
+
+
 def measure_lsh_recall(spark, paths: dict[str, str]) -> dict:
     """VERDICT r4 item 6: recall/precision of the MinHash-LSH scale tier
     vs the exact Jaccard tier at the production banding (32 perm,
@@ -766,6 +815,32 @@ def main() -> None:
             "copies": N_COPIES,
             "base": BASE_SF,
             "entries": entries,
+        }))
+        spark.stop()
+        return
+
+    if os.environ.get("EDB_SCALE_BLOOM") == "1":
+        # bloom miss win at scale (r7 verdict item 2): fixed miss
+        # workload, default 16 MiB-capped layout, 1x vs Nx
+        p1 = materialize(spark, 1, BASE_SF)
+        run_scale_bloom_miss(spark, p1, 1, "warm")
+        t1 = run_scale_bloom_miss(spark, p1, 1, "x1")
+        tn = run_scale_bloom_miss(spark, pn, N_COPIES, "xN")
+        print(json.dumps({
+            "metric": f"bloom_miss_{N_COPIES}x",
+            "copies": N_COPIES,
+            "base": BASE_SF,
+            "workload": "1000 in-range miss keys, local_multi_get, min of 3",
+            "entries": {
+                "miss_plain": {"t1": t1["miss_plain"],
+                               f"t{N_COPIES}": tn["miss_plain"]},
+                "miss_bloom": {"t1": t1["miss_bloom"],
+                               f"t{N_COPIES}": tn["miss_bloom"]},
+            },
+            "bloom_win_x1": round(t1["miss_plain"] / t1["miss_bloom"], 2),
+            f"bloom_win_x{N_COPIES}": round(
+                tn["miss_plain"] / tn["miss_bloom"], 2
+            ),
         }))
         spark.stop()
         return

@@ -50,6 +50,55 @@ def test_roundtrip_and_validation():
         BloomFilter.build([b"a"], fpp=1.5)
 
 
+def test_add_batch_byte_identical_to_add_loop():
+    """VERDICT r7 item 3: the vectorized builder must keep the sidecar
+    FORMAT AND BYTES unchanged — same filter as the scalar add() loop on
+    a fixture with empty keys, duplicates, long keys, and every byte
+    value, across fpp/size corners (including the m=64 clamp where k is
+    large)."""
+    import random
+
+    rng = random.Random(8)
+    keys = (
+        [b"", b"", b"\x00", b"\xff" * 33]
+        + [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+           for _ in range(3000)]
+    )
+    keys += keys[:100]  # duplicates
+    for n, fpp in [(len(keys), 0.01), (len(keys), 0.001), (3, 0.25)]:
+        scalar = BloomFilter.sized(n, fpp)
+        for k in keys:
+            scalar.add(k)
+        vec = BloomFilter.sized(n, fpp)
+        vec.add_batch(keys)
+        assert vec.to_bytes() == scalar.to_bytes()
+
+
+def test_add_arrow_identical_incl_nulls_slices_large_binary():
+    """The zero-copy Arrow path must match the scalar loop too — with
+    nulls (skipped, like the old builder), SLICED arrays (non-zero
+    ``col.offset`` shifts the offsets-buffer read window), large_binary
+    offsets, and the non-binary fallback."""
+    import pyarrow as pa
+
+    keys = [f"key-{i}".encode() for i in range(500)]
+    with_nulls = keys[:250] + [None] + keys[250:] + [None, b""]
+    for arr in [
+        pa.array(with_nulls, type=pa.binary()),
+        pa.array(with_nulls, type=pa.binary()).slice(100, 300),
+        pa.array(with_nulls, type=pa.large_binary()),
+        pa.array([k.ljust(8, b"_") for k in keys],
+                 type=pa.binary(8)),  # fixed-size → pylist fallback
+    ]:
+        pykeys = [v for v in arr.to_pylist() if v is not None]
+        scalar = BloomFilter.sized(len(pykeys), 0.01)
+        for k in pykeys:
+            scalar.add(k)
+        vec = BloomFilter.sized(len(pykeys), 0.01)
+        vec.add_arrow(arr)
+        assert vec.to_bytes() == scalar.to_bytes(), arr.type
+
+
 def test_empty_build():
     bf = BloomFilter.build([], fpp=0.01)
     assert bf.n == 0

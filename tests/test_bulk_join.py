@@ -403,6 +403,45 @@ def test_auto_tasks_partial_parallelism(monkeypatch):
     assert sel(n * eng.BULK_PROBE_ROWS_PER_TASK * 7) == 7
 
 
+def test_auto_tasks_filtered_probe_floor(spark, tmp_path, monkeypatch):
+    """VERDICT r7 item 7: the byte-width row estimate under-counts
+    file-backed probes ~6× (compressed bytes ÷ uncompressed width) and a
+    99%-selective filter doesn't change it either way (non-CBO Catalyst
+    propagates sizeInBytes through filters unchanged) — so the
+    parallelism arm floors its row figure with the leaves' footer-known
+    PRE-filter count. A heavily-filtered probe over a large base
+    relation must still choose m>1."""
+    import elephantdb_spark.engine as eng
+
+    base = str(tmp_path / "probe_base")
+    n_rows = 8 * eng.BULK_MIN_ROWS_PER_TASK * 3  # 600k: m=2 needs 400k
+    spark.range(n_rows).select(
+        F.col("id"), F.col("id").cast("string").cast("binary").alias("k")
+    ).write.parquet(base)
+    scan = spark.read.parquet(base)
+    filtered = scan.filter(F.col("id") % 100 == 0).select("k")  # ~1% kept
+
+    floor = eng.estimate_leaf_file_rows(filtered)
+    assert floor is not None
+    # footer-sampled: exact to the sampling ratio, PRE-filter
+    assert n_rows * 0.8 <= floor <= n_rows * 1.2
+    # non-file probes: no floor, unchanged behavior
+    assert eng.estimate_leaf_file_rows(spark.range(10).select("id")) is None
+    assert eng.estimate_leaf_file_rows(
+        spark.createDataFrame([(b"k",)], "k binary")
+    ) is None
+
+    class _FakeSelf:
+        spec = DomainSpec(num_shards=8)
+
+        class spark:
+            class sparkContext:
+                defaultParallelism = 32  # full lift would be m=4
+
+    m = eng.Domain._auto_tasks_per_shard(_FakeSelf(), filtered)
+    assert m > 1  # the 99%-filtered probe still sub-shards
+
+
 def test_bulk_join_default_is_auto_and_correct(spark, dom_rg):
     """tasks_per_shard defaults to auto-selection and still returns
     exactly the m=1 result on a domain WITH real cut points."""

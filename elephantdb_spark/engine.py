@@ -1291,6 +1291,37 @@ class Engine:
     def get_status(self) -> dict[str, str]:
         return {name: self.domain(name).status() for name in self.list_domains()}
 
+    def maintain(
+        self,
+        name: str,
+        compact_after_files: int | None = None,
+        version: int | None = None,
+    ) -> int | None:
+        """Explicit maintenance sweep (VERDICT r7 item 5, the sibling of
+        the in-publish self-heal in ``update_domain``): compact ``name``
+        if any shard holds more data files than the threshold — the
+        ``compact_after_files`` argument, else the spec's
+        ``persistence_opts["compact_after_files"]``, else 1 (the
+        one-file-per-shard serving ideal). Returns the new version id
+        when compaction ran, None when the layout is already within the
+        threshold (no job). ``version`` names the compacted version —
+        callers with sequential version ids should pass their next id,
+        the default is the timestamp id ``compact_domain`` picks.
+        Reference anchor: version-chain rewrite,
+        DomainStore.java:156-180, cascalog/keyval.clj:55-64."""
+        dom = self.domain(name)
+        cap = compact_after_files if compact_after_files is not None else int(
+            (dom.spec.persistence_opts or {}).get("compact_after_files", 1)
+        )
+        if dom.layout_report()["max_files_per_shard"] <= cap:
+            return None
+        from elephantdb_spark.build import compact_domain
+
+        return compact_domain(
+            self.spark, self.domain_root(name),
+            version=version, max_files_per_shard=cap,
+        )
+
     def is_fully_loaded(self) -> bool:
         """fully-loaded? (common/database.clj:56-60): every domain ready?
         — which, per the reference's IStatus, includes 'updating' (an

@@ -256,3 +256,96 @@ def test_compact_index_domain_preserves_schema_and_centroids(spark, tmp_path):
     got = {r["id"] for r in ivf_index_probe(spark, root, q, k=5, n_probe=4).collect()}
     want = {r["id"] for r in brute_force_topk(emb, q, k=5).collect()}
     assert got == want
+
+
+# -------------------------------------------------- auto-compaction (r8)
+
+def test_update_self_heals_fragmentation(spark, tmp_path):
+    """VERDICT r7 item 5: with persistence_opts={"compact_after_files": N}
+    repeated A20 appends self-heal — the update publishes an already
+    defragmented version (no follow-up version id: callers own the
+    version namespace), probe results identical, sidecars rebuilt for
+    the merged files."""
+    import glob
+
+    from elephantdb_spark.engine import Engine
+
+    root = str(tmp_path / "heal")
+    spec = DomainSpec(num_shards=4, persistence_opts={
+        "maxRecordsPerFile": 20, "compact_after_files": 3,
+        "bloom_fpp": 0.01,
+    })
+    build_domain(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(400)]), root, spec,
+        version=1,
+    )
+    store = DomainStore.open(root)
+    before = _files_per_shard(store.version_path(1))
+    assert all(n > 3 for n in before.values()), before  # build is fragmented
+
+    dom = Domain(spark, root)
+    want = dom.to_map()
+    want.update({b"3": b"NEW", b"999": b"N999"})
+    v = update_domain(spark, _kv(spark, [(3, "NEW"), (999, "N999")]), root,
+                      version=2)
+    assert v == 2  # the update's OWN id publishes — no follow-up version
+    assert store.most_recent_version() == 2
+    after = _files_per_shard(store.version_path(2))
+    assert all(n == 1 for n in after.values()), after  # healed past the cap
+    assert dom.layout_report(2)["one_file_per_shard"] is True
+    assert dom.to_map(version=2) == want  # probe-identical content
+    probe = [b"3", b"999", b"7", b"nope"]
+    assert dom.local_multi_get(probe, version=2) == {
+        b"3": b"NEW", b"999": b"N999", b"7": b"v7", b"nope": None,
+    }
+    # every healed data file has a fresh sidecar; no orphaned sidecars
+    for sdir in glob.glob(os.path.join(store.version_path(2), "shard=*")):
+        data = {f for f in os.listdir(sdir) if not f.startswith(("_", "."))}
+        sides = {f for f in os.listdir(sdir) if f.endswith(".bloom")}
+        assert sides == {"." + f + ".bloom" for f in data}, sdir
+    # v1 stays pin-readable, untouched
+    assert dom.local_multi_get([b"3"], version=1) == {b"3": b"v3"}
+    # no leftover temp dir
+    assert not glob.glob(os.path.join(root, "*.compact-tmp"))
+    # an engine wrapper sweep now reports nothing to do
+    eng = Engine(spark, str(tmp_path))
+    assert eng.maintain("heal") is None
+
+
+def test_update_no_heal_without_opt_in(spark, tmp_path):
+    """Without compact_after_files the old behavior is untouched — the
+    update copy-forwards the fragmented layout as-is."""
+    root = str(tmp_path / "noheal")
+    spec = DomainSpec(num_shards=4,
+                      persistence_opts={"maxRecordsPerFile": 20})
+    build_domain(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(400)]), root, spec,
+        version=1,
+    )
+    update_domain(spark, _kv(spark, [(3, "NEW")]), root, version=2)
+    store = DomainStore.open(root)
+    after = _files_per_shard(store.version_path(2))
+    assert any(n > 1 for n in after.values()), after  # still fragmented
+
+
+def test_maintain_sweep_compacts_then_noops(spark, tmp_path):
+    """Engine.maintain: explicit sweep for callers who did not opt in at
+    build time — compacts when any shard exceeds the threshold, returns
+    None (no job, no version) when the layout is already clean."""
+    from elephantdb_spark.engine import Engine
+
+    root = str(tmp_path / "sweep")
+    spec = DomainSpec(num_shards=4,
+                      persistence_opts={"maxRecordsPerFile": 20})
+    build_domain(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(400)]), root, spec,
+        version=1,
+    )
+    eng = Engine(spark, str(tmp_path))
+    dom = eng.domain("sweep")
+    want = dom.to_map()
+    v = eng.maintain("sweep", version=2)
+    assert v == 2
+    assert dom.layout_report(2)["one_file_per_shard"] is True
+    assert dom.to_map(version=2) == want
+    assert eng.maintain("sweep") is None  # second sweep: nothing to do

@@ -43,6 +43,12 @@ DEFAULT_FPP = 0.01
 
 SIDECAR_SUFFIX = ".bloom"
 
+#: _fold_digests uses uint32 position lanes when ``m`` is below this
+#: (the conditional-subtract sum stays < 2m < 2^32) and uint64 lanes
+#: above (files past ~223M keys at 1% fpp). Module-level so tests can
+#: lower it and prove both lanes produce identical filters.
+NARROW_LANES_MAX_M = 1 << 31
+
 
 def sidecar_path(data_path: str) -> str:
     """``.../<name>.parquet`` → ``.../.<name>.parquet.bloom`` (hidden)."""
@@ -162,7 +168,7 @@ class BloomFilter:
         m = np.uint64(self.m)
         pos = h[:, 0] % m  # fresh array — mutated by the recurrence below
         r2 = (h[:, 1] | np.uint64(1)) % m  # odd-ify BEFORE mod, like add()
-        if self.m < (1 << 31):  # sum below stays < 2m < 2^32: narrow lanes
+        if self.m < NARROW_LANES_MAX_M:  # sum stays < 2m: narrow lanes ok
             pos = pos.astype(np.uint32)
             r2 = r2.astype(np.uint32)
             m = np.uint32(self.m)

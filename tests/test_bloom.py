@@ -74,6 +74,25 @@ def test_add_batch_byte_identical_to_add_loop():
         assert vec.to_bytes() == scalar.to_bytes()
 
 
+def test_fold_digests_wide_lanes_identical(monkeypatch):
+    """The uint64 lane branch of the vectorized fold (files past ~223M
+    keys, m ≥ NARROW_LANES_MAX_M) must match both the uint32 branch and
+    the scalar loop — covered by lowering the threshold so the same
+    small filter runs through wide lanes."""
+    import elephantdb_spark.bloom as B
+
+    keys = [f"key-{i}".encode() for i in range(2000)] + [b"", b"\xff" * 40]
+    scalar = BloomFilter.sized(len(keys), 0.01)
+    for k in keys:
+        scalar.add(k)
+    narrow = BloomFilter.sized(len(keys), 0.01)
+    narrow.add_batch(keys)
+    monkeypatch.setattr(B, "NARROW_LANES_MAX_M", 1)  # force uint64 lanes
+    wide = BloomFilter.sized(len(keys), 0.01)
+    wide.add_batch(keys)
+    assert wide.to_bytes() == narrow.to_bytes() == scalar.to_bytes()
+
+
 def test_add_arrow_identical_incl_nulls_slices_large_binary():
     """The zero-copy Arrow path must match the scalar loop too — with
     nulls (skipped, like the old builder), SLICED arrays (non-zero

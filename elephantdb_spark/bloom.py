@@ -111,8 +111,12 @@ class BloomFilter:
         ``r1 + i*r2 < (k+1)*m`` — with k ≈ -log2(fpp) and m ≤ ~10 bits/
         key this never approaches 2^64, so uint64 ndarray arithmetic is
         exact where raw ``h1 + i*h2`` would wrap."""
-        import numpy as np
-
+        if not isinstance(keys, (list, tuple)):
+            # materialize one-shot iterators BEFORE hashing: the fallback
+            # below re-iterates, and resuming a half-consumed iterator
+            # would silently drop keys → false negatives, which the
+            # serving path treats as definitive misses
+            keys = list(keys)
         try:  # keys are bytes by the build contract — hash them directly
             digests = b"".join(
                 [blake2b(k, digest_size=16).digest() for k in keys]

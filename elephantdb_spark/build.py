@@ -265,13 +265,16 @@ def _compact_shards_to(
         .partitionBy("shard")
         .format(fmt)
     )
+    # layout properties (codec, dictionary, row-group cap, ...) must
+    # SURVIVE compaction — only the file-split knobs compaction exists to
+    # undo, and our own non-writer knobs, are dropped
+    opts = dict(store.spec.persistence_opts or {})
+    for non_layout in ("maxRecordsPerFile", "bloom_fpp", "compact_after_files"):
+        opts.pop(non_layout, None)
     if fmt == "parquet":
-        writer = writer.option(
-            "parquet.block.size",
-            str(store.spec.persistence_opts.get(
-                "parquet.block.size", SERVING_ROW_GROUP_BYTES
-            )),
-        )
+        opts.setdefault("parquet.block.size", SERVING_ROW_GROUP_BYTES)
+    for opt_k, opt_v in opts.items():
+        writer = writer.option(opt_k, str(opt_v))
     writer.save(dst_path)
 
 
@@ -302,12 +305,18 @@ def _self_heal_fragmentation(
         return []
     tmp = vpath.rstrip("/") + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)  # crashed predecessor's leavings
-    _compact_shards_to(spark, store, vpath, fragmented, tmp)
-    for s in fragmented:
-        sdir = os.path.join(vpath, f"shard={s}")
-        shutil.rmtree(sdir)  # stale sidecars go with the dir
-        os.replace(os.path.join(tmp, f"shard={s}"), sdir)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _compact_shards_to(spark, store, vpath, fragmented, tmp)
+        for s in fragmented:
+            sdir = os.path.join(vpath, f"shard={s}")
+            shutil.rmtree(sdir)  # stale sidecars go with the dir
+            os.replace(os.path.join(tmp, f"shard={s}"), sdir)
+    finally:
+        # a failed merge job must not orphan a GB-scale temp copy: the
+        # version id is usually a timestamp, so "the retry clears it" is
+        # false (a retry uses a NEW id/path) — clear it here, and
+        # DomainStore.cleanup() sweeps the hard-kill case
+        shutil.rmtree(tmp, ignore_errors=True)
     return fragmented
 
 

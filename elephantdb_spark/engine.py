@@ -1313,9 +1313,17 @@ class Engine:
         cap = compact_after_files if compact_after_files is not None else int(
             (dom.spec.persistence_opts or {}).get("compact_after_files", 1)
         )
-        if dom.layout_report()["max_files_per_shard"] <= cap:
+        # listdir-only pre-check: layout_report would read every data
+        # file's footer — hundreds of driver-side reads on exactly the
+        # fragmented domains this API targets, and the no-op path is
+        # documented as cheap
+        from elephantdb_spark.build import _fragmented_shards, compact_domain
+
+        current = dom.store.most_recent_version()
+        if current is None or not _fragmented_shards(
+            dom.store.version_path(current), cap
+        ):
             return None
-        from elephantdb_spark.build import compact_domain
 
         return compact_domain(
             self.spark, self.domain_root(name),

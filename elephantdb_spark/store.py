@@ -204,6 +204,15 @@ class VersionedStore:
             stem = name
             if name.endswith(FINISHED_VERSION_SUFFIX):
                 stem = name[: -len(FINISHED_VERSION_SUFFIX)]
+            elif name.endswith(".compact-tmp"):
+                # in-publish self-heal scratch (build._self_heal_fragmentation):
+                # normally removed by its try/finally; surviving one means a
+                # hard kill mid-heal. Its version dir is unpublished (the heal
+                # runs pre-token), the data is a COPY of that version's
+                # shards, and a retry uses a new version id/path — never the
+                # only copy of anything, always safe to GC.
+                shutil.rmtree(full, ignore_errors=True)
+                continue
             elif name.startswith(".staging-"):
                 # a mid-publish staging aside (StagedBuild): if its version
                 # is published the aside is a crash leftover from after the

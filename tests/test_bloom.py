@@ -275,3 +275,25 @@ def test_sidecar_build_idempotent(spark, bloom_root):
     assert build_bloom_sidecars(spark, vpath, 0.01) == 0  # all present
     os.remove(_sidecars(bloom_root, 1)[0])
     assert build_bloom_sidecars(spark, vpath, 0.01) == 1  # fills the gap
+
+
+def test_add_batch_accepts_one_shot_iterators():
+    """Code-review r8: add_batch must materialize one-shot iterators
+    before hashing — the hash-retry fallback re-iterates, and resuming a
+    half-consumed generator would silently drop keys (false negatives,
+    which the serving path treats as definitive misses)."""
+    keys = [f"key-{i}".encode() for i in range(500)]
+    from_list = BloomFilter.sized(len(keys), 0.01)
+    from_list.add_batch(keys)
+    from_gen = BloomFilter.sized(len(keys), 0.01)
+    from_gen.add_batch(k for k in keys)
+    assert from_gen.to_bytes() == from_list.to_bytes()
+    # bytes-like that hashlib itself rejects still round-trips via the
+    # fallback, from a generator, without dropping earlier keys
+    mixed = [b"first", bytearray(b"second"), memoryview(b"third")]
+    a = BloomFilter.sized(3, 0.01)
+    a.add_batch(iter(mixed))
+    b = BloomFilter.sized(3, 0.01)
+    for k in mixed:
+        b.add(bytes(k))
+    assert a.to_bytes() == b.to_bytes()

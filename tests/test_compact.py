@@ -349,3 +349,53 @@ def test_maintain_sweep_compacts_then_noops(spark, tmp_path):
     assert dom.layout_report(2)["one_file_per_shard"] is True
     assert dom.to_map(version=2) == want
     assert eng.maintain("sweep") is None  # second sweep: nothing to do
+
+
+def test_self_heal_preserves_layout_opts_and_cleans_tmp(spark, tmp_path, monkeypatch):
+    """Code-review r8 follow-ups: (a) the in-publish merge re-applies
+    LAYOUT persistence_opts (codec etc.), dropping only split knobs and
+    our own non-writer knobs; (b) a failed merge job does not orphan the
+    .compact-tmp scratch copy; (c) DomainStore.cleanup GCs a hard-kill
+    leftover."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import elephantdb_spark.build as B
+
+    root = str(tmp_path / "zstd_heal")
+    spec = DomainSpec(num_shards=2, persistence_opts={
+        "maxRecordsPerFile": 20, "compact_after_files": 1,
+        "compression": "zstd",
+    })
+    build_domain(
+        spark, _kv(spark, [(i, f"v{i}") for i in range(200)]), root, spec,
+        version=1,
+    )
+    update_domain(spark, _kv(spark, [(3, "NEW")]), root, version=2)
+    store = DomainStore.open(root)
+    assert all(n == 1 for n in _files_per_shard(store.version_path(2)).values())
+    # every healed data file kept the spec's codec
+    for f in glob.glob(os.path.join(store.version_path(2), "shard=*", "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        assert meta.row_group(0).column(0).compression == "ZSTD", f
+    assert not glob.glob(os.path.join(root, "*.compact-tmp"))
+
+    # (b) merge failure → tmp cleared, version unpublished, v2 still serves
+    def _boom(*a, **kw):
+        raise RuntimeError("merge job failed")
+
+    monkeypatch.setattr(B, "_compact_shards_to", _boom)
+    with pytest.raises(RuntimeError, match="merge job failed"):
+        update_domain(spark, _kv(spark, [(5, "X")]), root, version=3)
+    assert not glob.glob(os.path.join(root, "*.compact-tmp"))
+    assert store.most_recent_version() == 2
+    monkeypatch.undo()
+
+    # (c) a hard-kill leftover (finally never ran) is swept by cleanup
+    orphan = os.path.join(root, "999.compact-tmp")
+    os.makedirs(os.path.join(orphan, "shard=0"))
+    store.cleanup()
+    assert not os.path.exists(orphan)
+    # and cleanup left the real versions alone
+    assert store.most_recent_version() == 2

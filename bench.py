@@ -378,6 +378,25 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     with timed("incremental_update_5k"):
         update_domain(spark, batch, eng.domain_root("lineitem_kv"), version=2)
 
+    # incremental update WITH the opt-in self-heal (r8): same 5k batch
+    # against a fragmented domain whose spec carries compact_after_files,
+    # so the timed window includes the in-publish merge of every shard
+    # past the threshold — the cost a self-healing A20 append pays
+    build_domain(  # untimed fixture: ~5 small files per shard
+        spark, li_kv, eng.domain_root("lineitem_kv_heal"),
+        DomainSpec(num_shards=NUM_SHARDS,
+                   persistence_opts={"maxRecordsPerFile": 4000,
+                                     "compact_after_files": 2}),
+        version=1,
+    )
+    with timed("incremental_update_5k_selfheal"):
+        update_domain(spark, batch, eng.domain_root("lineitem_kv_heal"),
+                      version=2)
+    assert (
+        eng.domain("lineitem_kv_heal").layout_report(2)["max_files_per_shard"]
+        <= 2
+    )
+
     # --- 3b. compaction (round-4): merge fragmented shard files ----------
     from elephantdb_spark import compact_domain
 

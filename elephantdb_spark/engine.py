@@ -619,18 +619,24 @@ class Domain:
         in :meth:`bulk_join` still applies afterwards, so a small domain
         never pays the routing overhead."""
         n = self.spec.num_shards
+        # r7 item 7 (+ r8 review): the byte-width estimate under-counts
+        # file-backed probes ~6× (compressed bytes ÷ uncompressed width),
+        # filters don't scale it either way (non-CBO), AND one RDD leaf
+        # anywhere in the plan (a createDataFrame lookup joined into a
+        # parquet probe) poisons the whole plan with the unknown-size
+        # sentinel — so the footer-known PRE-filter rows of the file
+        # leaves are consulted in BOTH cases, not just as a floor on a
+        # known estimate. Over-picking m on a selective probe costs
+        # bounded routing overhead (m ≤ cap, no-cut degrade still
+        # applies); under-picking starves parallelism. m=1 only when the
+        # plan has neither usable stats nor file leaves (genuinely
+        # driver-resident data).
         rows = estimate_plan_rows(df)
-        if rows is None:
-            return 1
-        # r7 item 7: the byte-width estimate under-counts file-backed
-        # probes ~6× (compressed bytes ÷ uncompressed width) and filters
-        # don't scale it either way (non-CBO) — floor with the leaves'
-        # footer-known PRE-filter rows. Over-picking m on a genuinely
-        # selective probe costs bounded routing overhead (m ≤ cap, no-cut
-        # degrade still applies); under-picking starves parallelism.
         floor = estimate_leaf_file_rows(df)
         if floor is not None:
-            rows = max(rows, floor)
+            rows = max(rows or 0, floor)
+        if not rows:
+            return 1
         m_mem = -(-rows // (n * BULK_PROBE_ROWS_PER_TASK))
         m_par = -(-self.spark.sparkContext.defaultParallelism // n)
         m_par = max(1, min(m_par, rows // (n * BULK_MIN_ROWS_PER_TASK)))

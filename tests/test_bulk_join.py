@@ -441,6 +441,17 @@ def test_auto_tasks_filtered_probe_floor(spark, tmp_path, monkeypatch):
     m = eng.Domain._auto_tasks_per_shard(_FakeSelf(), filtered)
     assert m > 1  # the 99%-filtered probe still sub-shards
 
+    # r8 review: ONE RDD leaf anywhere (a createDataFrame lookup joined
+    # into the parquet probe) propagates the unknown-size sentinel over
+    # the WHOLE plan — estimate_plan_rows sees None — but the file
+    # leaves' footer floor must still drive m, not a wholesale m=1.
+    lookup = spark.createDataFrame([(b"k",)], "k binary")
+    mixed = scan.join(lookup, "k", "left").select("k")
+    assert eng.estimate_plan_rows(mixed) is None
+    mixed_floor = eng.estimate_leaf_file_rows(mixed)
+    assert mixed_floor is not None and mixed_floor >= n_rows * 0.8
+    assert eng.Domain._auto_tasks_per_shard(_FakeSelf(), mixed) > 1
+
 
 def test_bulk_join_default_is_auto_and_correct(spark, dom_rg):
     """tasks_per_shard defaults to auto-selection and still returns

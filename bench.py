@@ -308,7 +308,46 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         # false = clear_refs unavailable: the delta degrades to the
         # lifetime-watermark semantics and can under-report
         "peak_rss_windowed": peak_is_windowed,
+        # resident decoded-group cache after the run (r8: the hot-probe
+        # memory tier — serving figures above are cache-warm by design,
+        # the repeat-batch workload is what the cache exists for)
+        "rg_cache_mib": round(dom._rg_cache_nbytes / 2**20, 2),
     }
+
+    # the same workload with the decoded-group cache DISABLED (r8): the
+    # honest cold-path figure — at 100 TB a uniform-random probe stream
+    # misses the cache and pays exactly this path, so both numbers stay
+    # on the record (PLANS.md r8 serving section)
+    from elephantdb_spark.engine import Domain as _Domain
+
+    cold_dom = _Domain(spark, eng.domain_root("lineitem_kv"))
+    cold_dom._rg_cache_budget = 0
+    cold_dom.local_multi_get([b"warm"])  # open handles untimed
+
+    def _serve_worker_cold(tid, out, errs):
+        try:
+            batch = li_keys[tid * 100:(tid + 1) * 100]
+            for _ in range(10):
+                res = cold_dom.local_multi_get(batch)
+                out[tid] = sum(v is not None for v in res.values())
+        except BaseException as e:
+            errs.append(e)
+
+    with timed("local_multiget_concurrent_8t_nocache"):
+        hits = {}
+        errs = []
+        ts = [
+            _threading.Thread(target=_serve_worker_cold, args=(t, hits, errs))
+            for t in range(8)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if errs:
+            raise errs[0]
+        assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
+                   for t in range(8)), hits
 
     # bulk enrichment (r5): the WHOLE lineitem fact probed against its
     # KV domain — one probe-side exchange, zero domain-side shuffle

@@ -48,6 +48,18 @@ from elephantdb_spark.store import DomainStore, shard_dirname
 #: materializes whole).
 LOCAL_PROBE_BATCH_ROWS = 8192
 
+#: Byte budget for the decoded-row-group serving cache (per Domain
+#: handle; override per domain with
+#: ``persistence_opts={"serving_cache_bytes": N}``, 0 disables). The
+#: reference's serving reads hit BerkeleyDB JE's in-memory B-tree/leaf
+#: cache on repeat probes (je.maxMemory; JavaBerkDB.java:70-82 probes a
+#: cached tree) — without an analogue every probe of a hot key re-decodes
+#: its ≤16 MiB parquet row group from disk. Groups whose uncompressed
+#: size exceeds a quarter of the budget are never cached (they keep the
+#: streaming early-exit path), so one monster group from a pre-cap build
+#: cannot thrash the cache or blow the decode bound.
+SERVING_GROUP_CACHE_BYTES = 64 << 20
+
 #: Serving-cache capacity (open parquet handles / shard-dir listings).
 #: Eviction is LRU per entry — a hot handle must survive a sweep of cold
 #: opens (VERDICT r6 item 3: wholesale clears thrashed >512-file domains).
@@ -251,6 +263,24 @@ class Domain:
         # must not pay listdir syscalls per lookup); same lock + LRU
         self._dir_cache: "OrderedDict[str, list[str]]" = OrderedDict()
         self._pq_lock = threading.Lock()
+        # decoded-row-group cache for the local serving probe: hot groups
+        # answer from in-memory Arrow arrays (a C-side hash probe) instead
+        # of re-decoding the group per call — the analogue of BDB JE's
+        # node cache the reference's serving layer sits on
+        # (JavaBerkDB.java:70-82). Byte-bounded LRU; entries are immutable
+        # (keyed by published-version file path + group index) and the
+        # whole cache drops on version change with the other caches.
+        self._rg_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
+        self._rg_cache_nbytes = 0
+        self._rg_cache_lock = threading.Lock()
+        try:
+            self._rg_cache_budget = int(
+                (self.store.spec.persistence_opts or {}).get(
+                    "serving_cache_bytes", SERVING_GROUP_CACHE_BYTES
+                )
+            )
+        except (TypeError, ValueError):
+            self._rg_cache_budget = SERVING_GROUP_CACHE_BYTES
         # published-version snapshot — when it changes, caches drop (see
         # _resolve_version)
         self._seen_versions: tuple[int, ...] = ()
@@ -395,6 +425,9 @@ class Domain:
             with self._pq_lock:
                 self._pq_cache.clear()
                 self._dir_cache.clear()
+            with self._rg_cache_lock:
+                self._rg_cache.clear()
+                self._rg_cache_nbytes = 0
         if version is not None:
             if int(version) not in versions:
                 raise DomainNotLoadedError(
@@ -1013,8 +1046,9 @@ class Domain:
             files = self._shard_file_list(sdir)
             targets = sorted(set(shard_keys))
             for fname in files:
-                pf, pf_lock, _key_idx, bounds, bloom = self._open_shard_file(
-                    os.path.join(sdir, fname)
+                fpath = os.path.join(sdir, fname)
+                pf, pf_lock, _key_idx, bounds, bloom, rg_sizes = (
+                    self._open_shard_file(fpath)
                 )
                 # Bloom short-circuit (bloom.py): a sidecar "no" is
                 # definitive — the key is not in THIS file, no I/O. A
@@ -1047,6 +1081,44 @@ class Domain:
                     by_rg[rg] = file_targets  # no stats → scan the group
                 for rg in sorted(by_rg):
                     wanted = sorted(set(by_rg[rg]))
+                    # Decoded-group cache fast path: hot groups answer
+                    # from in-memory Arrow arrays (one C-side hash probe,
+                    # no I/O, no decode) — the BDB-JE-node-cache analogue
+                    # (JavaBerkDB.java:70-82). Cold CACHEABLE groups
+                    # (uncompressed ≤ budget/4, bounded decode) are read
+                    # whole once and inserted; oversized groups keep the
+                    # streaming early-exit path below unconditionally.
+                    cached = self._rg_cache_get(fpath, rg)
+                    if (
+                        cached is None
+                        and self._rg_cache_budget > 0
+                        and rg < len(rg_sizes)
+                        and rg_sizes[rg] <= self._rg_cache_budget // 4
+                    ):
+                        with pf_lock:
+                            tbl = pf.read_row_groups(
+                                [rg], columns=["key", "value"]
+                            )
+                        tbl = tbl.combine_chunks()
+                        cached = self._rg_cache_put(
+                            fpath,
+                            rg,
+                            tbl.column("key"),
+                            tbl.column("value"),
+                            tbl.nbytes,
+                        )
+                    if cached is not None:
+                        karr, varr, _nb = cached
+                        idx = pc.index_in(
+                            pa.array(wanted, type=pa.binary()), value_set=karr
+                        )
+                        vals = pc.take(varr, idx).to_pylist()
+                        for kk, ii, vv in zip(
+                            wanted, idx.to_pylist(), vals
+                        ):
+                            if ii is not None:
+                                out[kk] = vv
+                        continue
                     # Stream the row group in bounded Arrow batches
                     # instead of materializing it whole (VERDICT r5
                     # item 4: at the design point of ~1 GB row groups a
@@ -1098,6 +1170,34 @@ class Domain:
         """Point probe via :meth:`local_multi_get` (A1 serving analogue)."""
         return self.local_multi_get([key], version)[bytes(key)]
 
+    def _rg_cache_get(self, path: str, rg: int):
+        """LRU lookup of one decoded row group; None on miss (and always
+        None when the cache is disabled via ``serving_cache_bytes=0``)."""
+        with self._rg_cache_lock:
+            e = self._rg_cache.get((path, rg))
+            if e is not None:
+                self._rg_cache.move_to_end((path, rg))
+            return e
+
+    def _rg_cache_put(self, path: str, rg: int, karr, varr, nbytes: int):
+        """Insert one decoded row group, evicting LRU entries past the
+        byte budget. Two threads racing the same cold group both decode;
+        the first insert wins and both use it (entries are immutable —
+        same file, same group). Returns the cached entry."""
+        with self._rg_cache_lock:
+            key = (path, rg)
+            e = self._rg_cache.get(key)
+            if e is None:
+                e = (karr, varr, int(nbytes))
+                self._rg_cache[key] = e
+                self._rg_cache_nbytes += e[2]
+                while self._rg_cache_nbytes > self._rg_cache_budget and self._rg_cache:
+                    _, (_, _, nb) = self._rg_cache.popitem(last=False)
+                    self._rg_cache_nbytes -= nb
+            else:
+                self._rg_cache.move_to_end(key)
+            return e
+
     def _shard_file_list(self, sdir: str) -> "list[str]":
         """Cached data-file listing for one shard dir of a PUBLISHED
         version (immutable once the token exists, so the listdir syscalls
@@ -1125,7 +1225,7 @@ class Domain:
     def _open_shard_file(self, path: str):
         """Open (or reuse) a pyarrow ParquetFile for a shard file; returns
         ``(handle, per_file_lock, key_column_index, rg_bound_index,
-        bloom_or_None)``. The
+        bloom_or_None, per_group_uncompressed_sizes)``. The
         reference keeps its local persistences open for the lifetime of a
         served version (common/domain.clj:184-206) — the probe must not
         re-read the footer per lookup. Resolved ONCE at open: the key
@@ -1154,12 +1254,19 @@ class Domain:
             # short-circuit; None when the domain was built without one
             from elephantdb_spark.bloom import load_sidecar
 
+            meta = pf.metadata
             entry = (
                 pf,
                 threading.Lock(),
                 key_idx,
-                rg_bound_index(pf.metadata, key_idx),
+                rg_bound_index(meta, key_idx),
                 load_sidecar(path),
+                # per-group uncompressed sizes: the serving cache's
+                # pre-decode cacheability gate (same one-time footer walk)
+                [
+                    meta.row_group(i).total_byte_size
+                    for i in range(meta.num_row_groups)
+                ],
             )
             with self._pq_lock:
                 while len(self._pq_cache) >= SERVING_CACHE_CAP:

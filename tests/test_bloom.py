@@ -188,10 +188,18 @@ def test_miss_short_circuits_without_io(spark, bloom_root, monkeypatch):
     dom = eng.domain("bl")
     dom.local_multi_get([b"warm"])  # open handles + load sidecars first
     calls = []
-    orig = pq.ParquetFile.iter_batches
+    # count BOTH probe read paths: iter_batches (streaming) and
+    # read_row_groups (the decoded-group cache's cold fill) — a bloom
+    # "no" must trigger neither
+    orig_ib = pq.ParquetFile.iter_batches
+    orig_rg = pq.ParquetFile.read_row_groups
     monkeypatch.setattr(
         pq.ParquetFile, "iter_batches",
-        lambda self, *a, **kw: calls.append(1) or orig(self, *a, **kw),
+        lambda self, *a, **kw: calls.append(1) or orig_ib(self, *a, **kw),
+    )
+    monkeypatch.setattr(
+        pq.ParquetFile, "read_row_groups",
+        lambda self, *a, **kw: calls.append(1) or orig_rg(self, *a, **kw),
     )
     # 50 misses: with ~1% fpp per file, expect (almost always) zero reads
     out = dom.local_multi_get([f"no-such-key-{i}".encode() for i in range(50)])

@@ -247,3 +247,101 @@ def test_concurrent_probes_across_cache_clear(spark, tmp_path):
         th.join()
     assert not errors, errors[:3]
     assert dom.local_get(b"key0001") == b"VAL1"
+
+
+def test_rg_cache_equivalence_and_budget(spark, tmp_path):
+    """Decoded-row-group serving cache (the BDB-JE node-cache analogue,
+    JavaBerkDB.java:70-82): cached and uncached probes must agree
+    byte-for-byte on hits, misses and NULL values; the cache must obey
+    its byte budget with LRU eviction; serving_cache_bytes=0 must
+    disable it entirely (streaming path, empty cache)."""
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "rgc")
+    pairs = [
+        (f"k{i:05d}".encode(), None if i % 97 == 0 else b"v" * (i % 50 + 1))
+        for i in range(20000)
+    ]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=2, persistence_opts={"parquet.block.size": 65536}),
+        version=1,
+    )
+    truth = dict(pairs)
+    keys = [f"k{i:05d}".encode() for i in range(0, 20000, 313)] + [
+        b"k99999", b"", b"k00000"
+    ]
+
+    cached_dom = Domain(spark, root)
+    assert cached_dom._rg_cache_budget > 0
+    off_dom = Domain(spark, root)
+    off_dom._rg_cache_budget = 0
+
+    for _ in range(2):  # second pass = warm-cache fast path
+        got_cached = cached_dom.local_multi_get(keys)
+        got_off = off_dom.local_multi_get(keys)
+        assert got_cached == got_off
+        for k in keys:
+            assert got_cached[k] == truth.get(k)
+    assert cached_dom._rg_cache, "cache never populated"
+    assert not off_dom._rg_cache, "budget 0 must disable caching"
+
+    # budget respected under eviction: shrink to fit ~one group and sweep
+    small = Domain(spark, root)
+    small._rg_cache_budget = 256 * 1024
+    got = small.local_multi_get(keys)
+    assert got == {k: truth.get(k) for k in keys}
+    assert small._rg_cache_nbytes <= small._rg_cache_budget
+    assert sum(e[2] for e in small._rg_cache.values()) == small._rg_cache_nbytes
+
+    # oversized groups (uncompressed > budget/4) keep the streaming path
+    tiny = Domain(spark, root)
+    tiny._rg_cache_budget = 4  # budget//4 = 1 byte: nothing cacheable
+    assert tiny.local_multi_get(keys) == {k: truth.get(k) for k in keys}
+    assert not tiny._rg_cache
+
+
+def test_rg_cache_spec_knob_and_version_invalidation(spark, tmp_path):
+    """persistence_opts={"serving_cache_bytes": 0} flows from the spec to
+    the handle; a published update must drop cached groups so stale
+    values can never be served (hot-swap contract, A24)."""
+    from elephantdb_spark import update_domain
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "rgv")
+    build_domain(
+        spark,
+        spark.createDataFrame(
+            [(b"a", b"old"), (b"b", b"keep")], "key binary, value binary"
+        ),
+        root,
+        DomainSpec(num_shards=1, persistence_opts={"serving_cache_bytes": 0}),
+        version=1,
+    )
+    d0 = Domain(spark, root)
+    assert d0._rg_cache_budget == 0
+
+    root2 = str(tmp_path / "rgv2")
+    build_domain(
+        spark,
+        spark.createDataFrame(
+            [(b"a", b"old"), (b"b", b"keep")], "key binary, value binary"
+        ),
+        root2,
+        DomainSpec(num_shards=1),
+        version=1,
+    )
+    d = Domain(spark, root2)
+    assert d.local_get(b"a") == b"old"
+    assert d._rg_cache  # v1 group cached
+    update_domain(
+        spark,
+        spark.createDataFrame([(b"a", b"new")], "key binary, value binary"),
+        root2,
+        version=2,
+    )
+    assert d.local_get(b"a") == b"new"  # stale cache would serve b"old"
+    assert d.local_get(b"b") == b"keep"
+    assert d.local_get(b"a", version=1) == b"old"  # pinned read still exact

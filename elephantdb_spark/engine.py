@@ -65,6 +65,18 @@ SERVING_GROUP_CACHE_BYTES = 64 << 20
 #: opens (VERDICT r6 item 3: wholesale clears thrashed >512-file domains).
 SERVING_CACHE_CAP = 512
 
+#: Cross-shard fanout width for the local serving probe (per Domain
+#: handle; override per domain with
+#: ``persistence_opts={"serving_fanout": N}``, 1 disables). The
+#: reference's multiGet groups keys by host and probes every host group
+#: CONCURRENTLY (``do-pmap`` over the host map, keyval/core.clj:118-134)
+#: — a serial shard loop would make a 1000-key batch pay the sum of the
+#: per-shard latencies instead of the max. The probe body is
+#: thread-safe by construction (per-file handle locks, locked LRU
+#: caches) and its heavy work is GIL-releasing pyarrow C++, so a small
+#: shared pool parallelizes for real.
+SERVING_FANOUT_THREADS = 8
+
 #: bulk_join auto-tuning (VERDICT r6 item 1): pick ``tasks_per_shard`` so
 #: one task's probe slice stays around this many rows …
 BULK_PROBE_ROWS_PER_TASK = 2_000_000
@@ -281,6 +293,20 @@ class Domain:
             )
         except (TypeError, ValueError):
             self._rg_cache_budget = SERVING_GROUP_CACHE_BYTES
+        # cross-shard fanout pool for local_multi_get (lazy; shared by
+        # every call on this handle so external caller threads — the
+        # serving daemon's request pool — compose with it instead of
+        # multiplying thread counts)
+        try:
+            self._fanout_threads = max(1, int(
+                (self.store.spec.persistence_opts or {}).get(
+                    "serving_fanout", SERVING_FANOUT_THREADS
+                )
+            ))
+        except (TypeError, ValueError):
+            self._fanout_threads = SERVING_FANOUT_THREADS
+        self._serving_pool = None
+        self._serving_pool_lock = threading.Lock()
         # published-version snapshot — when it changes, caches drop (see
         # _resolve_version)
         self._seen_versions: tuple[int, ...] = ()
@@ -358,6 +384,10 @@ class Domain:
         """to-shutdown (status.clj:16): mark the handle; status reports
         'shutdown' and callers should stop routing reads here."""
         self._is_shutdown = True
+        with self._serving_pool_lock:
+            pool, self._serving_pool = self._serving_pool, None
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     def shard_set(self, version: int | None = None) -> list[int]:
         """Shard ids materialized in a version (shard-set,
@@ -1041,7 +1071,9 @@ class Domain:
             by_shard.setdefault(self._scheme.shard_index(bytes(k), n), []).append(bytes(k))
 
         out: dict[bytes, bytes | None] = {bytes(k): None for k in keys}
-        for shard, shard_keys in by_shard.items():
+
+        def _probe_shard(shard: int, shard_keys: list[bytes]) -> dict[bytes, bytes]:
+            hits: dict[bytes, bytes] = {}
             sdir = os.path.join(vpath, shard_dirname(shard))
             files = self._shard_file_list(sdir)
             targets = sorted(set(shard_keys))
@@ -1117,7 +1149,7 @@ class Domain:
                             wanted, idx.to_pylist(), vals
                         ):
                             if ii is not None:
-                                out[kk] = vv
+                                hits[kk] = vv
                         continue
                     # Stream the row group in bounded Arrow batches
                     # instead of materializing it whole (VERDICT r5
@@ -1151,20 +1183,61 @@ class Domain:
                         kcol = rb.column(rb.schema.get_field_index("key"))
                         mask = pc.is_in(kcol, value_set=want_arr)
                         if pc.any(mask).as_py():
-                            hits = rb.filter(mask)
-                            hk = hits.column(
-                                hits.schema.get_field_index("key")
+                            matched = rb.filter(mask)
+                            hk = matched.column(
+                                matched.schema.get_field_index("key")
                             )
-                            hv = hits.column(
-                                hits.schema.get_field_index("value")
+                            hv = matched.column(
+                                matched.schema.get_field_index("value")
                             )
                             for kk, vv in zip(
                                 hk.to_pylist(), hv.to_pylist()
                             ):
-                                out[kk] = vv
+                                hits[kk] = vv
                         if kcol[len(kcol) - 1].as_py() >= wmax:
                             break
+            return hits
+
+        # Cross-shard fanout (keyval/core.clj:118-134: the reference
+        # multiGet probes every host group concurrently via do-pmap; a
+        # serial loop costs sum-of-shard-latencies instead of the max).
+        # Shard probes are independent — each writes only its own hits
+        # dict, shared state is the locked handle/bound/bloom/group
+        # caches the 8-thread serving bench already exercises — and the
+        # decode work is GIL-releasing pyarrow C++, so a small shared
+        # pool parallelizes for real. One shard (the point-get shape)
+        # stays on the caller thread: no pool hop, no latency tax.
+        if len(by_shard) <= 1 or self._fanout_threads <= 1:
+            for shard, shard_keys in by_shard.items():
+                out.update(_probe_shard(shard, shard_keys))
+        else:
+            futures = [
+                self._fanout_pool().submit(_probe_shard, shard, shard_keys)
+                for shard, shard_keys in by_shard.items()
+            ]
+            for fut in futures:
+                out.update(fut.result())
         return out
+
+    def _fanout_pool(self):
+        """Lazy shared cross-shard probe pool (``serving_fanout`` wide).
+
+        One pool per Domain handle, created on first multi-shard probe:
+        external request threads (the serving daemon's pool) queue their
+        shard probes onto the SAME bounded pool instead of multiplying
+        thread counts — the composition stays ≤ fanout extra threads
+        regardless of caller concurrency.
+        """
+        if self._serving_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with self._serving_pool_lock:
+                if self._serving_pool is None:
+                    self._serving_pool = ThreadPoolExecutor(
+                        max_workers=self._fanout_threads,
+                        thread_name_prefix="edb-serve",
+                    )
+        return self._serving_pool
 
     def local_get(self, key: bytes, version: int | None = None) -> bytes | None:
         """Point probe via :meth:`local_multi_get` (A1 serving analogue)."""

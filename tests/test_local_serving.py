@@ -345,3 +345,106 @@ def test_rg_cache_spec_knob_and_version_invalidation(spark, tmp_path):
     assert d.local_get(b"a") == b"new"  # stale cache would serve b"old"
     assert d.local_get(b"b") == b"keep"
     assert d.local_get(b"a", version=1) == b"old"  # pinned read still exact
+
+
+def test_fanout_equivalence_and_point_get_stays_serial(spark, tmp_path):
+    """Cross-shard fanout (keyval/core.clj:118-134: multiGet probes every
+    host group concurrently via do-pmap). The parallel dispatch must be
+    byte-identical to the serial loop — hits, misses, empty key, duplicate
+    keys — and a single-shard probe (the point-get shape) must never pay
+    the pool hop (no pool is even created)."""
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "fan")
+    pairs = [(f"fk{i:04d}".encode(), f"fv{i}".encode()) for i in range(300)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=8),
+        version=1,
+    )
+    keys = (
+        [k for k, _ in pairs[::7]]
+        + [b"miss-a", b"miss-b", b""]
+        + [pairs[0][0], pairs[0][0]]  # duplicates collapse to one entry
+    )
+
+    par = Domain(spark, root)
+    got_par = par.local_multi_get(keys)
+    assert par._serving_pool is not None  # multi-shard probe engaged the pool
+
+    ser = Domain(spark, root)
+    ser._fanout_threads = 1  # force the serial dispatch on the same data
+    got_ser = ser.local_multi_get(keys)
+    assert ser._serving_pool is None  # fanout=1 disables the pool entirely
+
+    assert got_par == got_ser
+    truth = dict(pairs)
+    for k in keys:
+        assert got_par[bytes(k)] == truth.get(bytes(k))
+
+    # point-get shape: one shard -> caller thread, no pool
+    fresh = Domain(spark, root)
+    assert fresh.local_get(pairs[3][0]) == pairs[3][1]
+    assert fresh._serving_pool is None
+
+    # the spec knob flows to the handle like serving_cache_bytes does
+    root1 = str(tmp_path / "fan1")
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs[:10], "key binary, value binary"),
+        root1,
+        DomainSpec(num_shards=2, persistence_opts={"serving_fanout": 1}),
+        version=1,
+    )
+    knob = Domain(spark, root1)
+    assert knob._fanout_threads == 1
+    assert knob.local_multi_get([pairs[0][0], pairs[1][0]])[pairs[0][0]] == pairs[0][1]
+    assert knob._serving_pool is None
+
+
+def test_fanout_pool_shared_across_caller_threads(spark, tmp_path):
+    """External request threads must compose with ONE bounded pool (the
+    serving daemon's request pool x fanout must not multiply threads), and
+    shutdown() must release it."""
+    import threading
+
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "fanpool")
+    pairs = [(f"pk{i:04d}".encode(), f"pv{i}".encode()) for i in range(400)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=8),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    truth = dict(pairs)
+    errors: list[BaseException] = []
+
+    def worker(t):
+        try:
+            ks = [f"pk{(i * 11 + t) % 400:04d}".encode() for i in range(60)]
+            for _ in range(3):
+                res = dom.local_multi_get(ks + [f"gone{t}".encode()])
+                for k in ks:
+                    assert res[k] == truth[k]
+                assert res[f"gone{t}".encode()] is None
+        except BaseException as e:  # noqa: BLE001 - collected for the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors[:3]
+
+    pool = dom._serving_pool
+    assert pool is not None
+    assert len(pool._threads) <= dom._fanout_threads  # bounded, shared
+    dom.shutdown()
+    assert dom._serving_pool is None

@@ -307,6 +307,10 @@ class Domain:
             self._fanout_threads = SERVING_FANOUT_THREADS
         self._serving_pool = None
         self._serving_pool_lock = threading.Lock()
+        # concurrent local_multi_get caller count (fanout admission gate
+        # — see local_multi_get's dispatch comment)
+        self._probe_callers = 0
+        self._fanout_count_lock = threading.Lock()
         # published-version snapshot — when it changes, caches drop (see
         # _resolve_version)
         self._seen_versions: tuple[int, ...] = ()
@@ -1207,16 +1211,34 @@ class Domain:
         # decode work is GIL-releasing pyarrow C++, so a small shared
         # pool parallelizes for real. One shard (the point-get shape)
         # stays on the caller thread: no pool hop, no latency tax.
-        if len(by_shard) <= 1 or self._fanout_threads <= 1:
-            for shard, shard_keys in by_shard.items():
-                out.update(_probe_shard(shard, shard_keys))
-        else:
-            futures = [
-                self._fanout_pool().submit(_probe_shard, shard, shard_keys)
-                for shard, shard_keys in by_shard.items()
-            ]
-            for fut in futures:
-                out.update(fut.result())
+        #
+        # Admission gate: fanout is a LATENCY tool for a lone caller;
+        # concurrent request threads already supply the parallelism, so
+        # fanning their batches out only adds pool handoff and GIL churn
+        # (measured at sf0.1: 8 callers × cache-warm batches ran 1.5-2.5×
+        # SLOWER fanned than serial, while a lone caller ran 1.7-2.1×
+        # FASTER fanned — both regimes, both cache states). A batch fans
+        # out only when it is the ONLY in-flight probe on this handle;
+        # otherwise it probes serially on its own thread. The caller
+        # count is a heuristic read — a race mis-picks the dispatch mode
+        # for one batch, never correctness.
+        with self._fanout_count_lock:
+            self._probe_callers += 1
+            lone_caller = self._probe_callers == 1
+        try:
+            if len(by_shard) <= 1 or self._fanout_threads <= 1 or not lone_caller:
+                for shard, shard_keys in by_shard.items():
+                    out.update(_probe_shard(shard, shard_keys))
+            else:
+                futures = [
+                    self._fanout_pool().submit(_probe_shard, shard, shard_keys)
+                    for shard, shard_keys in by_shard.items()
+                ]
+                for fut in futures:
+                    out.update(fut.result())
+        finally:
+            with self._fanout_count_lock:
+                self._probe_callers -= 1
         return out
 
     def _fanout_pool(self):

@@ -442,9 +442,53 @@ def test_fanout_pool_shared_across_caller_threads(spark, tmp_path):
     for th in threads:
         th.join()
     assert not errors, errors[:3]
+    assert dom._probe_callers == 0  # gate counter balanced after the storm
 
+    # a lone multi-shard probe fans out (creates the pool if the storm
+    # never found a solitary window)
+    dom.local_multi_get(list(truth)[:50])
     pool = dom._serving_pool
     assert pool is not None
     assert len(pool._threads) <= dom._fanout_threads  # bounded, shared
     dom.shutdown()
     assert dom._serving_pool is None
+
+
+def test_fanout_admission_gate_concurrent_callers_stay_serial(spark, tmp_path):
+    """Fanout is a lone-caller latency tool: while another probe is in
+    flight on the handle, a batch must probe on its own thread (measured
+    1.5-2.5x slower fanned under caller concurrency). Hold the gate
+    closed from a second thread and check the blocked caller never
+    touches the pool."""
+    import threading
+
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "gate")
+    pairs = [(f"gk{i:04d}".encode(), f"gv{i}".encode()) for i in range(200)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=8),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    keys = [k for k, _ in pairs[:80]]
+
+    # simulate an in-flight probe: bump the caller count like a paused
+    # concurrent request thread would
+    with dom._fanout_count_lock:
+        dom._probe_callers += 1
+    try:
+        got = dom.local_multi_get(keys)
+        assert dom._serving_pool is None  # gated -> serial, pool untouched
+    finally:
+        with dom._fanout_count_lock:
+            dom._probe_callers -= 1
+    assert got == {k: v for k, v in pairs[:80]}
+    assert dom._probe_callers == 0
+
+    # gate released -> the same batch fans out
+    dom.local_multi_get(keys)
+    assert dom._serving_pool is not None

@@ -210,6 +210,63 @@ class BloomFilter:
                 return False
         return True
 
+    @staticmethod
+    def hash_keys(keys) -> bytes:
+        """Digest blob for :meth:`contains_digests` — hash once, test
+        against MANY filters (the serving probe checks the same key set
+        against every file's sidecar in a shard; blake2b is the only
+        per-key cost and it must not repeat per file)."""
+        try:
+            return b"".join(
+                [blake2b(k, digest_size=16).digest() for k in keys]
+            )
+        except (TypeError, ValueError):
+            return b"".join(
+                [blake2b(bytes(k), digest_size=16).digest() for k in keys]
+            )
+
+    def contains_digests(self, digests: bytes) -> list[bool]:
+        """Vectorized bulk :meth:`might_contain` over a
+        :meth:`hash_keys` blob — exactly the positions the scalar path
+        tests (same reduced double-hash recurrence as ``_fold_digests``,
+        so membership answers are identical by construction), with the
+        k bit-tests running as ndarray gathers instead of a per-key
+        Python loop (the per-key loop made a 1000-key miss batch SLOWER
+        than the decoded-group cache it was meant to beat)."""
+        import numpy as np
+
+        cnt = len(digests) // 16
+        if not cnt:
+            return []
+        h = np.frombuffer(digests, dtype="<u8").reshape(cnt, 2)
+        m = np.uint64(self.m)
+        pos = h[:, 0] % m
+        r2 = (h[:, 1] | np.uint64(1)) % m
+        if self.m < NARROW_LANES_MAX_M:
+            pos = pos.astype(np.uint32)
+            r2 = r2.astype(np.uint32)
+            m = np.uint32(self.m)
+            three, seven = np.uint32(3), np.uint32(7)
+        else:
+            three, seven = np.uint64(3), np.uint64(7)
+        bits = np.frombuffer(self.bits, dtype=np.uint8)
+        ok = np.ones(cnt, dtype=bool)
+        for i in range(self.k):
+            hit = bits[pos >> three] & np.left_shift(
+                np.uint8(1), (pos & seven).astype(np.uint8)
+            )
+            ok &= hit != 0
+            if i + 1 < self.k:
+                pos = pos + r2  # fresh array: never mutate a caller blob
+                pos[pos >= m] -= m
+        return ok.tolist()
+
+    def contains_batch(self, keys) -> list[bool]:
+        """Bulk membership test; element i answers for ``keys[i]``."""
+        if not isinstance(keys, (list, tuple)):
+            keys = list(keys)
+        return self.contains_digests(self.hash_keys(keys))
+
     def to_bytes(self) -> bytes:
         return _HEADER.pack(_MAGIC, self.m, self.k, self.n) + bytes(self.bits)
 

@@ -1081,21 +1081,14 @@ class Domain:
             sdir = os.path.join(vpath, shard_dirname(shard))
             files = self._shard_file_list(sdir)
             targets = sorted(set(shard_keys))
+            target_digs: bytes | None = None  # blake2b blob, built once
+            dig_at: dict[bytes, int] = {}  # target key → blob slot
             for fname in files:
                 fpath = os.path.join(sdir, fname)
                 pf, pf_lock, _key_idx, bounds, bloom, rg_sizes = (
                     self._open_shard_file(fpath)
                 )
-                # Bloom short-circuit (bloom.py): a sidecar "no" is
-                # definitive — the key is not in THIS file, no I/O. A
-                # "yes" (hit or fpp) falls through to the normal probe,
-                # so the filter can only remove work, never answers.
-                file_targets = (
-                    [k for k in targets if bloom.might_contain(k)]
-                    if bloom is not None else targets
-                )
-                if not file_targets:
-                    continue
+                file_targets = targets
                 # Candidate row groups per key by BISECT over the cached
                 # bound index — the old per-probe per-row-group
                 # `.statistics` walk deserialized Thrift metadata
@@ -1125,12 +1118,57 @@ class Domain:
                     # whole once and inserted; oversized groups keep the
                     # streaming early-exit path below unconditionally.
                     cached = self._rg_cache_get(fpath, rg)
-                    if (
-                        cached is None
-                        and self._rg_cache_budget > 0
+                    cacheable = (
+                        self._rg_cache_budget > 0
                         and rg < len(rg_sizes)
                         and rg_sizes[rg] <= self._rg_cache_budget // 4
+                    )
+                    if (
+                        cached is None
+                        and bloom is not None
+                        and not (
+                            cacheable
+                            and self._rg_cache_nbytes + rg_sizes[rg]
+                            <= self._rg_cache_budget
+                        )
                     ):
+                        # Bloom short-circuit (bloom.py), consulted ONLY
+                        # when the alternative decode is UNPRODUCTIVE —
+                        # a hot cached group answers a miss with one
+                        # C-side hash probe (cheaper than any filter),
+                        # and a cacheable group that still FITS the
+                        # budget is worth decoding once even for a miss
+                        # (every later miss on it is then free), so
+                        # bloom guards oversized groups and the
+                        # at-budget regime — which is the ONLY regime a
+                        # 100 TB domain ever serves in (the budget reads
+                        # are racy heuristics; a stale read mis-routes
+                        # one decode, never correctness). A sidecar
+                        # "no" is definitive for the whole FILE (the key
+                        # may reappear in this file's other candidate
+                        # groups and is re-filtered there — same
+                        # answer); a "yes" (hit or fpp) falls through,
+                        # so the filter only removes work, never
+                        # answers. Keys are blake2b-hashed ONCE per
+                        # shard probe; each cold group tests its
+                        # wanted-subset digests vectorized.
+                        if target_digs is None:
+                            target_digs = bloom.hash_keys(targets)
+                            dig_at = {
+                                key: i for i, key in enumerate(targets)
+                            }
+                        sub = b"".join(
+                            target_digs[dig_at[k] * 16:dig_at[k] * 16 + 16]
+                            for k in wanted
+                        )
+                        wanted = [
+                            k for k, ok in zip(
+                                wanted, bloom.contains_digests(sub)
+                            ) if ok
+                        ]
+                        if not wanted:
+                            continue
+                    if cached is None and cacheable:
                         with pf_lock:
                             tbl = pf.read_row_groups(
                                 [rg], columns=["key", "value"]

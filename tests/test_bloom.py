@@ -305,3 +305,101 @@ def test_add_batch_accepts_one_shot_iterators():
     for k in mixed:
         b.add(bytes(k))
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_contains_batch_identical_to_scalar_might_contain(monkeypatch):
+    """The vectorized prober must answer EXACTLY like the per-key
+    might_contain loop — members always True (no false negatives),
+    non-members bit-for-bit the same fpp decisions — on adversarial keys
+    (empty, dup, every byte value), in both lane widths, and hash_keys
+    blobs must be reusable across filters."""
+    import random
+
+    import elephantdb_spark.bloom as B
+
+    rng = random.Random(82)
+    members = (
+        [b"", b"\x00", b"\xff" * 33]
+        + [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+           for _ in range(1500)]
+    )
+    probes = members[:200] + [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        for _ in range(1500)
+    ] + [b"", b"absent"]
+    for fpp in (0.01, 0.25):
+        bf = BloomFilter.build(members, fpp)
+        scalar = [bf.might_contain(k) for k in probes]
+        assert bf.contains_batch(probes) == scalar
+        # one hash blob, tested against a second (differently-sized)
+        # filter — the per-shard reuse shape in the serving probe
+        bf2 = BloomFilter.build(members[:700], fpp)
+        digs = BloomFilter.hash_keys(probes)
+        assert bf2.contains_digests(digs) == [
+            bf2.might_contain(k) for k in probes
+        ]
+        # wide lanes answer identically
+        monkeypatch.setattr(B, "NARROW_LANES_MAX_M", 1)
+        assert bf.contains_batch(probes) == scalar
+        monkeypatch.undo()
+    assert bf.contains_batch([]) == []
+    assert bf.contains_batch(iter(members[:5])) == [True] * 5
+
+
+def test_bloom_gates_decodes_when_cache_cannot_absorb(spark, tmp_path, monkeypatch):
+    """The at-scale regime: when the decoded-group cache cannot absorb the
+    group (disabled here; at 100 TB, at-budget), a bloom "no" must answer
+    in-range misses with ZERO reads — and hits must still read. Also pins
+    the complement: with cache room, a miss batch may decode ONCE (the
+    productive fill) and then answers from memory."""
+    import pyarrow.parquet as pq
+
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "blz")
+    build_domain(
+        spark, _kv(spark), root,
+        DomainSpec(num_shards=4, persistence_opts={
+            "bloom_fpp": 0.01, "serving_cache_bytes": 0,
+        }),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    dom.local_multi_get([b"warm"])
+    calls = []
+    orig_ib = pq.ParquetFile.iter_batches
+    orig_rg = pq.ParquetFile.read_row_groups
+    monkeypatch.setattr(
+        pq.ParquetFile, "iter_batches",
+        lambda self, *a, **kw: calls.append(1) or orig_ib(self, *a, **kw),
+    )
+    monkeypatch.setattr(
+        pq.ParquetFile, "read_row_groups",
+        lambda self, *a, **kw: calls.append(1) or orig_rg(self, *a, **kw),
+    )
+    misses = [f"k{i}x".encode() for i in range(60)]  # in-range, absent
+    out = dom.local_multi_get(misses)
+    assert all(v is None for v in out.values())
+    assert len(calls) <= 2  # fpp allowance; every real decode is gated
+    calls.clear()
+    assert dom.local_multi_get([b"k7"])[b"k7"] == b"v7"  # hits still read
+    assert len(calls) >= 1
+
+    # cache-room complement: same domain shape, cache ON — repeat miss
+    # batches pay at most one productive fill per (file, group), then zero
+    root2 = str(tmp_path / "blc")
+    build_domain(
+        spark, _kv(spark, tag="c"), root2,
+        DomainSpec(num_shards=4, persistence_opts={"bloom_fpp": 0.01}),
+        version=1,
+    )
+    dom2 = Domain(spark, root2)
+    missc = [f"kc{i}x".encode() for i in range(60)]
+    calls.clear()
+    dom2.local_multi_get(missc)
+    first = len(calls)
+    assert first >= 1  # the fill happened (bloom did NOT starve the cache)
+    calls.clear()
+    out2 = dom2.local_multi_get(missc)
+    assert all(v is None for v in out2.values())
+    assert len(calls) == 0  # steady state: all from the decoded cache

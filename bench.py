@@ -201,10 +201,13 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
 
     # miss-heavy serving with/without the Bloom sidecar (bloom.py): the
     # misses are IN-RANGE (linenumber 8 never exists but sorts between
-    # real keys), so the bound index cannot exclude them — the plain
-    # domain decodes a row group per file per miss batch, the bloom
-    # domain answers in memory (the reference's cheap B-tree miss,
-    # JavaBerkDB.java:70-82). Fixture build untimed.
+    # real keys), so the bound index cannot exclude them (the
+    # reference's cheap B-tree miss, JavaBerkDB.java:70-82). Since the
+    # decoded-group cache (r8) absorbs first-touch miss decodes at this
+    # fixture scale on BOTH domains, the two entries are expected ~equal
+    # here — the sidecar's structural win lives in the at-budget regime
+    # and is measured in BENCH_scale.json's bloom_miss block, where the
+    # domain outgrows the cache. Fixture build untimed.
     li_kv_b = lineitem.select(
         F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
         .cast("binary").alias("key"),

@@ -65,6 +65,16 @@ SERVING_GROUP_CACHE_BYTES = 64 << 20
 #: opens (VERDICT r6 item 3: wholesale clears thrashed >512-file domains).
 SERVING_CACHE_CAP = 512
 
+#: Largest row group the serving probe decodes WHOLE when it cannot be
+#: retained in the decoded-group cache (budget 0, budget-excluded, or
+#: over budget/4). Whole-group decode is one GIL-releasing C call probed
+#: vectorized — far cheaper and far more parallel than the Arrow-batch
+#: streaming loop — and at the 16 MiB layout cap every group qualifies;
+#: the streaming early-exit path remains for genuinely oversized pre-cap
+#: groups (the r5 design point of ~1 GB monoliths), bounding transient
+#: memory at ~this value per probing thread.
+SERVING_BULK_DECODE_MAX = 32 << 20
+
 #: Cross-shard fanout width for the local serving probe (per Domain
 #: handle; override per domain with
 #: ``persistence_opts={"serving_fanout": N}``, 1 disables). The
@@ -1168,19 +1178,38 @@ class Domain:
                         ]
                         if not wanted:
                             continue
-                    if cached is None and cacheable:
+                    if cached is None and (
+                        cacheable
+                        or (
+                            rg < len(rg_sizes)
+                            and rg_sizes[rg] <= SERVING_BULK_DECODE_MAX
+                        )
+                    ):
                         with pf_lock:
                             tbl = pf.read_row_groups(
                                 [rg], columns=["key", "value"]
                             )
                         tbl = tbl.combine_chunks()
-                        cached = self._rg_cache_put(
-                            fpath,
-                            rg,
-                            tbl.column("key"),
-                            tbl.column("value"),
-                            tbl.nbytes,
-                        )
+                        if cacheable:
+                            cached = self._rg_cache_put(
+                                fpath,
+                                rg,
+                                tbl.column("key"),
+                                tbl.column("value"),
+                                tbl.nbytes,
+                            )
+                        else:
+                            # bounded whole-group decode WITHOUT
+                            # retention: one C call + vectorized probe
+                            # beats the Arrow-batch streaming loop, and
+                            # at the 16 MiB layout cap the transient is
+                            # small; only pre-cap monoliths (> the bulk
+                            # bound) fall through to streaming
+                            cached = (
+                                tbl.column("key"),
+                                tbl.column("value"),
+                                tbl.nbytes,
+                            )
                     if cached is not None:
                         karr, varr, _nb = cached
                         idx = pc.index_in(

@@ -674,6 +674,69 @@ def run_scale_serving(spark, paths: dict[str, str], n: int, tag: str) -> dict:
     return timings
 
 
+def run_scale_fanout(spark) -> dict:
+    """Serving cross-shard fanout: the win must GROW with shard count
+    AT CONSTANT PER-SHARD WORK (the 100 TB shape: more shards of the
+    same size, a scattered batch touches more of them).
+
+    A multiGet batch over S shards costs the SUM of per-shard probes
+    serially but ~ceil(S/width)·max fanned out (keyval/core.clj:
+    118-134). Fixture: lineitem KV at (8 shards, 1× corpus) vs
+    (64 shards, 8× corpus) — per-shard bytes identical — with the
+    DEFAULT 16 MiB layout (per-shard work is one C-side group decode,
+    which releases the GIL; a deliberately shredded 64 KiB layout makes
+    the probe Python-overhead-bound and fanout measures ~1×, an honest
+    negative recorded in SCALE.md) and the decoded-group cache
+    DISABLED so every pass pays the decode. One caller thread,
+    1000-key scattered batch, min-of-5 warm passes per point."""
+    out: dict[str, dict] = {}
+    work = tempfile.mkdtemp(prefix="edb_scale_fanout_")
+    eng = Engine(spark, work)
+    from elephantdb_spark.engine import Domain
+
+    base = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    keys = [
+        f"{r.l_orderkey}-{r.l_linenumber}".encode()
+        for r in base.select("l_orderkey", "l_linenumber")
+        .limit(1000).collect()
+    ]
+    # cache disabled so EVERY pass pays the cold probe; with the default
+    # 16 MiB layout the uncached path is still the whole-group C decode
+    # (SERVING_BULK_DECODE_MAX), i.e. exactly the work a 100 TB domain's
+    # scattered batch pays per shard — and the work fanout parallelizes
+    for shards, copies in ((8, 1), (64, 8)):
+        paths = materialize(spark, copies, BASE_SF)
+        li_kv = spark.read.parquet(paths["lineitem"]).select(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+            .cast("binary").alias("key"),
+            F.col("l_extendedprice").cast("string").cast("binary")
+            .alias("value"),
+        )
+        name = f"li{shards}"
+        build_domain(
+            spark, li_kv, eng.domain_root(name),
+            DomainSpec(num_shards=shards,
+                       persistence_opts={"serving_cache_bytes": 0}),
+            version=1,
+        )
+        point = {}
+        for mode, width in (("serial", 1), ("fanout8", 8)):
+            dom = Domain(spark, eng.domain_root(name))
+            dom._fanout_threads = width
+            dom.local_multi_get(keys)  # untimed warm: handles + bounds
+            best = 1e9
+            for _ in range(5):
+                t0 = time.perf_counter()
+                dom.local_multi_get(keys)
+                best = min(best, time.perf_counter() - t0)
+            point[mode] = round(best, 4)
+        point["win"] = round(point["serial"] / point["fanout8"], 2)
+        point["copies"] = copies
+        out[f"shards{shards}"] = point
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run_scale_bloom_miss(spark, paths: dict[str, str], n: int, tag: str) -> dict:
     """VERDICT r7 item 2: measure the Bloom-sidecar miss win where it is
     STRUCTURAL. An in-range miss (the key falls inside some row group's
@@ -815,6 +878,17 @@ def main() -> None:
             "copies": N_COPIES,
             "base": BASE_SF,
             "entries": entries,
+        }))
+        spark.stop()
+        return
+
+    if os.environ.get("EDB_SCALE_FANOUT") == "1":
+        # serving cross-shard fanout: win vs shard count at constant
+        # per-shard bytes (r8) — replication is per-point inside
+        print(json.dumps({
+            "metric": "serving_fanout_by_shards",
+            "base": BASE_SF,
+            "entries": run_scale_fanout(spark),
         }))
         spark.stop()
         return

@@ -492,3 +492,40 @@ def test_fanout_admission_gate_concurrent_callers_stay_serial(spark, tmp_path):
     # gate released -> the same batch fans out
     dom.local_multi_get(keys)
     assert dom._serving_pool is not None
+
+
+def test_bulk_decode_vs_streaming_boundary(spark, tmp_path, monkeypatch):
+    """Non-retained probes bulk-decode groups up to SERVING_BULK_DECODE_MAX
+    (one C call + vectorized probe) and stream only genuinely oversized
+    pre-cap groups. Both branches must agree byte-for-byte with the truth
+    on hits/misses/NULLs — forced by shrinking the bulk bound to 1."""
+    import elephantdb_spark.engine as eng_mod
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "bulkbound")
+    pairs = [
+        (f"b{i:05d}".encode(), None if i % 53 == 0 else f"w{i}".encode())
+        for i in range(8000)
+    ]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=2, persistence_opts={"parquet.block.size": 65536}),
+        version=1,
+    )
+    truth = dict(pairs)
+    keys = [f"b{i:05d}".encode() for i in range(0, 8000, 111)] + [b"zzz", b""]
+
+    bulk = Domain(spark, root)
+    bulk._rg_cache_budget = 0  # non-retained, groups <= bound -> bulk path
+    got_bulk = bulk.local_multi_get(keys)
+    assert not bulk._rg_cache
+
+    monkeypatch.setattr(eng_mod, "SERVING_BULK_DECODE_MAX", 1)
+    stream = Domain(spark, root)
+    stream._rg_cache_budget = 0  # nothing cacheable, nothing bulk -> stream
+    got_stream = stream.local_multi_get(keys)
+    assert not stream._rg_cache
+
+    assert got_bulk == got_stream == {k: truth.get(k) for k in keys}

@@ -221,7 +221,12 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     miss_keys = sorted({
         f"{k.split(b'-')[0].decode()}-8".encode() for k in li_keys
     })
-    bdom.local_multi_get([b"warm"])
+    # warm BOTH domains with a full untimed miss pass: the plain domain
+    # enters this entry cache-warm from the earlier hit entries, so
+    # without this the bloom entry times 32 first-touch group fills
+    # against steady-state lookups — an asymmetry, not a comparison
+    bdom.local_multi_get(miss_keys)
+    dom.local_multi_get(miss_keys)
     with timed("local_multiget_miss_bloom"):
         got = bdom.local_multi_get(miss_keys)
         assert all(v is None for v in got.values())

@@ -529,3 +529,71 @@ def test_bulk_decode_vs_streaming_boundary(spark, tmp_path, monkeypatch):
     assert not stream._rg_cache
 
     assert got_bulk == got_stream == {k: truth.get(k) for k in keys}
+
+
+def test_serving_stack_stress_under_hotswap(spark, tmp_path):
+    """The full r8 serving stack at once — decoded-group cache, lone-caller
+    fanout gate, bloom sidecars, version hot-swaps — under 6 concurrent
+    reader threads while the main thread publishes 3 updates. Every read
+    must be version-consistent: stable keys exact, the updated key equal to
+    SOME published value (in-flight probes may resolve either side of a
+    swap), misses always None; afterwards the gate counter is balanced,
+    the pool is bounded, and a final read serves the newest version."""
+    import threading
+
+    from elephantdb_spark import update_domain
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "stress")
+    pairs = [(f"s{i:04d}".encode(), f"w{i}".encode()) for i in range(300)]
+    build_domain(
+        spark,
+        spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=8, persistence_opts={"bloom_fpp": 0.01}),
+        version=1,
+    )
+    dom = Domain(spark, root)
+    truth = dict(pairs)
+    hot = b"s0000"
+    valid_hot = {truth[hot], b"u1", b"u2", b"u3"}
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def reader(t):
+        try:
+            ks = [f"s{(i * 13 + t) % 300:04d}".encode() for i in range(40)]
+            ks += [hot, f"absent-{t}".encode(), b""]
+            while not stop.is_set():
+                res = dom.local_multi_get(ks)
+                for k in ks:
+                    if k == hot:
+                        assert res[k] in valid_hot, (k, res[k])
+                    elif k in truth:
+                        assert res[k] == truth[k], (k, res[k])
+                    else:
+                        assert res[k] is None, (k, res[k])
+        except BaseException as e:  # noqa: BLE001 - collected for the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader, args=(t,)) for t in range(6)]
+    for th in threads:
+        th.start()
+    try:
+        for v, val in ((2, b"u1"), (3, b"u2"), (4, b"u3")):
+            update_domain(
+                spark,
+                spark.createDataFrame([(hot, val)], "key binary, value binary"),
+                root,
+                version=v,
+            )
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert not errors, errors[:3]
+    assert dom._probe_callers == 0
+    if dom._serving_pool is not None:
+        assert len(dom._serving_pool._threads) <= dom._fanout_threads
+    assert dom.local_multi_get([hot])[hot] == b"u3"
+    assert dom.local_multi_get([hot], version=1)[hot] == truth[hot]

@@ -87,6 +87,27 @@ SERVING_BULK_DECODE_MAX = 32 << 20
 #: shared pool parallelizes for real.
 SERVING_FANOUT_THREADS = 8
 
+#: Process-shared fanout pool for default-width domains (see
+#: Domain._fanout_pool). Never shut down — it is process infrastructure,
+#: like the reference's one server pool across all loaded domains.
+_FANOUT_POOL = None
+_FANOUT_POOL_LOCK = threading.Lock()
+
+
+def _shared_fanout_pool():
+    global _FANOUT_POOL
+    if _FANOUT_POOL is None:
+        with _FANOUT_POOL_LOCK:
+            if _FANOUT_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _FANOUT_POOL = ThreadPoolExecutor(
+                    max_workers=SERVING_FANOUT_THREADS,
+                    thread_name_prefix="edb-serve",
+                )
+    return _FANOUT_POOL
+
+
 #: bulk_join auto-tuning (VERDICT r6 item 1): pick ``tasks_per_shard`` so
 #: one task's probe slice stays around this many rows …
 BULK_PROBE_ROWS_PER_TASK = 2_000_000
@@ -316,6 +337,7 @@ class Domain:
         except (TypeError, ValueError):
             self._fanout_threads = SERVING_FANOUT_THREADS
         self._serving_pool = None
+        self._pool_is_shared = False
         self._serving_pool_lock = threading.Lock()
         # concurrent local_multi_get caller count (fanout admission gate
         # — see local_multi_get's dispatch comment)
@@ -400,7 +422,8 @@ class Domain:
         self._is_shutdown = True
         with self._serving_pool_lock:
             pool, self._serving_pool = self._serving_pool, None
-        if pool is not None:
+            shared, self._pool_is_shared = self._pool_is_shared, False
+        if pool is not None and not shared:
             pool.shutdown(wait=False)
 
     def shard_set(self, version: int | None = None) -> list[int]:
@@ -1309,23 +1332,31 @@ class Domain:
         return out
 
     def _fanout_pool(self):
-        """Lazy shared cross-shard probe pool (``serving_fanout`` wide).
+        """Lazy cross-shard probe pool (``serving_fanout`` wide).
 
-        One pool per Domain handle, created on first multi-shard probe:
-        external request threads (the serving daemon's pool) queue their
-        shard probes onto the SAME bounded pool instead of multiplying
-        thread counts — the composition stays ≤ fanout extra threads
-        regardless of caller concurrency.
+        Domains at the DEFAULT width share one process-level pool — the
+        reference daemon serves every domain from one server pool
+        (THsHaServer, common/thrift.clj:111-118), and a serving process
+        over hundreds of domains must not hold fanout-threads × domains
+        idle stacks. A custom width gets a private pool of that width
+        (it is a per-domain contract). Either way external request
+        threads queue onto ONE bounded pool instead of multiplying
+        thread counts, and :meth:`shutdown` releases only private pools.
         """
         if self._serving_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
             with self._serving_pool_lock:
                 if self._serving_pool is None:
-                    self._serving_pool = ThreadPoolExecutor(
-                        max_workers=self._fanout_threads,
-                        thread_name_prefix="edb-serve",
-                    )
+                    if self._fanout_threads == SERVING_FANOUT_THREADS:
+                        self._serving_pool = _shared_fanout_pool()
+                        self._pool_is_shared = True
+                    else:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        self._serving_pool = ThreadPoolExecutor(
+                            max_workers=self._fanout_threads,
+                            thread_name_prefix="edb-serve",
+                        )
+                        self._pool_is_shared = False
         return self._serving_pool
 
     def local_get(self, key: bytes, version: int | None = None) -> bytes | None:

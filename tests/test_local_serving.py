@@ -597,3 +597,43 @@ def test_serving_stack_stress_under_hotswap(spark, tmp_path):
         assert len(dom._serving_pool._threads) <= dom._fanout_threads
     assert dom.local_multi_get([hot])[hot] == b"u3"
     assert dom.local_multi_get([hot], version=1)[hot] == truth[hot]
+
+
+def test_fanout_pool_process_shared_across_domains(spark, tmp_path):
+    """Default-width domains share ONE process pool (the reference serves
+    every domain from one server pool, common/thrift.clj:111-118) and
+    shutdown() must not kill it for other domains; a custom width gets a
+    private pool that shutdown() does release."""
+    import elephantdb_spark.engine as eng_mod
+    from elephantdb_spark.engine import Domain
+
+    pairs = [(f"d{i:03d}".encode(), f"e{i}".encode()) for i in range(120)]
+    roots = []
+    for i, opts in enumerate(({}, {}, {"serving_fanout": 4})):
+        root = str(tmp_path / f"share{i}")
+        build_domain(
+            spark,
+            spark.createDataFrame(pairs, "key binary, value binary"),
+            root,
+            DomainSpec(num_shards=4, persistence_opts=opts),
+            version=1,
+        )
+        roots.append(root)
+    keys = [k for k, _ in pairs[:60]]
+
+    d0, d1, d2 = (Domain(spark, r) for r in roots)
+    for d in (d0, d1, d2):
+        assert d.local_multi_get(keys) == dict(pairs[:60])
+    assert d0._serving_pool is d1._serving_pool is eng_mod._FANOUT_POOL
+    assert d0._pool_is_shared and d1._pool_is_shared
+    assert d2._serving_pool is not eng_mod._FANOUT_POOL  # custom width
+    assert not d2._pool_is_shared
+    assert d2._serving_pool._max_workers == 4
+
+    d0.shutdown()
+    assert d0._serving_pool is None
+    # the shared pool survives for the other domain
+    assert not eng_mod._FANOUT_POOL._shutdown
+    assert d1.local_multi_get(keys[:10]) == dict(pairs[:10])
+    d2.shutdown()
+    assert d2._serving_pool is None

@@ -216,6 +216,12 @@ class BloomFilter:
         against MANY filters (the serving probe checks the same key set
         against every file's sidecar in a shard; blake2b is the only
         per-key cost and it must not repeat per file)."""
+        if not isinstance(keys, (list, tuple)):
+            # materialize one-shot iterators BEFORE hashing: the fallback
+            # below re-iterates, and resuming a half-consumed iterator
+            # would silently produce a truncated blob whose answers map
+            # to the WRONG keys (same hazard add_batch guards against)
+            keys = list(keys)
         try:
             return b"".join(
                 [blake2b(k, digest_size=16).digest() for k in keys]
@@ -257,7 +263,9 @@ class BloomFilter:
             )
             ok &= hit != 0
             if i + 1 < self.k:
-                pos = pos + r2  # fresh array: never mutate a caller blob
+                # in-place like _fold_digests: pos is already a private
+                # array (% / astype both copy), never a caller view
+                pos += r2
                 pos[pos >= m] -= m
         return ok.tolist()
 

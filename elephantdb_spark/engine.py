@@ -1121,7 +1121,6 @@ class Domain:
                 pf, pf_lock, _key_idx, bounds, bloom, rg_sizes = (
                     self._open_shard_file(fpath)
                 )
-                file_targets = targets
                 # Candidate row groups per key by BISECT over the cached
                 # bound index — the old per-probe per-row-group
                 # `.statistics` walk deserialized Thrift metadata
@@ -1134,13 +1133,13 @@ class Domain:
                 # conservative containment the linear walk applied.
                 mins, maxs, stat_rgs, statless = bounds
                 by_rg: dict[int, list[bytes]] = {}
-                for k in file_targets:
+                for k in targets:
                     j = bisect.bisect_right(mins, k) - 1
                     while j >= 0 and maxs[j] >= k:
                         by_rg.setdefault(stat_rgs[j], []).append(k)
                         j -= 1
                 for rg in statless:
-                    by_rg[rg] = file_targets  # no stats → scan the group
+                    by_rg[rg] = targets  # no stats → scan the group
                 for rg in sorted(by_rg):
                     wanted = sorted(set(by_rg[rg]))
                     # Decoded-group cache fast path: hot groups answer
@@ -1308,24 +1307,40 @@ class Domain:
         # (measured at sf0.1: 8 callers × cache-warm batches ran 1.5-2.5×
         # SLOWER fanned than serial, while a lone caller ran 1.7-2.1×
         # FASTER fanned — both regimes, both cache states). A batch fans
-        # out only when it is the ONLY in-flight probe on this handle;
-        # otherwise it probes serially on its own thread. The caller
-        # count is a heuristic read — a race mis-picks the dispatch mode
-        # for one batch, never correctness.
+        # out only when it is the only in-flight MULTI-SHARD probe on
+        # this handle — single-shard point gets never enter the count
+        # (they add no parallelism pressure; a steady point-get trickle
+        # must not starve scatter batches of the fanout win) — otherwise
+        # it probes serially on its own thread. The caller count is a
+        # heuristic read — a race mis-picks the dispatch mode for one
+        # batch, never correctness.
+        if len(by_shard) <= 1 or self._fanout_threads <= 1:
+            for shard, shard_keys in by_shard.items():
+                out.update(_probe_shard(shard, shard_keys))
+            return out
         with self._fanout_count_lock:
             self._probe_callers += 1
             lone_caller = self._probe_callers == 1
         try:
-            if len(by_shard) <= 1 or self._fanout_threads <= 1 or not lone_caller:
+            pool = self._fanout_pool() if lone_caller else None
+            if pool is None:  # gated, width 1, or raced a shutdown()
                 for shard, shard_keys in by_shard.items():
                     out.update(_probe_shard(shard, shard_keys))
-            else:
-                futures = [
-                    self._fanout_pool().submit(_probe_shard, shard, shard_keys)
-                    for shard, shard_keys in by_shard.items()
-                ]
-                for fut in futures:
-                    out.update(fut.result())
+                return out
+            futures, serial_rest = [], []
+            for shard, shard_keys in by_shard.items():
+                try:
+                    futures.append(
+                        pool.submit(_probe_shard, shard, shard_keys)
+                    )
+                except RuntimeError:
+                    # pool shut down mid-dispatch (shutdown() race on a
+                    # private pool): finish on the caller thread
+                    serial_rest.append((shard, shard_keys))
+            for fut in futures:
+                out.update(fut.result())
+            for shard, shard_keys in serial_rest:
+                out.update(_probe_shard(shard, shard_keys))
         finally:
             with self._fanout_count_lock:
                 self._probe_callers -= 1
@@ -1338,15 +1353,24 @@ class Domain:
         reference daemon serves every domain from one server pool
         (THsHaServer, common/thrift.clj:111-118), and a serving process
         over hundreds of domains must not hold fanout-threads × domains
-        idle stacks. A custom width gets a private pool of that width
-        (it is a per-domain contract). Either way external request
-        threads queue onto ONE bounded pool instead of multiplying
-        thread counts, and :meth:`shutdown` releases only private pools.
+        idle stacks. An EXPLICIT ``serving_fanout`` in the spec — any
+        value, including 8 — gets a private pool of that width (the
+        knob is a per-domain contract: its batches must not queue
+        behind other domains'). Either way external request threads
+        queue onto ONE bounded pool instead of multiplying thread
+        counts, and :meth:`shutdown` releases only private pools.
+        Returns None on a shut-down handle (callers probe serially)
+        so a post-shutdown probe can never recreate a leaked pool.
         """
         if self._serving_pool is None:
             with self._serving_pool_lock:
+                if self._is_shutdown:
+                    return None
                 if self._serving_pool is None:
-                    if self._fanout_threads == SERVING_FANOUT_THREADS:
+                    explicit = "serving_fanout" in (
+                        self.store.spec.persistence_opts or {}
+                    )
+                    if not explicit:
                         self._serving_pool = _shared_fanout_pool()
                         self._pool_is_shared = True
                     else:

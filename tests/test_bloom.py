@@ -403,3 +403,17 @@ def test_bloom_gates_decodes_when_cache_cannot_absorb(spark, tmp_path, monkeypat
     out2 = dom2.local_multi_get(missc)
     assert all(v is None for v in out2.values())
     assert len(calls) == 0  # steady state: all from the decoded cache
+
+
+def test_hash_keys_one_shot_iterator_with_fallback():
+    """hash_keys must materialize one-shot iterators BEFORE hashing: a
+    non-bytes item mid-stream triggers the bytes() fallback, and resuming
+    a half-consumed iterator would silently truncate the blob so answers
+    map to the wrong keys (the add_batch hazard, now guarded here too)."""
+    keys = [b"a", b"b", bytearray(b"c"), b"d"]
+    blob = BloomFilter.hash_keys(iter(keys))
+    assert len(blob) == 16 * 4
+    assert blob == BloomFilter.hash_keys([bytes(k) for k in keys])
+    bf = BloomFilter.build([b"a", b"d"], 0.01)
+    got = bf.contains_digests(blob)
+    assert got[0] is True and got[3] is True  # members never false

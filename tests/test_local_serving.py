@@ -637,3 +637,49 @@ def test_fanout_pool_process_shared_across_domains(spark, tmp_path):
     assert d1.local_multi_get(keys[:10]) == dict(pairs[:10])
     d2.shutdown()
     assert d2._serving_pool is None
+
+
+def test_fanout_review_fixes(spark, tmp_path):
+    """Round-8 review regressions: (1) single-shard probes never enter the
+    admission count (a point-get trickle must not starve scatter batches
+    of fanout); (2) an explicit serving_fanout — even 8 — gets a PRIVATE
+    pool (per-domain contract, never queued behind other domains);
+    (3) a probe racing a pool shutdown falls back to the caller thread
+    and still answers exactly."""
+    from elephantdb_spark.engine import Domain
+
+    pairs = [(f"r{i:03d}".encode(), f"x{i}".encode()) for i in range(200)]
+
+    # (1) single-shard domain: probes take the early serial branch
+    root1 = str(tmp_path / "one")
+    build_domain(
+        spark, spark.createDataFrame(pairs, "key binary, value binary"),
+        root1, DomainSpec(num_shards=1), version=1,
+    )
+    d1 = Domain(spark, root1)
+    assert d1.local_multi_get([k for k, _ in pairs[:50]]) == dict(pairs[:50])
+    assert d1._probe_callers == 0 and d1._serving_pool is None
+
+    # (2) explicit width 8 != default: private pool
+    root8 = str(tmp_path / "eight")
+    build_domain(
+        spark, spark.createDataFrame(pairs, "key binary, value binary"),
+        root8, DomainSpec(num_shards=8, persistence_opts={"serving_fanout": 8}),
+        version=1,
+    )
+    import elephantdb_spark.engine as eng_mod
+
+    d8 = Domain(spark, root8)
+    keys = [k for k, _ in pairs[:80]]
+    assert d8.local_multi_get(keys) == dict(pairs[:80])
+    assert d8._serving_pool is not None
+    assert not d8._pool_is_shared
+    assert d8._serving_pool is not eng_mod._FANOUT_POOL
+
+    # (3) kill the private pool out from under the handle: the next probe
+    # must complete serially with exact results (RuntimeError fallback)
+    d8._serving_pool.shutdown(wait=False)
+    assert d8.local_multi_get(keys) == dict(pairs[:80])
+    # and a fully shut-down handle never recreates a pool
+    d8.shutdown()
+    assert d8._fanout_pool() is None

@@ -328,14 +328,19 @@ class Domain:
         # every call on this handle so external caller threads — the
         # serving daemon's request pool — compose with it instead of
         # multiplying thread counts)
+        _opts = self.store.spec.persistence_opts or {}
         try:
             self._fanout_threads = max(1, int(
-                (self.store.spec.persistence_opts or {}).get(
-                    "serving_fanout", SERVING_FANOUT_THREADS
-                )
+                _opts.get("serving_fanout", SERVING_FANOUT_THREADS)
             ))
+            # a VALID explicit knob is a per-domain contract (private
+            # pool); an unparseable value falls back to the default AND
+            # the shared pool — presence alone must not allocate
+            # hundreds of private pools off a typo
+            self._fanout_explicit = "serving_fanout" in _opts
         except (TypeError, ValueError):
             self._fanout_threads = SERVING_FANOUT_THREADS
+            self._fanout_explicit = False
         self._serving_pool = None
         self._pool_is_shared = False
         self._serving_pool_lock = threading.Lock()
@@ -1314,18 +1319,20 @@ class Domain:
         # it probes serially on its own thread. The caller count is a
         # heuristic read — a race mis-picks the dispatch mode for one
         # batch, never correctness.
-        if len(by_shard) <= 1 or self._fanout_threads <= 1:
-            for shard, shard_keys in by_shard.items():
+        def _serial(items) -> None:
+            for shard, shard_keys in items:
                 out.update(_probe_shard(shard, shard_keys))
+
+        if len(by_shard) <= 1 or self._fanout_threads <= 1:
+            _serial(by_shard.items())
             return out
         with self._fanout_count_lock:
             self._probe_callers += 1
             lone_caller = self._probe_callers == 1
         try:
             pool = self._fanout_pool() if lone_caller else None
-            if pool is None:  # gated, width 1, or raced a shutdown()
-                for shard, shard_keys in by_shard.items():
-                    out.update(_probe_shard(shard, shard_keys))
+            if pool is None:  # gated, or raced a shutdown()
+                _serial(by_shard.items())
                 return out
             futures, serial_rest = [], []
             for shard, shard_keys in by_shard.items():
@@ -1339,8 +1346,7 @@ class Domain:
                     serial_rest.append((shard, shard_keys))
             for fut in futures:
                 out.update(fut.result())
-            for shard, shard_keys in serial_rest:
-                out.update(_probe_shard(shard, shard_keys))
+            _serial(serial_rest)
         finally:
             with self._fanout_count_lock:
                 self._probe_callers -= 1
@@ -1367,10 +1373,7 @@ class Domain:
                 if self._is_shutdown:
                     return None
                 if self._serving_pool is None:
-                    explicit = "serving_fanout" in (
-                        self.store.spec.persistence_opts or {}
-                    )
-                    if not explicit:
+                    if not self._fanout_explicit:
                         self._serving_pool = _shared_fanout_pool()
                         self._pool_is_shared = True
                     else:

@@ -410,10 +410,14 @@ def test_hash_keys_one_shot_iterator_with_fallback():
     non-bytes item mid-stream triggers the bytes() fallback, and resuming
     a half-consumed iterator would silently truncate the blob so answers
     map to the wrong keys (the add_batch hazard, now guarded here too)."""
-    keys = [b"a", b"b", bytearray(b"c"), b"d"]
+    # [0x63] is the trap item: blake2b REJECTS a list (TypeError, after
+    # the try-branch already consumed two items) but bytes([0x63]) == b"c"
+    # — so only a pre-materialized fallback re-hashes all four keys; a
+    # resumed iterator would yield a truncated, misaligned blob
+    keys = [b"a", b"b", [0x63], b"d"]
     blob = BloomFilter.hash_keys(iter(keys))
     assert len(blob) == 16 * 4
-    assert blob == BloomFilter.hash_keys([bytes(k) for k in keys])
+    assert blob == BloomFilter.hash_keys([b"a", b"b", b"c", b"d"])
     bf = BloomFilter.build([b"a", b"d"], 0.01)
     got = bf.contains_digests(blob)
     assert got[0] is True and got[3] is True  # members never false

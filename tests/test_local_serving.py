@@ -683,3 +683,26 @@ def test_fanout_review_fixes(spark, tmp_path):
     # and a fully shut-down handle never recreates a pool
     d8.shutdown()
     assert d8._fanout_pool() is None
+
+
+def test_invalid_serving_fanout_value_uses_shared_pool(spark, tmp_path):
+    """An UNPARSEABLE serving_fanout (a typo) must fall back to the
+    default width AND the shared process pool — key presence alone must
+    not allocate a private pool per mis-configured domain."""
+    import elephantdb_spark.engine as eng_mod
+    from elephantdb_spark.engine import SERVING_FANOUT_THREADS, Domain
+
+    pairs = [(f"t{i:03d}".encode(), f"u{i}".encode()) for i in range(100)]
+    root = str(tmp_path / "typo")
+    build_domain(
+        spark, spark.createDataFrame(pairs, "key binary, value binary"),
+        root,
+        DomainSpec(num_shards=4, persistence_opts={"serving_fanout": "fast"}),
+        version=1,
+    )
+    d = Domain(spark, root)
+    assert d._fanout_threads == SERVING_FANOUT_THREADS
+    assert not d._fanout_explicit
+    assert d.local_multi_get([k for k, _ in pairs[:40]]) == dict(pairs[:40])
+    assert d._serving_pool is eng_mod._FANOUT_POOL
+    assert d._pool_is_shared

@@ -320,6 +320,11 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         # memory tier — serving figures above are cache-warm by design,
         # the repeat-batch workload is what the cache exists for)
         "rg_cache_mib": round(dom._rg_cache_nbytes / 2**20, 2),
+        # 1-min loadavg at serving-measurement time: a contended driver
+        # run (other rounds' processes sharing the host) shows up here,
+        # so a low driver keys/sec figure is self-explaining (r8 VERDICT
+        # item 4 — driver 5,145 vs solo 7,333 was contention)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
     # the same workload with the decoded-group cache DISABLED (r8): the
@@ -1057,22 +1062,57 @@ def main() -> None:
     try:
         with open(raw_path, "w") as f:
             json.dump({
+                "queries": merged,
                 "raw_passes": raw,
                 "serving_passes": servings,
                 "provenance": provenance,
             }, f, indent=1)
     except OSError as e:  # a read-only checkout must not kill the bench
         print(f"WARN: could not write {raw_path}: {e}", file=sys.stderr)
-    print(json.dumps({
+    print(build_final_line(total, merged, servings[best_serving],
+                           _sf_tag(SF_DIR), passes, provenance))
+
+
+# The driver captures only the LAST 2,000 characters of stdout and parses
+# the final line as JSON (measured: BENCH_r07/r08.json both carry exactly
+# 2,000-char front-truncated tails -> parsed:null two rounds running).
+# The full 66-entry per-query map alone is ~3.7 KB, so it can NEVER ride
+# the stdout line: it lives in BENCH_raw_passes.json ("queries" key) and
+# the final line carries totals + serving + provenance scalars only.
+# tests/test_bench_contract.py pins the budget so added entries can't
+# regress this.
+FINAL_LINE_MAX_CHARS = 1500
+
+
+def build_final_line(total, merged, serving, sf, passes, provenance) -> str:
+    """Compact machine-readable last stdout line (<= FINAL_LINE_MAX_CHARS).
+
+    Per-query timings intentionally absent — see BENCH_raw_passes.json.
+    """
+    line = json.dumps({
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
-        "queries": merged,
-        "serving": servings[best_serving],
-        "sf": _sf_tag(SF_DIR),
+        "n_queries": len(merged),
+        "serving": serving,
+        "sf": sf,
         "passes": passes,
         "provenance": provenance,
-    }, separators=(",", ":")))
+        "queries_file": "BENCH_raw_passes.json",
+    }, separators=(",", ":"))
+    if len(line) > FINAL_LINE_MAX_CHARS:
+        # fallback: drop to bare scalars rather than ever exceeding the
+        # driver's capture window (unreachable unless blocks bloat)
+        line = json.dumps({
+            "metric": "total_bench_sec",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(merged),
+            "sf": sf,
+            "passes": passes,
+            "queries_file": "BENCH_raw_passes.json",
+        }, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,99 @@
+"""Contract tests for bench.py's final stdout line.
+
+The round driver captures only the LAST 2,000 characters of bench.py's
+stdout and json-parses the final line; BENCH_r07/r08.json both recorded
+``parsed: null`` because the line embedded the full per-query map
+(~3.7 KB).  These tests pin the compact-line contract so adding bench
+entries or provenance fields can never push the line past the capture
+window again (r8 VERDICT item 1).
+
+No SparkSession needed — build_final_line is pure.
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_BENCH_PATH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+@pytest.fixture(scope="module")
+def bench_mod():
+    # bench.py creates a SparkSession only inside main(); importing the
+    # module is side-effect-free apart from reading env vars.
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.modules.pop("bench_under_test", None)
+
+
+def _realistic_inputs():
+    """Shapes copied from BENCH_raw_passes.json (r8 driver run)."""
+    merged = {f"entry_{i:02d}": round(0.123 + i * 0.017, 3) for i in range(80)}
+    serving = {
+        "keys_per_sec": 4587.2,
+        "per_key_p50_ms": 1.5412,
+        "per_key_p99_ms": 3.1917,
+        "batch_keys": 100,
+        "threads": 8,
+        "peak_rss_delta_mib": 9.5,
+        "peak_rss_windowed": True,
+        "rg_cache_mib": 10.07,
+        "loadavg_1m": 7.22,
+    }
+    provenance = {
+        "merge": "per-entry min over warm passes in one JVM",
+        "pass_count": 3,
+        "serving_from_pass": 1,
+        "loadavg_before": [2.68, 2.97, 2.7],
+        "loadavg_after": [7.22, 7.59, 5.12],
+        "wall_sec_all_passes": 328.7,
+        "cpus": 32,
+        "raw_passes_file": "BENCH_raw_passes.json",
+    }
+    return merged, serving, provenance
+
+
+def test_final_line_fits_driver_capture(bench_mod):
+    merged, serving, provenance = _realistic_inputs()
+    line = bench_mod.build_final_line(
+        66.123, merged, serving, 0.1, 3, provenance
+    )
+    assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
+    # hard driver bound with headroom: the capture window is 2,000 chars
+    # and earlier stdout shares it
+    assert bench_mod.FINAL_LINE_MAX_CHARS <= 1500
+
+
+def test_final_line_is_one_json_object(bench_mod):
+    merged, serving, provenance = _realistic_inputs()
+    line = bench_mod.build_final_line(12.3, merged, serving, 0.1, 3, provenance)
+    assert "\n" not in line
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_bench_sec"
+    assert parsed["value"] == 12.3
+    assert parsed["unit"] == "sec"
+    assert parsed["queries_file"] == "BENCH_raw_passes.json"
+    assert parsed["n_queries"] == len(merged)
+    # the per-query map must NOT ride the line — that is the regression
+    assert "queries" not in parsed
+    assert parsed["serving"]["keys_per_sec"] == serving["keys_per_sec"]
+    assert "loadavg_1m" in parsed["serving"]
+
+
+def test_final_line_fallback_never_exceeds_budget(bench_mod):
+    merged, serving, provenance = _realistic_inputs()
+    # bloat the provenance far past the budget: the fallback path must
+    # engage and still produce valid, bounded JSON
+    provenance = dict(provenance, note="x" * 4000)
+    line = bench_mod.build_final_line(1.0, merged, serving, 0.1, 3, provenance)
+    assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
+    parsed = json.loads(line)
+    assert parsed["value"] == 1.0
+    assert parsed["queries_file"] == "BENCH_raw_passes.json"

@@ -241,6 +241,13 @@ class BloomFilter:
         than the decoded-group cache it was meant to beat)."""
         import numpy as np
 
+        if len(digests) % 16:
+            # a truncated/overrun blob would silently answer for FEWER
+            # keys than the caller zips against — a missed hit, not an
+            # error — so malformed input must fail loudly here
+            raise ValueError(
+                f"digest blob length {len(digests)} is not a multiple of 16"
+            )
         cnt = len(digests) // 16
         if not cnt:
             return []

@@ -1126,6 +1126,44 @@ class Domain:
                 pf, pf_lock, _key_idx, bounds, bloom, rg_sizes = (
                     self._open_shard_file(fpath)
                 )
+                # File-level Bloom pre-filter (the sidecar covers the
+                # whole FILE): in the non-cache-absorbing regime — the
+                # per-group path below would consult the same filter for
+                # every candidate group anyway — one vectorized test over
+                # all targets drops bloom-definitive misses from the
+                # bisect walk entirely, and skips the file when nothing
+                # survives. A miss-heavy batch on a fragmented multi-file
+                # shard previously paid O(files × targets) bisect +
+                # digest-subset assembly before the first per-group
+                # consult. When the cache could still absorb the file's
+                # smallest group, keep the r8 cache-first order: decoding
+                # a group once makes every later miss on it a single
+                # C-side hash probe, which the pre-filter would starve.
+                file_targets = targets
+                prefiltered = False
+                if bloom is not None:
+                    absorbing = (
+                        self._rg_cache_budget > 0
+                        and bool(rg_sizes)
+                        and min(rg_sizes) <= self._rg_cache_budget // 4
+                        and self._rg_cache_nbytes + min(rg_sizes)
+                        <= self._rg_cache_budget
+                    )
+                    if not absorbing:
+                        if target_digs is None:
+                            target_digs = bloom.hash_keys(targets)
+                            dig_at = {
+                                key: i for i, key in enumerate(targets)
+                            }
+                        file_targets = [
+                            k for k, ok in zip(
+                                targets,
+                                bloom.contains_digests(target_digs),
+                            ) if ok
+                        ]
+                        if not file_targets:
+                            continue
+                        prefiltered = True
                 # Candidate row groups per key by BISECT over the cached
                 # bound index — the old per-probe per-row-group
                 # `.statistics` walk deserialized Thrift metadata
@@ -1138,13 +1176,13 @@ class Domain:
                 # conservative containment the linear walk applied.
                 mins, maxs, stat_rgs, statless = bounds
                 by_rg: dict[int, list[bytes]] = {}
-                for k in targets:
+                for k in file_targets:
                     j = bisect.bisect_right(mins, k) - 1
                     while j >= 0 and maxs[j] >= k:
                         by_rg.setdefault(stat_rgs[j], []).append(k)
                         j -= 1
                 for rg in statless:
-                    by_rg[rg] = targets  # no stats → scan the group
+                    by_rg[rg] = file_targets  # no stats → scan the group
                 for rg in sorted(by_rg):
                     wanted = sorted(set(by_rg[rg]))
                     # Decoded-group cache fast path: hot groups answer
@@ -1163,6 +1201,9 @@ class Domain:
                     if (
                         cached is None
                         and bloom is not None
+                        and not prefiltered  # file-level test already ran:
+                        # the sidecar is per-FILE, a per-group re-test of
+                        # surviving keys returns all-yes by construction
                         and not (
                             cacheable
                             and self._rg_cache_nbytes + rg_sizes[rg]
@@ -1344,8 +1385,16 @@ class Domain:
                     # pool shut down mid-dispatch (shutdown() race on a
                     # private pool): finish on the caller thread
                     serial_rest.append((shard, shard_keys))
-            for fut in futures:
-                out.update(fut.result())
+            try:
+                for fut in futures:
+                    out.update(fut.result())
+            except BaseException:
+                # the pool is PROCESS-SHARED: abandoned siblings would
+                # keep occupying slots other domains' probes need, for
+                # results nobody reads — cancel whatever hasn't started
+                for fut in futures:
+                    fut.cancel()
+                raise
             _serial(serial_rest)
         finally:
             with self._fanout_count_lock:

@@ -730,7 +730,12 @@ def run_scale_fanout(spark) -> dict:
                 dom.local_multi_get(keys)
                 best = min(best, time.perf_counter() - t0)
             point[mode] = round(best, 4)
-        point["win"] = round(point["serial"] / point["fanout8"], 2)
+            point[mode + "_raw"] = best
+        # ratio from the RAW floats: a fanout8 best under ~50 µs rounds
+        # to 0.0 and a ratio over rounded values would divide by zero
+        point["win"] = round(
+            point.pop("serial_raw") / max(point.pop("fanout8_raw"), 1e-9), 2
+        )
         point["copies"] = copies
         out[f"shards{shards}"] = point
     shutil.rmtree(work, ignore_errors=True)

@@ -421,3 +421,91 @@ def test_hash_keys_one_shot_iterator_with_fallback():
     bf = BloomFilter.build([b"a", b"d"], 0.01)
     got = bf.contains_digests(blob)
     assert got[0] is True and got[3] is True  # members never false
+
+
+def test_contains_digests_rejects_malformed_blob():
+    bf = BloomFilter.build([b"a", b"b"], fpp=0.05)
+    good = BloomFilter.hash_keys([b"a", b"x"])
+    assert bf.contains_digests(good) == [True, bf.might_contain(b"x")]
+    with pytest.raises(ValueError, match="multiple of 16"):
+        bf.contains_digests(good[:-1])  # truncated: would drop a key
+    with pytest.raises(ValueError, match="multiple of 16"):
+        bf.contains_digests(good + b"\x00")
+
+
+def test_file_level_prefilter_multi_file_shard(spark, tmp_path, monkeypatch):
+    """r9 (ADVICE r8): in the non-absorbing regime a multi-file shard runs
+    ONE file-level contains_digests per file — definitive misses never
+    enter the bisect walk — while hits that live in DIFFERENT files of the
+    same shard all still surface (the narrowing must be per-file, not
+    shard-sticky)."""
+    from elephantdb_spark.bloom import BloomFilter as BF
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "pref")
+    build_domain(
+        spark, _kv(spark, n=300), root,
+        DomainSpec(num_shards=2, persistence_opts={
+            "bloom_fpp": 0.001, "serving_cache_bytes": 0,
+        }),
+        version=1,
+    )
+    # fragment: two incremental updates -> up to 3 files per shard, with
+    # different key populations per file
+    update_domain(spark, _kv(spark, n=200, tag="b"), root, version=2)
+    update_domain(spark, _kv(spark, n=100, tag="c"), root, version=3)
+
+    dom = Domain(spark, root)
+    dom.local_multi_get([b"warm"])
+
+    calls = []
+    orig = BF.contains_digests
+    monkeypatch.setattr(
+        BF, "contains_digests",
+        lambda self, d: calls.append(len(d) // 16) or orig(self, d),
+    )
+    # mixed batch: hits from each generation + in-range misses
+    hits = [b"k5", b"kb5", b"kc5", b"k250", b"kb150"]
+    misses = [f"k{i}zz".encode() for i in range(40)]
+    out = dom.local_multi_get(hits + misses)
+    assert out[b"k5"] == b"v5"
+    assert out[b"kb5"] == b"vb5"
+    assert out[b"kc5"] == b"vc5"
+    assert out[b"k250"] == b"v250"
+    assert out[b"kb150"] == b"vb150"
+    assert all(out[m] is None for m in misses)
+    # prefiltered files must not re-consult bloom per group: the number
+    # of consults is bounded by the number of files probed (2 shards x
+    # <=3 files), never files x groups x subsets
+    assert 1 <= len(calls) <= 6
+
+
+def test_fanout_failure_cancels_pending_and_releases_gate(spark, tmp_path, monkeypatch):
+    """r9 (ADVICE r8): a shard-probe failure during fanout must propagate,
+    cancel queued siblings on the shared pool, decrement the admission
+    counter, and leave the handle probing fine afterwards."""
+    from elephantdb_spark.engine import Domain
+
+    root = str(tmp_path / "ffail")
+    build_domain(
+        spark, _kv(spark, n=400), root,
+        DomainSpec(num_shards=8), version=1,
+    )
+    dom = Domain(spark, root)
+    keys = [f"k{i}".encode() for i in range(0, 400, 7)]
+    ok = dom.local_multi_get(keys)
+    assert ok[b"k7"] == b"v7"
+
+    orig_open = Domain._open_shard_file
+    def boom(self, fpath):
+        if "shard=3" in fpath:
+            raise OSError("transient")
+        return orig_open(self, fpath)
+    monkeypatch.setattr(Domain, "_open_shard_file", boom)
+    dom2 = Domain(spark, root)
+    with pytest.raises(OSError, match="transient"):
+        dom2.local_multi_get(keys)
+    assert dom2._probe_callers == 0  # gate released on the error path
+    monkeypatch.setattr(Domain, "_open_shard_file", orig_open)
+    again = dom2.local_multi_get(keys)
+    assert again == ok  # pool + handle still serviceable

@@ -1690,7 +1690,19 @@ class Engine:
         callers with sequential version ids should pass their next id,
         the default is the timestamp id ``compact_domain`` picks.
         Reference anchor: version-chain rewrite,
-        DomainStore.java:156-180, cascalog/keyval.clj:55-64."""
+        DomainStore.java:156-180, cascalog/keyval.clj:55-64.
+
+        Neardup-history roots (paired ``sigs``/``bands`` sub-domains
+        under one params file) route to the LOCKSTEP compactor —
+        compacting either sub-domain alone would publish it a version
+        the other doesn't have, breaking the bands@v ⇒ sigs@v probe
+        invariant — and so does naming a sub-domain directly: the whole
+        pair is swept (VERDICT r8 item 7)."""
+        hroot = self._neardup_history_root(name)
+        if hroot is not None:
+            return self._maintain_neardup_history(
+                hroot, compact_after_files, version
+            )
         dom = self.domain(name)
         cap = compact_after_files if compact_after_files is not None else int(
             (dom.spec.persistence_opts or {}).get("compact_after_files", 1)
@@ -1710,6 +1722,51 @@ class Engine:
         return compact_domain(
             self.spark, self.domain_root(name),
             version=version, max_files_per_shard=cap,
+        )
+
+    def _neardup_history_root(self, name: str) -> str | None:
+        """The neardup-history root ``name`` belongs to, or None.
+
+        ``name`` may be the history root itself or one of its
+        ``sigs``/``bands`` sub-domains (e.g. ``"hist/sigs"``)."""
+        from elephantdb_spark.operators.neardup_history import PARAMS_FILE
+
+        root = self.domain_root(name)
+        if os.path.exists(os.path.join(root, PARAMS_FILE)):
+            return root
+        if os.path.basename(root) in ("sigs", "bands"):
+            parent = os.path.dirname(root)
+            if os.path.exists(os.path.join(parent, PARAMS_FILE)):
+                return parent
+        return None
+
+    def _maintain_neardup_history(
+        self, hroot: str, compact_after_files: int | None, version: int | None
+    ) -> int | None:
+        """Lockstep sweep of a paired history (sigs first — the module's
+        crash ordering). Same contract as :meth:`maintain`: new version
+        id when a compaction ran, None on an already-clean layout (the
+        pre-check stays listdir-only; ``compact_neardup_history``'s own
+        footer-reading no-op path is never reached on a clean pair)."""
+        from elephantdb_spark.build import _fragmented_shards
+        from elephantdb_spark.operators.neardup_history import (
+            compact_neardup_history,
+        )
+
+        cap = 1 if compact_after_files is None else int(compact_after_files)
+        dirty = False
+        for sub in ("sigs", "bands"):
+            store = Domain(self.spark, os.path.join(hroot, sub)).store
+            cur = store.most_recent_version()
+            if cur is not None and _fragmented_shards(
+                store.version_path(cur), cap
+            ):
+                dirty = True
+                break
+        if not dirty:
+            return None
+        return compact_neardup_history(
+            self.spark, hroot, version=version, max_files_per_shard=cap
         )
 
     def is_fully_loaded(self) -> bool:

@@ -367,3 +367,68 @@ def test_bands_must_divide_num_perm(spark, tmp_path):
             spark, corpus, str(tmp_path / "nd"), "doc_id", "text",
             num_perm=32, bands=7,
         )
+
+
+def test_engine_maintain_routes_to_lockstep_compaction(spark, tmp_path):
+    """r9 (VERDICT r8 item 7): Engine.maintain on a neardup-history root
+    — or on either sub-domain directly — must sweep the PAIR through the
+    lockstep compactor (never compact one sub-domain alone), return the
+    new version id, and return None on an already-clean pair."""
+    import os
+
+    from elephantdb_spark.engine import Domain, Engine
+
+    eng = Engine(spark, str(tmp_path / "cat"))
+    root = eng.domain_root("hist")
+    corpus = spark.createDataFrame(CORPUS[:10], "doc_id int, text string")
+    build_neardup_history(
+        spark, corpus, root, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        spec=DomainSpec(
+            num_shards=4, persistence_opts={"maxRecordsPerFile": 5}
+        ),
+        version=1,
+    )
+    for j in range(4):
+        append_neardup_history(
+            spark,
+            spark.createDataFrame(
+                [(3000 + 10 * j + i, t) for i, t in CORPUS[10 + 2 * j:12 + 2 * j]],
+                "doc_id int, text string",
+            ),
+            root, "doc_id", "text", version=2 + j,
+        )
+    assert Domain(
+        spark, os.path.join(root, "bands")
+    ).layout_report()["max_files_per_shard"] > 1
+    before = _probe(spark, root)
+
+    v = eng.maintain("hist", version=50)
+    assert v == 50
+    for sub in ("sigs", "bands"):
+        d = Domain(spark, os.path.join(root, sub))
+        assert d.store.most_recent_version() == 50, sub  # lockstep
+        assert d.layout_report()["one_file_per_shard"] is True, sub
+    assert _probe(spark, root) == before  # byte-identical probes
+
+    # clean pair: no-op, no new version, returns None
+    assert eng.maintain("hist") is None
+    assert Domain(
+        spark, os.path.join(root, "bands")
+    ).store.most_recent_version() == 50
+
+    # naming a sub-domain must sweep the PAIR too (fragment again first)
+    append_neardup_history(
+        spark,
+        spark.createDataFrame(
+            [(4000 + i, t) for i, t in CORPUS[20:24]],
+            "doc_id int, text string",
+        ),
+        root, "doc_id", "text", version=51,
+    )
+    v2 = eng.maintain("hist/sigs", version=60)
+    assert v2 == 60
+    for sub in ("sigs", "bands"):
+        assert Domain(
+            spark, os.path.join(root, sub)
+        ).store.most_recent_version() == 60, sub

@@ -670,6 +670,13 @@ def run_scale_serving(spark, paths: dict[str, str], n: int, tag: str) -> dict:
     timings["local_multiget_concurrent_8t"] = round(
         min(_one_pass() for _ in range(3)), 3
     )
+    # layout provenance: the default-cap curve's shape is explained by
+    # groups-per-shard (flat only once groups >> keys-per-shard-per-batch)
+    rep = li_dom.layout_report()
+    timings["_max_row_groups_per_shard"] = max(
+        (s["row_groups"] for s in rep["shards"].values() if s["present"]),
+        default=0,
+    )
     shutil.rmtree(work, ignore_errors=True)
     return timings
 
@@ -876,12 +883,16 @@ def main() -> None:
                 f"t{N_COPIES}": tn[k],
                 "ratio": round(tn[k] / t1[k], 2) if t1[k] > 0 else None,
             }
-            for k in t1
+            for k in t1 if not k.startswith("_")
         }
         print(json.dumps({
             "metric": f"scale_serving_{N_COPIES}x",
             "copies": N_COPIES,
             "base": BASE_SF,
+            "max_row_groups_per_shard": {
+                "x1": t1.get("_max_row_groups_per_shard"),
+                f"x{N_COPIES}": tn.get("_max_row_groups_per_shard"),
+            },
             "entries": entries,
         }))
         spark.stop()

@@ -509,3 +509,54 @@ def test_fanout_failure_cancels_pending_and_releases_gate(spark, tmp_path, monke
     monkeypatch.setattr(Domain, "_open_shard_file", orig_open)
     again = dom2.local_multi_get(keys)
     assert again == ok  # pool + handle still serviceable
+
+
+def test_prefilter_equivalence_randomized(spark, tmp_path):
+    """Property: with sidecars + cache off (the prefilter regime), every
+    probe answers byte-identically to the same layout WITHOUT sidecars
+    (the prefilter may only remove work, never answers). Seeded random
+    batches mix hits, near-miss variants, and far misses across a
+    fragmented multi-file layout."""
+    import random
+
+    from elephantdb_spark.engine import Domain
+
+    n = 500
+    kv = spark.range(n).select(
+        F.concat(F.lit("key:"), F.col("id")).cast("binary").alias("key"),
+        F.concat(F.lit("val:"), F.col("id") * 7).cast("binary").alias("value"),
+    )
+    roots = {}
+    for tag, opts in (
+        ("with", {"bloom_fpp": 0.05, "serving_cache_bytes": 0,
+                  "maxRecordsPerFile": 40}),
+        ("without", {"serving_cache_bytes": 0, "maxRecordsPerFile": 40}),
+    ):
+        r = str(tmp_path / tag)
+        build_domain(spark, kv, r,
+                     DomainSpec(num_shards=3, persistence_opts=opts),
+                     version=1)
+        roots[tag] = r
+    dwith = Domain(spark, roots["with"])
+    dwout = Domain(spark, roots["without"])
+    assert _sidecars(roots["with"], 1) and not _sidecars(roots["without"], 1)
+
+    rng = random.Random(20260815)
+    for trial in range(25):
+        batch = []
+        for _ in range(rng.randint(1, 120)):
+            i = rng.randrange(n * 2)
+            pick = rng.random()
+            if pick < 0.5:
+                k = f"key:{i % n}".encode()          # hit
+            elif pick < 0.8:
+                k = f"key:{i}".encode()              # in-range-ish miss
+            else:
+                k = f"key:{i % n}x{trial}".encode()  # near-variant miss
+            batch.append(k)
+        a = dwith.local_multi_get(batch)
+        b = dwout.local_multi_get(batch)
+        assert a == b, f"trial {trial}: prefilter changed answers"
+        for k in batch:  # ground truth on hits
+            if k.startswith(b"key:") and k[4:].isdigit() and int(k[4:]) < n:
+                assert a[k] == b"val:%d" % (int(k[4:]) * 7)

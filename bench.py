@@ -9,8 +9,10 @@ official artifact ``parsed: null``):
   {"metric": "total_bench_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "serving": {...}, "sf": 0.1,
    "passes": N, "provenance": {...scalars only...}}
-The full per-pass raw timings (the min-merge audit trail) go to the
-side file ``BENCH_raw_passes.json`` next to this script instead.
+The full per-pass raw timings (the min-merge audit trail) go to a
+round-stamped side file ``BENCH_raw_passes_r{N}.json`` next to this
+script instead (named by the line's ``queries_file``; the unstamped
+``BENCH_raw_passes.json`` stays as a latest-run alias).
 
 The suite covers the reference's two real workloads — bulk domain build
 (shard+sort+write) and point/multi-point serving reads — plus the extension
@@ -1044,6 +1046,7 @@ def main() -> None:
         key=lambda i: raw[i].get("local_multiget_concurrent_8t", float("inf")),
     )
     total = round(sum(merged.values()), 3)
+    here = os.path.dirname(os.path.abspath(__file__))
     provenance = {
         "merge": "per-entry min over warm passes in one JVM",
         "pass_count": passes,
@@ -1052,23 +1055,18 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "wall_sec_all_passes": round(time.perf_counter() - t_wall0, 1),
         "cpus": CPUS,
-        "raw_passes_file": "BENCH_raw_passes.json",
     }
     # raw per-pass timings + per-pass serving blocks = the audit trail for
-    # the min-merge; a side file, NEVER the stdout line (VERDICT r7 item 1)
-    raw_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_raw_passes.json"
-    )
-    try:
-        with open(raw_path, "w") as f:
-            json.dump({
-                "queries": merged,
-                "raw_passes": raw,
-                "serving_passes": servings,
-                "provenance": provenance,
-            }, f, indent=1)
-    except OSError as e:  # a read-only checkout must not kill the bench
-        print(f"WARN: could not write {raw_path}: {e}", file=sys.stderr)
+    # the min-merge; a side file, NEVER the stdout line (VERDICT r7 item 1).
+    # Round-stamped (r9 VERDICT item 2): each run writes a fresh
+    # BENCH_raw_passes_r{N}*.json so driver-run per-query history survives
+    # across rounds; the final line's queries_file names the stamped file.
+    provenance["raw_passes_file"] = write_raw_passes(here, {
+        "queries": merged,
+        "raw_passes": raw,
+        "serving_passes": servings,
+        "provenance": provenance,
+    })
     print(build_final_line(total, merged, servings[best_serving],
                            _sf_tag(SF_DIR), passes, provenance))
 
@@ -1077,18 +1075,87 @@ def main() -> None:
 # the final line as JSON (measured: BENCH_r07/r08.json both carry exactly
 # 2,000-char front-truncated tails -> parsed:null two rounds running).
 # The full 66-entry per-query map alone is ~3.7 KB, so it can NEVER ride
-# the stdout line: it lives in BENCH_raw_passes.json ("queries" key) and
-# the final line carries totals + serving + provenance scalars only.
+# the stdout line: it lives in the round-stamped raw-passes side file
+# ("queries" key; the line's queries_file field names it) and the final
+# line carries totals + serving + provenance scalars only.
 # tests/test_bench_contract.py pins the budget so added entries can't
 # regress this.
 FINAL_LINE_MAX_CHARS = 1500
 
 
+def stamped_raw_passes_name(here: str) -> str:
+    """Round-stamped raw-passes filename that does not exist yet.
+
+    The round number is inferred as 1 + the highest driver-recorded
+    ``BENCH_r{N}.json`` (the driver writes that file AFTER the round's
+    bench run, so during round N the max on disk is N-1).  Extra runs
+    inside one round (solo sessions, re-runs) get ``_2``, ``_3``, ...
+    suffixes rather than ever reusing a name: per-query driver-run
+    history must survive across rounds (r9 VERDICT items 2/5 — the
+    unstamped BENCH_raw_passes.json was overwritten in place each run,
+    destroying round-over-round per-query diffs).
+    """
+    import re
+
+    rounds = [0]
+    try:
+        names = os.listdir(here)
+    except OSError:
+        names = []
+    for base in names:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", base)
+        if m:
+            rounds.append(int(m.group(1)))
+    rnd = max(rounds) + 1
+    name = f"BENCH_raw_passes_r{rnd:02d}.json"
+    k = 2
+    while os.path.exists(os.path.join(here, name)):
+        name = f"BENCH_raw_passes_r{rnd:02d}_{k}.json"
+        k += 1
+    return name
+
+
+def write_raw_passes(here: str, payload: dict) -> str:
+    """Write the raw-passes audit payload to a fresh round-stamped file.
+
+    Never clobbers an existing stamped file: the name comes from
+    :func:`stamped_raw_passes_name` and the create is exclusive
+    (``"x"``), retrying with the next free suffix on a race.  The chosen
+    name is recorded into ``payload["provenance"]["raw_passes_file"]``
+    before dumping (the on-disk artifact self-describes) and returned
+    for the stdout line.  Also refreshes the unstamped
+    ``BENCH_raw_passes.json`` latest-run alias for existing tooling —
+    that alias is the ONLY file this writer may overwrite.
+    """
+    name = stamped_raw_passes_name(here)
+    for _ in range(100):
+        payload.setdefault("provenance", {})["raw_passes_file"] = name
+        try:
+            with open(os.path.join(here, name), "x") as f:
+                json.dump(payload, f, indent=1)
+            break
+        except FileExistsError:  # raced a concurrent run
+            name = stamped_raw_passes_name(here)
+        except OSError as e:  # a read-only checkout must not kill the bench
+            print(f"WARN: could not write {name}: {e}", file=sys.stderr)
+            break
+    try:
+        with open(os.path.join(here, "BENCH_raw_passes.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:
+        print(f"WARN: could not refresh latest alias: {e}", file=sys.stderr)
+    return name
+
+
 def build_final_line(total, merged, serving, sf, passes, provenance) -> str:
     """Compact machine-readable last stdout line (<= FINAL_LINE_MAX_CHARS).
 
-    Per-query timings intentionally absent — see BENCH_raw_passes.json.
+    Per-query timings intentionally absent — they live in the
+    round-stamped raw-passes file named by ``queries_file``.
     """
+    queries_file = (provenance or {}).get(
+        "raw_passes_file", "BENCH_raw_passes.json"
+    )
     line = json.dumps({
         "metric": "total_bench_sec",
         "value": total,
@@ -1098,7 +1165,7 @@ def build_final_line(total, merged, serving, sf, passes, provenance) -> str:
         "sf": sf,
         "passes": passes,
         "provenance": provenance,
-        "queries_file": "BENCH_raw_passes.json",
+        "queries_file": queries_file,
     }, separators=(",", ":"))
     if len(line) > FINAL_LINE_MAX_CHARS:
         # fallback: drop to bare scalars rather than ever exceeding the
@@ -1110,9 +1177,20 @@ def build_final_line(total, merged, serving, sf, passes, provenance) -> str:
             "n_queries": len(merged),
             "sf": sf,
             "passes": passes,
-            "queries_file": "BENCH_raw_passes.json",
+            "queries_file": queries_file,
         }, separators=(",", ":"))
-    return line
+    if len(line) > FINAL_LINE_MAX_CHARS:
+        # second fallback (ADVICE r9: the first fallback was not
+        # re-checked — a pathological sf/queries_file scalar could still
+        # blow the window): fixed keys + bounded floats only
+        line = json.dumps({
+            "metric": "total_bench_sec",
+            "value": round(float(total), 3),
+            "unit": "sec",
+        }, separators=(",", ":"))
+    # absolute driver-contract guarantee; unreachable (the object above
+    # is ~60 chars), but the budget must hold UNCONDITIONALLY
+    return line[:FINAL_LINE_MAX_CHARS]
 
 
 if __name__ == "__main__":

@@ -1391,9 +1391,17 @@ class Domain:
             except BaseException:
                 # the pool is PROCESS-SHARED: abandoned siblings would
                 # keep occupying slots other domains' probes need, for
-                # results nobody reads — cancel whatever hasn't started
+                # results nobody reads — cancel whatever hasn't started,
+                # then drain the already-RUNNING probes before the
+                # exception propagates: a caller that tears down on the
+                # error (cache cleanup, shutdown, process exit) must not
+                # race in-flight _probe_shard threads still touching the
+                # handle caches. Bounded: each probe is one group decode.
+                from concurrent.futures import wait as _futures_wait
+
                 for fut in futures:
                     fut.cancel()
+                _futures_wait(futures)
                 raise
             _serial(serial_rest)
         finally:
@@ -1747,16 +1755,41 @@ class Engine:
         crash ordering). Same contract as :meth:`maintain`: new version
         id when a compaction ran, None on an already-clean layout (the
         pre-check stays listdir-only; ``compact_neardup_history``'s own
-        footer-reading no-op path is never reached on a clean pair)."""
+        footer-reading no-op path is never reached on a clean pair).
+
+        The cap default chain matches maintain()'s documented chain for
+        regular domains — arg → spec ``persistence_opts
+        ["compact_after_files"]`` → 1 — read from the sub-domain specs;
+        when sigs and bands declare different values the MIN wins (the
+        tighter bound: the pair compacts in lockstep, so the sweep must
+        fire whenever either sub-domain's own threshold would)."""
         from elephantdb_spark.build import _fragmented_shards
         from elephantdb_spark.operators.neardup_history import (
             compact_neardup_history,
         )
 
-        cap = 1 if compact_after_files is None else int(compact_after_files)
-        dirty = False
+        subs = {}
         for sub in ("sigs", "bands"):
-            store = Domain(self.spark, os.path.join(hroot, sub)).store
+            sub_root = os.path.join(hroot, sub)
+            if not DomainSpec.exists(sub_root):
+                raise DomainNotFoundError(
+                    f"neardup history at {hroot!r} is missing its "
+                    f"{sub!r} sub-domain (partial/crashed build?)"
+                )
+            subs[sub] = Domain(self.spark, sub_root)
+        if compact_after_files is not None:
+            cap = int(compact_after_files)
+        else:
+            spec_caps = [
+                int((dom.spec.persistence_opts or {}).get("compact_after_files"))
+                for dom in subs.values()
+                if (dom.spec.persistence_opts or {}).get("compact_after_files")
+                is not None
+            ]
+            cap = min(spec_caps) if spec_caps else 1
+        dirty = False
+        for dom in subs.values():
+            store = dom.store
             cur = store.most_recent_version()
             if cur is not None and _fragmented_shards(
                 store.version_path(cur), cap

@@ -55,7 +55,9 @@ def _realistic_inputs():
         "loadavg_after": [7.22, 7.59, 5.12],
         "wall_sec_all_passes": 328.7,
         "cpus": 32,
-        "raw_passes_file": "BENCH_raw_passes.json",
+        # longest realistic stamped name (same-round re-run suffix) so the
+        # budget test covers it (r9 VERDICT item 2)
+        "raw_passes_file": "BENCH_raw_passes_r10_2.json",
     }
     return merged, serving, provenance
 
@@ -79,7 +81,8 @@ def test_final_line_is_one_json_object(bench_mod):
     assert parsed["metric"] == "total_bench_sec"
     assert parsed["value"] == 12.3
     assert parsed["unit"] == "sec"
-    assert parsed["queries_file"] == "BENCH_raw_passes.json"
+    # the line must point at the ROUND-STAMPED audit file the run wrote
+    assert parsed["queries_file"] == "BENCH_raw_passes_r10_2.json"
     assert parsed["n_queries"] == len(merged)
     # the per-query map must NOT ride the line — that is the regression
     assert "queries" not in parsed
@@ -96,4 +99,68 @@ def test_final_line_fallback_never_exceeds_budget(bench_mod):
     assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
     parsed = json.loads(line)
     assert parsed["value"] == 1.0
-    assert parsed["queries_file"] == "BENCH_raw_passes.json"
+    assert parsed["queries_file"] == provenance["raw_passes_file"]
+
+
+def test_final_line_second_fallback_is_rechecked(bench_mod):
+    """ADVICE r9 item 4: the first fallback keeps sf/queries_file, so a
+    pathological scalar there must trigger the bare-scalar second
+    fallback — the budget holds unconditionally, and the result still
+    parses."""
+    merged, serving, provenance = _realistic_inputs()
+    provenance = dict(provenance, raw_passes_file="y" * 4000)
+    line = bench_mod.build_final_line(
+        2.5, merged, serving, "z" * 4000, 3, provenance
+    )
+    assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
+    parsed = json.loads(line)
+    assert parsed == {"metric": "total_bench_sec", "value": 2.5, "unit": "sec"}
+
+
+def test_stamped_raw_passes_name_round_and_uniqueness(bench_mod, tmp_path):
+    """r9 VERDICT item 2: the stamped name is 1 + the highest driver
+    round on disk, and never an existing filename."""
+    (tmp_path / "BENCH_r01.json").write_text("{}")
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    # non-round files must not confuse the round inference
+    (tmp_path / "BENCH_solo_r9.json").write_text("{}")
+    (tmp_path / "BENCH_scale.json").write_text("{}")
+    assert bench_mod.stamped_raw_passes_name(str(tmp_path)) == (
+        "BENCH_raw_passes_r10.json"
+    )
+    # same-round re-runs uniquify instead of reusing the name
+    (tmp_path / "BENCH_raw_passes_r10.json").write_text("{}")
+    assert bench_mod.stamped_raw_passes_name(str(tmp_path)) == (
+        "BENCH_raw_passes_r10_2.json"
+    )
+    (tmp_path / "BENCH_raw_passes_r10_2.json").write_text("{}")
+    assert bench_mod.stamped_raw_passes_name(str(tmp_path)) == (
+        "BENCH_raw_passes_r10_3.json"
+    )
+    # empty dir -> round 1
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench_mod.stamped_raw_passes_name(str(empty)) == (
+        "BENCH_raw_passes_r01.json"
+    )
+
+
+def test_write_raw_passes_never_clobbers(bench_mod, tmp_path):
+    """r9 VERDICT item 5: the writer must never overwrite an existing
+    round-stamped file — the exact failure mode stamping exists to
+    prevent — while the unstamped latest alias IS refreshed."""
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    prior = tmp_path / "BENCH_raw_passes_r10.json"
+    prior.write_text('{"sentinel": true}')
+    payload = {"queries": {"a": 1.0}, "provenance": {}}
+    name = bench_mod.write_raw_passes(str(tmp_path), payload)
+    # the prior round-stamped file is untouched, byte for byte
+    assert json.loads(prior.read_text()) == {"sentinel": True}
+    assert name == "BENCH_raw_passes_r10_2.json"
+    written = json.loads((tmp_path / name).read_text())
+    assert written["queries"] == {"a": 1.0}
+    # the on-disk artifact self-describes its own filename
+    assert written["provenance"]["raw_passes_file"] == name
+    # the latest-run alias is refreshed (the one allowed overwrite)
+    alias = json.loads((tmp_path / "BENCH_raw_passes.json").read_text())
+    assert alias["queries"] == {"a": 1.0}

@@ -432,3 +432,73 @@ def test_engine_maintain_routes_to_lockstep_compaction(spark, tmp_path):
         assert Domain(
             spark, os.path.join(root, sub)
         ).store.most_recent_version() == 60, sub
+
+
+def test_engine_maintain_reads_cap_from_sub_domain_spec(spark, tmp_path):
+    """ADVICE r9 item 1: with no compact_after_files argument, maintain on
+    a history pair must follow the same default chain as regular domains
+    (arg -> spec persistence_opts -> 1), reading the cap from the
+    sub-domain specs instead of hardcoding 1."""
+    import os
+
+    from elephantdb_spark.engine import Domain, Engine
+
+    eng = Engine(spark, str(tmp_path / "cat"))
+    root = eng.domain_root("hist")
+    corpus = spark.createDataFrame(CORPUS[:10], "doc_id int, text string")
+    # maxRecordsPerFile=5 splits the 80-row bands build across ~4-5 files
+    # per shard right away (the in-publish self-heal only runs on A20
+    # updates, never the initial build), all within the spec's cap of 10
+    build_neardup_history(
+        spark, corpus, root, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        spec=DomainSpec(
+            num_shards=4,
+            persistence_opts={"maxRecordsPerFile": 5, "compact_after_files": 10},
+        ),
+        version=1,
+    )
+    frag = max(
+        Domain(spark, os.path.join(root, sub)).layout_report()[
+            "max_files_per_shard"
+        ]
+        for sub in ("sigs", "bands")
+    )
+    assert 1 < frag <= 10  # fragmented, but within the spec's cap
+    # spec cap (10) honored: layout within threshold -> no-op (the r9
+    # hardcoded default of 1 would have compacted here)
+    assert eng.maintain("hist") is None
+    for sub in ("sigs", "bands"):
+        assert Domain(
+            spark, os.path.join(root, sub)
+        ).store.most_recent_version() == 1, sub
+    # explicit arg still wins over the spec (tighter cap -> compaction)
+    v = eng.maintain("hist", compact_after_files=1, version=70)
+    assert v == 70
+    for sub in ("sigs", "bands"):
+        assert Domain(
+            spark, os.path.join(root, sub)
+        ).layout_report()["one_file_per_shard"] is True, sub
+
+
+def test_engine_maintain_missing_sub_domain_raises(spark, tmp_path):
+    """ADVICE r9 item 2: a params file left by a crashed/partial build
+    whose sigs or bands sub-domain is missing must raise
+    DomainNotFoundError naming the missing sub-domain, not an opaque
+    spec-read error."""
+    import os
+    import shutil
+
+    from elephantdb_spark.engine import DomainNotFoundError, Engine
+
+    eng = Engine(spark, str(tmp_path / "cat"))
+    root = eng.domain_root("hist")
+    corpus = spark.createDataFrame(CORPUS[:6], "doc_id int, text string")
+    build_neardup_history(
+        spark, corpus, root, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        spec=DomainSpec(num_shards=2), version=1,
+    )
+    shutil.rmtree(os.path.join(root, "bands"))
+    with pytest.raises(DomainNotFoundError, match="bands"):
+        eng.maintain("hist")

@@ -1759,10 +1759,13 @@ class Engine:
 
         The cap default chain matches maintain()'s documented chain for
         regular domains — arg → spec ``persistence_opts
-        ["compact_after_files"]`` → 1 — read from the sub-domain specs;
-        when sigs and bands declare different values the MIN wins (the
-        tighter bound: the pair compacts in lockstep, so the sweep must
-        fire whenever either sub-domain's own threshold would)."""
+        ["compact_after_files"]`` → 1 — applied PER sub-domain (an
+        undeclared sub-domain's effective cap is 1, exactly what a lone
+        regular domain without the key gets) and then MIN'd across the
+        pair: the pair compacts in lockstep, so the sweep must fire
+        whenever either sub-domain's own effective threshold would
+        (ADVICE r10 item 2 — previously a lone declared cap governed
+        the pair, silently loosening the undeclared side's bound)."""
         from elephantdb_spark.build import _fragmented_shards
         from elephantdb_spark.operators.neardup_history import (
             compact_neardup_history,
@@ -1780,13 +1783,13 @@ class Engine:
         if compact_after_files is not None:
             cap = int(compact_after_files)
         else:
-            spec_caps = [
-                int((dom.spec.persistence_opts or {}).get("compact_after_files"))
-                for dom in subs.values()
-                if (dom.spec.persistence_opts or {}).get("compact_after_files")
-                is not None
-            ]
-            cap = min(spec_caps) if spec_caps else 1
+            def _effective_cap(dom: Domain) -> int:
+                declared = (dom.spec.persistence_opts or {}).get(
+                    "compact_after_files"
+                )
+                return int(declared) if declared is not None else 1
+
+            cap = min(_effective_cap(dom) for dom in subs.values())
         dirty = False
         for dom in subs.values():
             store = dom.store

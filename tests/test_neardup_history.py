@@ -481,6 +481,58 @@ def test_engine_maintain_reads_cap_from_sub_domain_spec(spark, tmp_path):
         ).layout_report()["one_file_per_shard"] is True, sub
 
 
+def test_engine_maintain_lone_declared_cap_folds_default(spark, tmp_path):
+    """ADVICE r10 item 2: when only ONE of sigs/bands declares
+    persistence_opts['compact_after_files'], the other's implicit
+    default of 1 must still participate in the pair's min — a lone
+    regular domain without the key compacts at cap 1, and the lockstep
+    sweep must fire whenever either sub-domain's own effective
+    threshold would."""
+    import os
+
+    from elephantdb_spark.engine import Domain, Engine
+    from elephantdb_spark.spec import DomainSpec as _Spec
+
+    eng = Engine(spark, str(tmp_path / "cat"))
+    root = eng.domain_root("hist")
+    corpus = spark.createDataFrame(CORPUS[:10], "doc_id int, text string")
+    build_neardup_history(
+        spark, corpus, root, "doc_id", "text",
+        num_perm=NUM_PERM, bands=BANDS, shingle_len=SHINGLE_LEN,
+        spec=DomainSpec(
+            num_shards=4,
+            persistence_opts={"maxRecordsPerFile": 5, "compact_after_files": 10},
+        ),
+        version=1,
+    )
+    frag = max(
+        Domain(spark, os.path.join(root, sub)).layout_report()[
+            "max_files_per_shard"
+        ]
+        for sub in ("sigs", "bands")
+    )
+    assert 1 < frag <= 10  # fragmented, but within the declared cap of 10
+    # drop the key from the bands spec only (hand-edited spec scenario):
+    # its effective cap reverts to the default 1, which must now win the
+    # pair's min over sigs' declared 10
+    bands_root = os.path.join(root, "bands")
+    old = _Spec.read(bands_root)
+    opts = dict(old.persistence_opts or {})
+    opts.pop("compact_after_files")
+    _Spec(
+        num_shards=old.num_shards,
+        shard_scheme=old.shard_scheme,
+        persistence_format=old.persistence_format,
+        persistence_opts=opts,
+    ).write(bands_root)
+    v = eng.maintain("hist", version=80)
+    assert v == 80  # compacted: min(10, default 1) = 1 < frag
+    for sub in ("sigs", "bands"):
+        d = Domain(spark, os.path.join(root, sub))
+        assert d.store.most_recent_version() == 80, sub
+        assert d.layout_report()["one_file_per_shard"] is True, sub
+
+
 def test_engine_maintain_missing_sub_domain_raises(spark, tmp_path):
     """ADVICE r9 item 2: a params file left by a crashed/partial build
     whose sigs or bands sub-domain is missing must raise

@@ -245,21 +245,6 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     import resource as _resource
     import threading as _threading
 
-    call_lat: list[float] = []  # per-call (100-key batch) wall seconds
-
-    def _serve_worker(tid, out, errs):
-        try:
-            batch = li_keys[tid * 100:(tid + 1) * 100]
-            lats = []
-            for _ in range(10):
-                c0 = time.perf_counter()
-                res = dom.local_multi_get(batch)
-                lats.append(time.perf_counter() - c0)
-                out[tid] = sum(v is not None for v in res.values())
-            call_lat.extend(lats)
-        except BaseException as e:  # surfaced after join, not a KeyError
-            errs.append(e)
-
     def _reset_peak_rss() -> bool:
         """Reset the kernel's VmHWM watermark so the recorded peak is
         IN-WINDOW (ru_maxrss is a lifetime high-watermark: any earlier
@@ -282,23 +267,67 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
             pass
         return _resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss
 
-    peak_is_windowed = _reset_peak_rss()
-    rss_before_kb = _peak_rss_kb()
-    with timed("local_multiget_concurrent_8t"):
+    def _concurrent_window() -> tuple[float, list[float], float, float, bool]:
+        """One serving window: 8 threads x 10 batches of 100 keys through
+        ONE Domain handle.  Returns (wall_sec, per_call_latencies,
+        window_loadavg_1m, peak_rss_delta_mib, rss_windowed)."""
+        lats: list[float] = []
         hits: dict[int, int] = {}
         errs: list[BaseException] = []
+
+        def _serve_worker(tid):
+            try:
+                batch = li_keys[tid * 100:(tid + 1) * 100]
+                mine = []
+                for _ in range(10):
+                    c0 = time.perf_counter()
+                    res = dom.local_multi_get(batch)
+                    mine.append(time.perf_counter() - c0)
+                    hits[tid] = sum(v is not None for v in res.values())
+                lats.extend(mine)
+            except BaseException as e:  # surfaced after join, not a KeyError
+                errs.append(e)
+
+        windowed = _reset_peak_rss()
+        rss_before_kb = _peak_rss_kb()
+        la0 = os.getloadavg()[0]
+        t0 = time.perf_counter()
         ts = [
-            _threading.Thread(target=_serve_worker, args=(t, hits, errs))
+            _threading.Thread(target=_serve_worker, args=(t,))
             for t in range(8)
         ]
         for t in ts:
             t.start()
         for t in ts:
             t.join()
+        wall = time.perf_counter() - t0
         if errs:
             raise errs[0]
         assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
                    for t in range(8)), hits
+        # the window's loadavg is the max of the before/after samples —
+        # the 1-min average moves slowly, so either end alone can miss a
+        # spike that landed mid-window
+        return (
+            wall, lats, max(la0, os.getloadavg()[0]),
+            (_peak_rss_kb() - rss_before_kb) / 1024.0, windowed,
+        )
+
+    # contention gate (r10 VERDICT item 2 / What's-wrong #1: two rounds
+    # running, the official driver serving figure understated the engine
+    # because an external tenant was busy during the ~1 s measurement
+    # window).  When the first window was contended, retry the serving
+    # block ONCE — bounded, never the whole pass — and keep the faster
+    # window; the flag rides the final line so a still-low figure is
+    # machine-visibly contention, not a regression.
+    CONTENDED_LOADAVG_1M = CPUS / 4.0
+    windows = [_concurrent_window()]
+    if windows[0][2] > CONTENDED_LOADAVG_1M:
+        windows.append(_concurrent_window())
+    wall, call_lat, window_la, rss_delta_mib, peak_is_windowed = min(
+        windows, key=lambda w: w[0]
+    )
+    timings["local_multiget_concurrent_8t"] = round(wall, 3)
     # serving-throughput figures (VERDICT r5 item 8): the reference's
     # anchor is a 64-thread THsHaServer (common/thrift.clj:111-118);
     # report keys/sec plus per-key latency percentiles so rounds compare
@@ -307,14 +336,12 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     call_lat.sort()
     _n = len(call_lat)
     serving_stats = {
-        "keys_per_sec": round(8000 / timings["local_multiget_concurrent_8t"], 1),
+        "keys_per_sec": round(8000 / wall, 1),
         "per_key_p50_ms": round(call_lat[_n // 2] / 100 * 1000, 4),
         "per_key_p99_ms": round(call_lat[min(_n - 1, _n * 99 // 100)] / 100 * 1000, 4),
         "batch_keys": 100,
         "threads": 8,
-        "peak_rss_delta_mib": round(
-            (_peak_rss_kb() - rss_before_kb) / 1024.0, 1,
-        ),
+        "peak_rss_delta_mib": round(rss_delta_mib, 1),
         # false = clear_refs unavailable: the delta degrades to the
         # lifetime-watermark semantics and can under-report
         "peak_rss_windowed": peak_is_windowed,
@@ -322,11 +349,16 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         # memory tier — serving figures above are cache-warm by design,
         # the repeat-batch workload is what the cache exists for)
         "rg_cache_mib": round(dom._rg_cache_nbytes / 2**20, 2),
-        # 1-min loadavg at serving-measurement time: a contended driver
-        # run (other rounds' processes sharing the host) shows up here,
-        # so a low driver keys/sec figure is self-explaining (r8 VERDICT
-        # item 4 — driver 5,145 vs solo 7,333 was contention)
-        "loadavg_1m": round(os.getloadavg()[0], 2),
+        # 1-min loadavg of the KEPT measurement window: a contended
+        # driver run (other rounds' processes sharing the host) shows up
+        # here, so a low driver keys/sec figure is self-explaining (r8
+        # VERDICT item 4 — driver 5,145 vs solo 7,333 was contention)
+        "loadavg_1m": round(window_la, 2),
+        # machine-visible contention verdict for the kept window
+        # (r10 VERDICT item 2): threshold = cpus/4 1-min loadavg
+        "contended": window_la > CONTENDED_LOADAVG_1M,
+        # true when the contention gate fired and a second window ran
+        "serving_retried": len(windows) > 1,
     }
 
     # the same workload with the decoded-group cache DISABLED (r8): the
@@ -1115,7 +1147,7 @@ def stamped_raw_passes_name(here: str) -> str:
     return name
 
 
-def write_raw_passes(here: str, payload: dict) -> str:
+def write_raw_passes(here: str, payload: dict) -> str | None:
     """Write the raw-passes audit payload to a fresh round-stamped file.
 
     Never clobbers an existing stamped file: the name comes from
@@ -1126,25 +1158,42 @@ def write_raw_passes(here: str, payload: dict) -> str:
     for the stdout line.  Also refreshes the unstamped
     ``BENCH_raw_passes.json`` latest-run alias for existing tooling —
     that alias is the ONLY file this writer may overwrite.
+
+    Failure honesty (ADVICE r10 item 1): when the stamped create fails
+    (read-only checkout, or all 100 race retries exhausted) the stdout
+    line must not advertise a file that was never written — provenance
+    degrades to the alias name if the alias write succeeded, else to
+    None, and ``raw_passes_degraded`` records why.
     """
     name = stamped_raw_passes_name(here)
+    prov = payload.setdefault("provenance", {})
+    stamped_ok = False
     for _ in range(100):
-        payload.setdefault("provenance", {})["raw_passes_file"] = name
+        prov["raw_passes_file"] = name
         try:
             with open(os.path.join(here, name), "x") as f:
                 json.dump(payload, f, indent=1)
+            stamped_ok = True
             break
         except FileExistsError:  # raced a concurrent run
             name = stamped_raw_passes_name(here)
         except OSError as e:  # a read-only checkout must not kill the bench
             print(f"WARN: could not write {name}: {e}", file=sys.stderr)
             break
+    if not stamped_ok:
+        # degrade BEFORE the alias dump so the on-disk alias (the only
+        # surviving artifact) self-describes with the truth
+        prov["raw_passes_file"] = "BENCH_raw_passes.json"
+        prov["raw_passes_degraded"] = "stamped write failed; alias only"
     try:
         with open(os.path.join(here, "BENCH_raw_passes.json"), "w") as f:
             json.dump(payload, f, indent=1)
     except OSError as e:
         print(f"WARN: could not refresh latest alias: {e}", file=sys.stderr)
-    return name
+        if not stamped_ok:  # nothing on disk at all
+            prov["raw_passes_file"] = None
+            prov["raw_passes_degraded"] = "no raw-passes artifact written"
+    return prov["raw_passes_file"]
 
 
 def build_final_line(total, merged, serving, sf, passes, provenance) -> str:

@@ -46,6 +46,8 @@ def _realistic_inputs():
         "peak_rss_windowed": True,
         "rg_cache_mib": 10.07,
         "loadavg_1m": 7.22,
+        "contended": False,
+        "serving_retried": False,
     }
     provenance = {
         "merge": "per-entry min over warm passes in one JVM",
@@ -88,6 +90,10 @@ def test_final_line_is_one_json_object(bench_mod):
     assert "queries" not in parsed
     assert parsed["serving"]["keys_per_sec"] == serving["keys_per_sec"]
     assert "loadavg_1m" in parsed["serving"]
+    # r10 VERDICT item 2: the contention verdict for the kept serving
+    # window rides the line, machine-visible
+    assert parsed["serving"]["contended"] is False
+    assert parsed["serving"]["serving_retried"] is False
 
 
 def test_final_line_fallback_never_exceeds_budget(bench_mod):
@@ -164,3 +170,66 @@ def test_write_raw_passes_never_clobbers(bench_mod, tmp_path):
     # the latest-run alias is refreshed (the one allowed overwrite)
     alias = json.loads((tmp_path / "BENCH_raw_passes.json").read_text())
     assert alias["queries"] == {"a": 1.0}
+
+
+def test_write_raw_passes_degrades_to_alias_on_stamped_failure(
+    bench_mod, tmp_path, monkeypatch
+):
+    """ADVICE r10 item 1: when the stamped exclusive create fails with
+    OSError, the returned name (and the payload's provenance) must point
+    at the alias that WAS written — never at a stamped file that never
+    existed."""
+    # a stamped name inside a missing subdirectory -> FileNotFoundError
+    # (OSError, not FileExistsError) on the exclusive create; the alias
+    # write at tmp_path still succeeds
+    monkeypatch.setattr(
+        bench_mod, "stamped_raw_passes_name",
+        lambda here: os.path.join("no_such_dir", "BENCH_raw_passes_r11.json"),
+    )
+    payload = {"queries": {"a": 1.0}, "provenance": {}}
+    name = bench_mod.write_raw_passes(str(tmp_path), payload)
+    assert name == "BENCH_raw_passes.json"
+    alias = json.loads((tmp_path / "BENCH_raw_passes.json").read_text())
+    assert alias["provenance"]["raw_passes_file"] == "BENCH_raw_passes.json"
+    assert alias["provenance"]["raw_passes_degraded"] == (
+        "stamped write failed; alias only"
+    )
+    # no stray stamped file appeared anywhere under tmp_path
+    assert not list(tmp_path.glob("BENCH_raw_passes_r*.json"))
+
+
+def test_write_raw_passes_returns_none_when_nothing_written(
+    bench_mod, tmp_path, monkeypatch
+):
+    """ADVICE r10 item 1, total-failure leg: stamped create AND alias
+    write both fail (read-only checkout) -> the function returns None so
+    the stdout line's queries_file is an honest null, not a phantom
+    filename."""
+    target = tmp_path / "not_a_dir"
+    target.write_text("")  # a FILE: open(join(file, name)) -> OSError
+    payload = {"queries": {"a": 1.0}, "provenance": {}}
+    name = bench_mod.write_raw_passes(str(target), payload)
+    assert name is None
+    assert payload["provenance"]["raw_passes_file"] is None
+    assert payload["provenance"]["raw_passes_degraded"] == (
+        "no raw-passes artifact written"
+    )
+
+
+def test_write_raw_passes_exhausted_races_degrade(
+    bench_mod, tmp_path, monkeypatch
+):
+    """ADVICE r10 item 1, exhaustion leg: if all 100 exclusive-create
+    attempts lose the race (the stamper keeps naming existing files),
+    the result degrades to the alias rather than the last raced name."""
+    (tmp_path / "taken.json").write_text("{}")
+    monkeypatch.setattr(
+        bench_mod, "stamped_raw_passes_name", lambda here: "taken.json"
+    )
+    payload = {"queries": {"a": 1.0}, "provenance": {}}
+    name = bench_mod.write_raw_passes(str(tmp_path), payload)
+    assert name == "BENCH_raw_passes.json"
+    # the raced file is untouched
+    assert (tmp_path / "taken.json").read_text() == "{}"
+    alias = json.loads((tmp_path / "BENCH_raw_passes.json").read_text())
+    assert alias["provenance"]["raw_passes_file"] == "BENCH_raw_passes.json"

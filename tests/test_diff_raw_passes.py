@@ -1,0 +1,82 @@
+"""Tests for diff_raw_passes.py — the per-entry raw-passes comparator
+(r10 VERDICT next-round item 3: the round-stamped artifact chain makes
+driver-to-driver per-entry diffs possible; this tool consumes it)."""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_TOOL_PATH = os.path.join(os.path.dirname(__file__), "..", "diff_raw_passes.py")
+
+
+@pytest.fixture(scope="module")
+def tool():
+    spec = importlib.util.spec_from_file_location("diff_under_test", _TOOL_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["diff_under_test"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.modules.pop("diff_under_test", None)
+
+
+def test_diff_ratios_and_band(tool):
+    old = {"a": 1.0, "b": 2.0, "c": 0.5, "gone": 1.0}
+    new = {"a": 1.1, "b": 4.0, "c": 0.25, "added": 9.9}
+    d = tool.diff(old, new, band=1.5)
+    assert d["common_entries"] == 3
+    assert d["only_old"] == ["gone"]
+    assert d["only_new"] == ["added"]
+    by_name = {r["entry"]: r for r in d["entries"]}
+    assert by_name["a"]["ratio"] == 1.1
+    assert by_name["b"]["ratio"] == 2.0
+    assert by_name["c"]["ratio"] == 0.5
+    assert [r["entry"] for r in d["slower_than_band"]] == ["b"]
+    assert [r["entry"] for r in d["faster_than_band"]] == ["c"]
+    # totals over COMMON entries only (added/dropped don't skew the ratio)
+    assert d["total_old_sec"] == 3.5
+    assert d["total_new_sec"] == 5.35
+    # entries sorted worst-first
+    assert [r["entry"] for r in d["entries"]] == ["b", "a", "c"]
+
+
+def test_diff_zero_old_entry_is_inf_not_crash(tool):
+    d = tool.diff({"a": 0.0}, {"a": 1.0}, band=1.5)
+    assert d["entries"][0]["ratio"] == float("inf")
+
+
+def test_load_queries_rejects_non_raw_passes(tool, tmp_path):
+    p = tmp_path / "not_raw.json"
+    p.write_text(json.dumps({"metric": "total_bench_sec", "value": 1.0}))
+    with pytest.raises(SystemExit):
+        tool.load_queries(str(p))
+
+
+def test_main_text_output_on_real_shapes(tool, tmp_path, capsys):
+    for name, scale in (("old.json", 1.0), ("new.json", 1.4)):
+        (tmp_path / name).write_text(json.dumps({
+            "queries": {"q_fast": 0.1 * scale, "q_slow": 2.0 * scale},
+            "provenance": {"loadavg_before": [1.0, 1.0, 1.0],
+                           "loadavg_after": [2.0, 2.0, 2.0],
+                           "pass_count": 3},
+        }))
+    tool.main([str(tmp_path / "old.json"), str(tmp_path / "new.json")])
+    out = capsys.readouterr().out
+    assert "common entries: 2" in out
+    assert "ratio 1.4" in out
+    assert "q_slow" in out
+
+
+def test_main_json_output_parses(tool, tmp_path, capsys):
+    for name in ("old.json", "new.json"):
+        (tmp_path / name).write_text(json.dumps({
+            "queries": {"q": 1.0}, "provenance": {"pass_count": 1},
+        }))
+    tool.main([str(tmp_path / "old.json"), str(tmp_path / "new.json"),
+               "--json"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["total_ratio"] == 1.0
+    assert d["provenance"]["old"]["pass_count"] == 1

@@ -288,6 +288,25 @@ def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _assert_rdds_drain_to(spark, base: int, timeout: float = 10.0) -> None:
+    """Assert the persisted-RDD census returns to <= base.
+
+    Spark's unpersist is asynchronous (blocking=False is the operators'
+    default release mode), so under host load the census can lag the
+    release call by a beat — poll briefly instead of racing it (a
+    one-shot == flaked exactly once in ~600 suite runs).  Below base is
+    fine: it means base itself counted a previous test's still-draining
+    RDD."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    n = _n_persistent_rdds(spark)
+    while n > base and time.monotonic() < deadline:
+        time.sleep(0.2)
+        n = _n_persistent_rdds(spark)
+    assert n <= base, f"{n} persisted RDDs still registered (base {base})"
+
+
 def test_release_shingle_caches_frees_all(spark):
     """Round-2 verdict: near-dup operators persisted their shingle index
     with no unpersist path, so long sessions (bench, the driver sweep)
@@ -310,7 +329,7 @@ def test_release_shingle_caches_frees_all(spark):
     pairs.count()
     assert _n_persistent_rdds(spark) > base  # the index really was cached
     assert release_shingle_caches() >= 1
-    assert _n_persistent_rdds(spark) == base
+    _assert_rdds_drain_to(spark, base)
 
 
 def test_clean_corpus_cache_index_off_leaves_no_persisted_rdds(spark):
@@ -328,7 +347,7 @@ def test_clean_corpus_cache_index_off_leaves_no_persisted_rdds(spark):
                  neardup_scope="pairs", cache_index=False).count()
     # connected_components/edge persists release themselves; with
     # cache_index=False nothing else should persist either
-    assert _n_persistent_rdds(spark) == base
+    _assert_rdds_drain_to(spark, base)
 
 
 def test_broadcast_toggles_match_broadcast_path(spark):

@@ -267,10 +267,57 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
             pass
         return _resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss
 
-    def _concurrent_window() -> tuple[float, list[float], float, float, bool]:
+    try:  # the Spark JVM is our biggest CPU consumer; find it once
+        _jvm_pid = int(
+            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        )
+    except Exception:
+        _jvm_pid = None
+
+    def _cpu_totals() -> tuple[float, float] | None:
+        """(host_busy_cpu_sec, own_tree_cpu_sec) at this instant.
+
+        The delta of these two over a window gives EXTERNAL busy cores:
+        (host_busy_delta - own_delta) / wall.  Unlike the 1-min loadavg
+        — which lags by a minute and counts the bench's OWN 32-core
+        Spark stages from the preceding entries — this measures other
+        tenants' CPU during the window itself.  Own tree = this process
+        (rusage SELF) + reaped children (rusage CHILDREN) + the live
+        Spark JVM's utime/stime/cutime/cstime from /proc; idle pyspark
+        workers (live, unreaped JVM grandchildren) are not counted but
+        run no Spark jobs during the pure-pyarrow serving window.
+        Returns None when /proc is unavailable (non-Linux)."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            if parts[0] != "cpu":
+                return None
+            jiffies = [float(x) for x in parts[1:]]
+            hz = float(os.sysconf("SC_CLK_TCK"))
+            idle = jiffies[3] + (jiffies[4] if len(jiffies) > 4 else 0.0)
+            busy = (sum(jiffies) - idle) / hz
+        except (OSError, ValueError, IndexError):
+            return None
+        own = 0.0
+        for who in (_resource.RUSAGE_SELF, _resource.RUSAGE_CHILDREN):
+            ru = _resource.getrusage(who)
+            own += ru.ru_utime + ru.ru_stime
+        if _jvm_pid is not None:
+            try:
+                with open(f"/proc/{_jvm_pid}/stat") as f:
+                    # comm may contain spaces/parens: split after the
+                    # LAST ')' — fields utime stime cutime cstime are
+                    # then tokens 11-14 (state is token 0)
+                    rest = f.read().rsplit(")", 1)[1].split()
+                own += sum(float(rest[i]) for i in (11, 12, 13, 14)) / hz
+            except (OSError, ValueError, IndexError):
+                pass
+        return busy, own
+
+    def _concurrent_window(domain) -> dict:
         """One serving window: 8 threads x 10 batches of 100 keys through
-        ONE Domain handle.  Returns (wall_sec, per_call_latencies,
-        window_loadavg_1m, peak_rss_delta_mib, rss_windowed)."""
+        ONE Domain handle.  Measures wall, per-call latencies, in-window
+        peak-RSS delta, and the window's contention verdict."""
         lats: list[float] = []
         hits: dict[int, int] = {}
         errs: list[BaseException] = []
@@ -281,7 +328,7 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
                 mine = []
                 for _ in range(10):
                     c0 = time.perf_counter()
-                    res = dom.local_multi_get(batch)
+                    res = domain.local_multi_get(batch)
                     mine.append(time.perf_counter() - c0)
                     hits[tid] = sum(v is not None for v in res.values())
                 lats.extend(mine)
@@ -291,6 +338,7 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         windowed = _reset_peak_rss()
         rss_before_kb = _peak_rss_kb()
         la0 = os.getloadavg()[0]
+        cpu0 = _cpu_totals()
         t0 = time.perf_counter()
         ts = [
             _threading.Thread(target=_serve_worker, args=(t,))
@@ -301,17 +349,36 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         for t in ts:
             t.join()
         wall = time.perf_counter() - t0
+        cpu1 = _cpu_totals()
         if errs:
             raise errs[0]
         assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
                    for t in range(8)), hits
-        # the window's loadavg is the max of the before/after samples —
-        # the 1-min average moves slowly, so either end alone can miss a
-        # spike that landed mid-window
-        return (
-            wall, lats, max(la0, os.getloadavg()[0]),
-            (_peak_rss_kb() - rss_before_kb) / 1024.0, windowed,
+        if cpu0 is not None and cpu1 is not None and wall > 0:
+            ext_busy = max(0.0, (cpu1[0] - cpu0[0]) - (cpu1[1] - cpu0[1])) / wall
+        else:
+            ext_busy = None
+        loadavg = max(la0, os.getloadavg()[0])
+        # contention verdict: >cpus/4 EXTERNAL busy cores during the
+        # window itself.  The 1-min loadavg is kept as provenance but is
+        # NOT the verdict — it lags by a minute and brands the bench's
+        # own preceding Spark stages as contention (observed: a solo r11
+        # window at loadavg 12.4 with ~0 external load set the all-time
+        # serving record).  Loadavg is only the fallback verdict where
+        # /proc is unavailable.
+        contended = (
+            ext_busy > CONTENDED_BUSY_CORES if ext_busy is not None
+            else loadavg > CONTENDED_BUSY_CORES
         )
+        return {
+            "wall": wall,
+            "lats": lats,
+            "loadavg_1m": loadavg,
+            "ext_busy_cores": ext_busy,
+            "rss_delta_mib": (_peak_rss_kb() - rss_before_kb) / 1024.0,
+            "rss_windowed": windowed,
+            "contended": contended,
+        }
 
     # contention gate (r10 VERDICT item 2 / What's-wrong #1: two rounds
     # running, the official driver serving figure understated the engine
@@ -320,13 +387,12 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     # block ONCE — bounded, never the whole pass — and keep the faster
     # window; the flag rides the final line so a still-low figure is
     # machine-visibly contention, not a regression.
-    CONTENDED_LOADAVG_1M = CPUS / 4.0
-    windows = [_concurrent_window()]
-    if windows[0][2] > CONTENDED_LOADAVG_1M:
-        windows.append(_concurrent_window())
-    wall, call_lat, window_la, rss_delta_mib, peak_is_windowed = min(
-        windows, key=lambda w: w[0]
-    )
+    CONTENDED_BUSY_CORES = CPUS / 4.0
+    windows = [_concurrent_window(dom)]
+    if windows[0]["contended"]:
+        windows.append(_concurrent_window(dom))
+    kept = min(windows, key=lambda w: w["wall"])
+    wall, call_lat = kept["wall"], kept["lats"]
     timings["local_multiget_concurrent_8t"] = round(wall, 3)
     # serving-throughput figures (VERDICT r5 item 8): the reference's
     # anchor is a 64-thread THsHaServer (common/thrift.clj:111-118);
@@ -341,24 +407,39 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         "per_key_p99_ms": round(call_lat[min(_n - 1, _n * 99 // 100)] / 100 * 1000, 4),
         "batch_keys": 100,
         "threads": 8,
-        "peak_rss_delta_mib": round(rss_delta_mib, 1),
+        "peak_rss_delta_mib": round(kept["rss_delta_mib"], 1),
         # false = clear_refs unavailable: the delta degrades to the
         # lifetime-watermark semantics and can under-report
-        "peak_rss_windowed": peak_is_windowed,
+        "peak_rss_windowed": kept["rss_windowed"],
         # resident decoded-group cache after the run (r8: the hot-probe
         # memory tier — serving figures above are cache-warm by design,
         # the repeat-batch workload is what the cache exists for)
         "rg_cache_mib": round(dom._rg_cache_nbytes / 2**20, 2),
-        # 1-min loadavg of the KEPT measurement window: a contended
-        # driver run (other rounds' processes sharing the host) shows up
-        # here, so a low driver keys/sec figure is self-explaining (r8
-        # VERDICT item 4 — driver 5,145 vs solo 7,333 was contention)
-        "loadavg_1m": round(window_la, 2),
+        # 1-min loadavg of the KEPT window — provenance/continuity only
+        # (r8 VERDICT item 4); the contention VERDICT below uses the
+        # in-window external-cores measure, which the loadavg is not
+        "loadavg_1m": round(kept["loadavg_1m"], 2),
+        # average EXTERNAL busy cores during the kept window (host
+        # /proc/stat busy delta minus our own process tree); null where
+        # /proc is unavailable
+        "ext_busy_cores": (
+            round(kept["ext_busy_cores"], 1)
+            if kept["ext_busy_cores"] is not None else None
+        ),
         # machine-visible contention verdict for the kept window
-        # (r10 VERDICT item 2): threshold = cpus/4 1-min loadavg
-        "contended": window_la > CONTENDED_LOADAVG_1M,
+        # (r10 VERDICT item 2): external busy cores > cpus/4
+        "contended": kept["contended"],
         # true when the contention gate fired and a second window ran
         "serving_retried": len(windows) > 1,
+        # audit trail for the kept-min (every window incl. discarded:
+        # [wall_sec, ext_busy_cores]) — the retry must never hide how
+        # much it changed the figure
+        "windows": [
+            [round(w["wall"], 3),
+             round(w["ext_busy_cores"], 1)
+             if w["ext_busy_cores"] is not None else None]
+            for w in windows
+        ],
     }
 
     # the same workload with the decoded-group cache DISABLED (r8): the
@@ -370,31 +451,11 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     cold_dom = _Domain(spark, eng.domain_root("lineitem_kv"))
     cold_dom._rg_cache_budget = 0
     cold_dom.local_multi_get([b"warm"])  # open handles untimed
-
-    def _serve_worker_cold(tid, out, errs):
-        try:
-            batch = li_keys[tid * 100:(tid + 1) * 100]
-            for _ in range(10):
-                res = cold_dom.local_multi_get(batch)
-                out[tid] = sum(v is not None for v in res.values())
-        except BaseException as e:
-            errs.append(e)
-
-    with timed("local_multiget_concurrent_8t_nocache"):
-        hits = {}
-        errs = []
-        ts = [
-            _threading.Thread(target=_serve_worker_cold, args=(t, hits, errs))
-            for t in range(8)
-        ]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        if errs:
-            raise errs[0]
-        assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
-                   for t in range(8)), hits
+    # same harness as the warm entry (one window, no gate — this entry
+    # exists as the warm entry's structural contrast, not a headline)
+    timings["local_multiget_concurrent_8t_nocache"] = round(
+        _concurrent_window(cold_dom)["wall"], 3
+    )
 
     # bulk enrichment (r5): the WHOLE lineitem fact probed against its
     # KV domain — one probe-side exchange, zero domain-side shuffle

@@ -16,7 +16,9 @@ noise band in each direction, and both runs' recorded loadavg
 provenance (the established verdict heuristic: the host has external
 tenant load and single-entry ratios inside ~1.5x are noise unless they
 repeat across rounds on an uncontended window — SCALE.md r8-r10).
-The exit code is 0 always; this is evidence tooling, not a gate.
+Exit code 0 on a completed comparison regardless of what it shows
+(evidence tooling, not a gate); nonzero only for unusable inputs (a
+missing/unreadable file, no ``queries`` map, bad flags).
 """
 from __future__ import annotations
 
@@ -39,9 +41,13 @@ def diff(old: dict[str, float], new: dict[str, float], band: float) -> dict:
     rows = []
     for name in common:
         o, n = old[name], new[name]
-        ratio = (n / o) if o > 0 else float("inf")
-        rows.append({"entry": name, "old": o, "new": n, "ratio": round(ratio, 3)})
-    rows.sort(key=lambda r: -r["ratio"])
+        # a 0.0 old timing (sub-0.5 ms entries round to 0.000) has no
+        # finite ratio; None keeps the --json output RFC-8259-valid
+        # (json.dump would otherwise emit the non-standard Infinity)
+        ratio = round(n / o, 3) if o > 0 else None
+        rows.append({"entry": name, "old": o, "new": n, "ratio": ratio})
+    # worst-first; incomparable (None-ratio) rows lead — they need eyes
+    rows.sort(key=lambda r: (r["ratio"] is not None, -(r["ratio"] or 0.0)))
     total_old = sum(old[n] for n in common)
     total_new = sum(new[n] for n in common)
     return {
@@ -51,13 +57,25 @@ def diff(old: dict[str, float], new: dict[str, float], band: float) -> dict:
         "total_old_sec": round(total_old, 3),
         "total_new_sec": round(total_new, 3),
         "total_ratio": round(total_new / total_old, 3) if total_old else None,
-        "slower_than_band": [r for r in rows if r["ratio"] > band],
-        "faster_than_band": [r for r in rows if r["ratio"] < 1.0 / band],
+        "incomparable": [r for r in rows if r["ratio"] is None],
+        "slower_than_band": [
+            r for r in rows if r["ratio"] is not None and r["ratio"] > band
+        ],
+        "faster_than_band": [
+            r for r in rows
+            if r["ratio"] is not None and r["ratio"] < 1.0 / band
+        ],
         "entries": rows,
     }
 
 
 def main(argv: list[str] | None = None) -> None:
+    try:  # die quietly under `| head` instead of BrokenPipeError noise
+        import signal
+
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (ImportError, AttributeError, ValueError):
+        pass  # no SIGPIPE (non-POSIX) or non-main thread (tests)
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("old")
     ap.add_argument("new")
@@ -91,6 +109,10 @@ def main(argv: list[str] | None = None) -> None:
     if d["only_new"]:
         print(f"new entries: {', '.join(d['only_new'])}")
     for r in d["entries"]:
+        if r["ratio"] is None:
+            print(f"{r['entry']:42s} {r['old']:9.3f} {r['new']:9.3f} "
+                  f"x--       << old is 0, no ratio")
+            continue
         flag = ""
         if r["ratio"] > args.band:
             flag = "  << slower than band"

@@ -46,8 +46,12 @@ def _realistic_inputs():
         "peak_rss_windowed": True,
         "rg_cache_mib": 10.07,
         "loadavg_1m": 7.22,
+        "ext_busy_cores": 1.3,
         "contended": False,
-        "serving_retried": False,
+        # worst realistic shape for the budget test: the gate fired, so
+        # the windows audit list carries two entries
+        "serving_retried": True,
+        "windows": [[1.2591, 9.4], [0.7964, 1.3]],
     }
     provenance = {
         "merge": "per-entry min over warm passes in one JVM",
@@ -91,9 +95,13 @@ def test_final_line_is_one_json_object(bench_mod):
     assert parsed["serving"]["keys_per_sec"] == serving["keys_per_sec"]
     assert "loadavg_1m" in parsed["serving"]
     # r10 VERDICT item 2: the contention verdict for the kept serving
-    # window rides the line, machine-visible
+    # window rides the line, machine-visible, alongside the in-window
+    # external-cores measure and the full window audit list (the retry
+    # must never hide how much it changed the figure)
     assert parsed["serving"]["contended"] is False
-    assert parsed["serving"]["serving_retried"] is False
+    assert parsed["serving"]["serving_retried"] is True
+    assert parsed["serving"]["ext_busy_cores"] == 1.3
+    assert parsed["serving"]["windows"] == [[1.2591, 9.4], [0.7964, 1.3]]
 
 
 def test_final_line_fallback_never_exceeds_budget(bench_mod):

@@ -43,9 +43,30 @@ def test_diff_ratios_and_band(tool):
     assert [r["entry"] for r in d["entries"]] == ["b", "a", "c"]
 
 
-def test_diff_zero_old_entry_is_inf_not_crash(tool):
-    d = tool.diff({"a": 0.0}, {"a": 1.0}, band=1.5)
-    assert d["entries"][0]["ratio"] == float("inf")
+def test_diff_zero_old_entry_is_incomparable_and_json_valid(tool, tmp_path, capsys):
+    """A 0.0 old timing (sub-0.5 ms entries round to 0.000) must not
+    produce float('inf') — json.dump would emit the non-RFC-8259
+    `Infinity` literal, which jq/JS JSON.parse reject.  The row is
+    reported as incomparable (null ratio) and leads the listing."""
+    d = tool.diff({"a": 0.0, "b": 1.0}, {"a": 1.0, "b": 3.0}, band=1.5)
+    by_name = {r["entry"]: r for r in d["entries"]}
+    assert by_name["a"]["ratio"] is None
+    assert [r["entry"] for r in d["incomparable"]] == ["a"]
+    # incomparable rows lead, then finite worst-first
+    assert [r["entry"] for r in d["entries"]] == ["a", "b"]
+    # --json output must be strict-parseable end to end
+    for name, q in (("old.json", {"a": 0.0}), ("new.json", {"a": 1.0})):
+        (tmp_path / name).write_text(json.dumps({"queries": q}))
+    tool.main([str(tmp_path / "old.json"), str(tmp_path / "new.json"),
+               "--json"])
+    out = capsys.readouterr().out
+    parsed = json.loads(out, parse_constant=lambda c: pytest.fail(
+        f"non-RFC JSON constant {c!r} in --json output"
+    ))
+    assert parsed["entries"][0]["ratio"] is None
+    # text mode renders the no-ratio row without crashing on formatting
+    tool.main([str(tmp_path / "old.json"), str(tmp_path / "new.json")])
+    assert "old is 0, no ratio" in capsys.readouterr().out
 
 
 def test_load_queries_rejects_non_raw_passes(tool, tmp_path):

@@ -56,6 +56,35 @@ def _sf_tag(path: str) -> float:
         return -1.0
 
 
+# Serving windows drawn per pass, UNCONDITIONALLY (r11 VERDICT item 1,
+# superseding the r10 contended-only retry): the engine's measured
+# intermittent-JVM-self-noise envelope spreads uncontended ~1.4 s
+# windows across 5-10k keys/s (SCALE.md §r11s2), so one sample per pass
+# under-reads the engine whenever it lands in a trough — the official
+# driver figure fell three straight rounds (7,921 -> 6,354 -> 5,901) on
+# ext-0.0 windows while the 9-sample solo fold read 10,045.  The
+# min-fold is the right estimator for intermittent self-noise, but only
+# with enough samples; k=3 windows x 3 passes gives the driver run the
+# same >=9-sample fold the solo runs already draw, for +~8 s on a ~65 s
+# bench.
+SERVING_WINDOWS_PER_PASS = 3
+
+
+def fold_serving_windows(run_window, k: int = None) -> tuple[list, dict]:
+    """Draw ``k`` serving windows unconditionally, plus ONE extra only
+    when every unconditional window was externally contended (the r10
+    gate, kept on top of the r11 unconditional sampling — self-noise
+    never fires it, ext busy cores do).  Returns (all windows drawn in
+    order, the kept min-wall window).  Pure policy: ``run_window`` does
+    the measuring, so tests can pin the fold without a SparkSession."""
+    k = SERVING_WINDOWS_PER_PASS if k is None else k
+    windows = [run_window() for _ in range(k)]
+    if windows and all(w["contended"] for w in windows):
+        windows.append(run_window())
+    kept = min(windows, key=lambda w: w["wall"])
+    return windows, kept
+
+
 def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     """One full pass over every timed entry in a fresh work dir (domains
     rebuilt — the build entries are part of the suite); returns
@@ -380,18 +409,10 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
             "contended": contended,
         }
 
-    # contention gate (r10 VERDICT item 2 / What's-wrong #1: two rounds
-    # running, the official driver serving figure understated the engine
-    # because an external tenant was busy during the ~1 s measurement
-    # window).  When the first window was contended, retry the serving
-    # block ONCE — bounded, never the whole pass — and keep the faster
-    # window; the flag rides the final line so a still-low figure is
-    # machine-visibly contention, not a regression.
+    # k unconditional windows, min-fold (r11 VERDICT item 1) — policy
+    # and rationale live on fold_serving_windows / the module constant
     CONTENDED_BUSY_CORES = CPUS / 4.0
-    windows = [_concurrent_window(dom)]
-    if windows[0]["contended"]:
-        windows.append(_concurrent_window(dom))
-    kept = min(windows, key=lambda w: w["wall"])
+    windows, kept = fold_serving_windows(lambda: _concurrent_window(dom))
     wall, call_lat = kept["wall"], kept["lats"]
     timings["local_multiget_concurrent_8t"] = round(wall, 3)
     # serving-throughput figures (VERDICT r5 item 8): the reference's
@@ -429,11 +450,14 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         # machine-visible contention verdict for the kept window
         # (r10 VERDICT item 2): external busy cores > cpus/4
         "contended": kept["contended"],
-        # true when the contention gate fired and a second window ran
-        "serving_retried": len(windows) > 1,
+        # true when the external-contention gate fired and an EXTRA
+        # window ran beyond the unconditional k (r11: the k windows
+        # themselves are not "retries" — they are the estimator)
+        "serving_retried": len(windows) > SERVING_WINDOWS_PER_PASS,
         # audit trail for the kept-min (every window incl. discarded:
-        # [wall_sec, ext_busy_cores]) — the retry must never hide how
-        # much it changed the figure
+        # [wall_sec, ext_busy_cores]) — the fold must never hide how
+        # much it changed the figure; main() concatenates the per-pass
+        # lists so the FINAL line carries all >=9 samples
         "windows": [
             [round(w["wall"], 3),
              round(w["ext_busy_cores"], 1)
@@ -1133,11 +1157,21 @@ def main() -> None:
         name: min(t[name] for t in raw if name in t) for name in raw[0]
     }
     # serving stats travel as a block: take the pass with the fastest
-    # concurrent-probe wall time (its qps/latency figures are coherent)
+    # concurrent-probe wall time (its qps/latency figures are coherent).
+    # Each pass's block is already the min-fold of its k unconditional
+    # windows, so the chosen block's figure IS the min over all passes'
+    # windows (r11 VERDICT item 1).  The final line's windows audit is
+    # the CONCATENATION across passes — every sample drawn this run,
+    # >=9 on a default 3-pass run — so a low figure is distinguishable
+    # from an under-sampled one without opening the raw-passes file.
     best_serving = min(
         range(len(raw)),
         key=lambda i: raw[i].get("local_multiget_concurrent_8t", float("inf")),
     )
+    final_serving = dict(servings[best_serving])
+    final_serving["windows"] = [
+        w for s in servings for w in s.get("windows", [])
+    ]
     total = round(sum(merged.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     provenance = {
@@ -1160,7 +1194,7 @@ def main() -> None:
         "serving_passes": servings,
         "provenance": provenance,
     })
-    print(build_final_line(total, merged, servings[best_serving],
+    print(build_final_line(total, merged, final_serving,
                            _sf_tag(SF_DIR), passes, provenance))
 
 

@@ -48,10 +48,15 @@ def _realistic_inputs():
         "loadavg_1m": 7.22,
         "ext_busy_cores": 1.3,
         "contended": False,
-        # worst realistic shape for the budget test: the gate fired, so
-        # the windows audit list carries two entries
+        # worst realistic shape for the budget test (r11 VERDICT item 1:
+        # k=3 unconditional windows per pass, min-fold, the FINAL line
+        # carries the cross-pass concatenation): 3 passes x (3
+        # unconditional + 1 contended-extra) = 12 samples
         "serving_retried": True,
-        "windows": [[1.2591, 9.4], [0.7964, 1.3]],
+        "windows": [
+            [round(1.2591 + 0.0137 * i, 4), round(9.4 - 0.7 * i, 1)]
+            for i in range(12)
+        ],
     }
     provenance = {
         "merge": "per-entry min over warm passes in one JVM",
@@ -101,7 +106,11 @@ def test_final_line_is_one_json_object(bench_mod):
     assert parsed["serving"]["contended"] is False
     assert parsed["serving"]["serving_retried"] is True
     assert parsed["serving"]["ext_busy_cores"] == 1.3
-    assert parsed["serving"]["windows"] == [[1.2591, 9.4], [0.7964, 1.3]]
+    # r11 VERDICT item 1: the full >=9-sample cross-pass window audit
+    # rides the line so a low figure is distinguishable from an
+    # under-sampled one without opening the raw-passes side file
+    assert parsed["serving"]["windows"] == serving["windows"]
+    assert len(parsed["serving"]["windows"]) == 12
 
 
 def test_final_line_fallback_never_exceeds_budget(bench_mod):
@@ -241,3 +250,52 @@ def test_write_raw_passes_exhausted_races_degrade(
     assert (tmp_path / "taken.json").read_text() == "{}"
     alias = json.loads((tmp_path / "BENCH_raw_passes.json").read_text())
     assert alias["provenance"]["raw_passes_file"] == "BENCH_raw_passes.json"
+
+
+# ---- r11 VERDICT item 1: unconditional k-window serving fold ---------
+
+
+def _win(wall, contended=False, ext=0.0):
+    return {"wall": wall, "contended": contended, "ext_busy_cores": ext}
+
+
+def test_fold_draws_k_windows_unconditionally(bench_mod):
+    """The r10 gate retried only on external contention, so JVM
+    self-noise (ext 0.0, contended False) was sampled exactly once per
+    pass and the driver's 3-sample run kept landing in the 5-10k
+    envelope's trough.  The fold must draw k windows even when every
+    window is quiet."""
+    calls = []
+
+    def run_window():
+        calls.append(1)
+        return _win(1.0 + 0.3 * len(calls))  # quiet, monotonically slower
+
+    windows, kept = bench_mod.fold_serving_windows(run_window)
+    assert len(calls) == bench_mod.SERVING_WINDOWS_PER_PASS == 3
+    assert len(windows) == 3
+    assert kept is windows[0]  # min wall
+
+
+def test_fold_min_wall_wins_regardless_of_order(bench_mod):
+    seq = [_win(1.4), _win(0.8), _win(1.1)]
+    windows, kept = bench_mod.fold_serving_windows(lambda: seq.pop(0), k=3)
+    assert kept["wall"] == 0.8
+    assert [w["wall"] for w in windows] == [1.4, 0.8, 1.1]
+
+
+def test_fold_extra_window_only_when_all_contended(bench_mod):
+    """The external-contention gate survives ON TOP of the unconditional
+    k: one extra draw iff every unconditional window was contended —
+    one quiet window among the k means the envelope was sampled and no
+    extra is spent."""
+    seq = [_win(1.4, True, 9.0), _win(1.5, True, 8.0),
+           _win(1.6, True, 9.5), _win(0.9, False, 0.2)]
+    windows, kept = bench_mod.fold_serving_windows(lambda: seq.pop(0), k=3)
+    assert len(windows) == 4
+    assert kept["wall"] == 0.9
+
+    seq2 = [_win(1.4, True, 9.0), _win(1.0, False, 0.0), _win(1.6, True, 9.5)]
+    windows2, kept2 = bench_mod.fold_serving_windows(lambda: seq2.pop(0), k=3)
+    assert len(windows2) == 3  # a quiet window suppressed the extra
+    assert kept2["wall"] == 1.0

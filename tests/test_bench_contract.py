@@ -299,3 +299,74 @@ def test_fold_extra_window_only_when_all_contended(bench_mod):
     windows2, kept2 = bench_mod.fold_serving_windows(lambda: seq2.pop(0), k=3)
     assert len(windows2) == 3  # a quiet window suppressed the extra
     assert kept2["wall"] == 1.0
+
+
+def test_fold_is_total_for_nonpositive_k(bench_mod):
+    """ADVICE r12 item 2: k<=0 must not reach min() on an empty list —
+    the policy clamps to one draw instead of raising ValueError."""
+    for bad_k in (0, -3):
+        seq = [_win(1.2)]
+        windows, kept = bench_mod.fold_serving_windows(
+            lambda: seq.pop(0), k=bad_k
+        )
+        assert len(windows) == 1
+        assert kept["wall"] == 1.2
+
+
+# ---- ADVICE r12 items 1+3: the final line's cross-pass serving fold --
+
+
+def _pass_serving(qps, retried, contended, n_windows):
+    """A per-pass serving block with the fields the fold touches."""
+    return {
+        "keys_per_sec": qps,
+        "per_key_p50_ms": 0.8,
+        "contended": contended,
+        "serving_retried": retried,
+        "windows": [[round(8000.0 / qps, 3), 0.0]] * n_windows,
+    }
+
+
+def test_build_final_serving_concatenates_windows_and_any_folds_retry(
+    bench_mod,
+):
+    """main() ships build_final_serving's result verbatim; this pins the
+    exact construction sparklessly (ADVICE r12 item 3).  The block's
+    scalars come from the best pass; windows is the cross-pass
+    concatenation; serving_retried is any-pass-scoped so a >9-window
+    list can never ride the line with serving_retried=false (ADVICE r12
+    item 1 — the pass that drew the contention extra need not be the
+    best pass)."""
+    servings = [
+        _pass_serving(5000.0, retried=True, contended=False, n_windows=4),
+        _pass_serving(9000.0, retried=False, contended=False, n_windows=3),
+        _pass_serving(7000.0, retried=False, contended=False, n_windows=3),
+    ]
+    final = bench_mod.build_final_serving(servings, best_idx=1)
+    # scalars: best pass's block, untouched
+    assert final["keys_per_sec"] == 9000.0
+    assert final["contended"] is False
+    # windows: every sample drawn this run, in pass order
+    assert final["windows"] == (
+        servings[0]["windows"] + servings[1]["windows"]
+        + servings[2]["windows"]
+    )
+    assert len(final["windows"]) == 10
+    # the internally-consistent bit: pass 0 drew the extra, so the
+    # 10-window list must carry serving_retried=true even though the
+    # best (non-retried) pass supplied the scalar block
+    assert final["serving_retried"] is True
+    # inputs are not mutated (pure fold)
+    assert servings[1]["serving_retried"] is False
+    assert len(servings[1]["windows"]) == 3
+
+
+def test_build_final_serving_no_retry_anywhere(bench_mod):
+    servings = [
+        _pass_serving(8000.0, retried=False, contended=False, n_windows=3),
+        _pass_serving(8500.0, retried=False, contended=True, n_windows=3),
+    ]
+    final = bench_mod.build_final_serving(servings, best_idx=0)
+    assert final["serving_retried"] is False
+    assert len(final["windows"]) == 6
+    assert final["contended"] is False  # best-pass (kept-window) scoped

@@ -70,13 +70,17 @@ def _sf_tag(path: str) -> float:
 SERVING_WINDOWS_PER_PASS = 3
 
 
-def fold_serving_windows(run_window, k: int = None) -> tuple[list, dict]:
+def fold_serving_windows(run_window, k: int = None) -> tuple[list, dict, bool]:
     """Draw ``k`` serving windows unconditionally, plus ONE extra only
     when every unconditional window was externally contended (the r10
     gate, kept on top of the r11 unconditional sampling — self-noise
     never fires it, ext busy cores do).  Returns (all windows drawn in
-    order, the kept min-wall window).  Pure policy: ``run_window`` does
-    the measuring, so tests can pin the fold without a SparkSession."""
+    order, the kept min-wall window, retried) where ``retried`` is true
+    iff the contention gate drew the extra window — computed against the
+    EFFECTIVE k this call used, not the module default, so callers can
+    never misreport it under a non-default or clamped k (ADVICE r13
+    item 1).  Pure policy: ``run_window`` does the measuring, so tests
+    can pin the fold without a SparkSession."""
     # total over the advertised signature (ADVICE r12): k<=0 would make
     # the kept-min below raise on an empty list — the policy always
     # draws at least one window
@@ -85,7 +89,7 @@ def fold_serving_windows(run_window, k: int = None) -> tuple[list, dict]:
     if windows and all(w["contended"] for w in windows):
         windows.append(run_window())
     kept = min(windows, key=lambda w: w["wall"])
-    return windows, kept
+    return windows, kept, len(windows) > k
 
 
 def build_final_serving(servings: list, best_idx: int) -> dict:
@@ -108,7 +112,19 @@ def build_final_serving(servings: list, best_idx: int) -> dict:
 
     Pure (no Spark, no I/O) so the sparkless contract tests can pin the
     exact construction main() ships.
+
+    Total over its advertised inputs (ADVICE r13 item 2, matching the
+    totality treatment fold_serving_windows got): an empty ``servings``
+    or out-of-range ``best_idx`` raises a clear ValueError instead of a
+    bare IndexError deep in the fold.
     """
+    if not servings:
+        raise ValueError("build_final_serving: servings must be non-empty")
+    if not 0 <= best_idx < len(servings):
+        raise ValueError(
+            f"build_final_serving: best_idx {best_idx} out of range "
+            f"for {len(servings)} pass(es)"
+        )
     final = dict(servings[best_idx])
     final["windows"] = [w for s in servings for w in s.get("windows", [])]
     final["serving_retried"] = any(
@@ -444,7 +460,9 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     # k unconditional windows, min-fold (r11 VERDICT item 1) — policy
     # and rationale live on fold_serving_windows / the module constant
     CONTENDED_BUSY_CORES = CPUS / 4.0
-    windows, kept = fold_serving_windows(lambda: _concurrent_window(dom))
+    windows, kept, retried = fold_serving_windows(
+        lambda: _concurrent_window(dom)
+    )
     wall, call_lat = kept["wall"], kept["lats"]
     timings["local_multiget_concurrent_8t"] = round(wall, 3)
     # serving-throughput figures (VERDICT r5 item 8): the reference's
@@ -484,8 +502,11 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
         "contended": kept["contended"],
         # true when the external-contention gate fired and an EXTRA
         # window ran beyond the unconditional k (r11: the k windows
-        # themselves are not "retries" — they are the estimator)
-        "serving_retried": len(windows) > SERVING_WINDOWS_PER_PASS,
+        # themselves are not "retries" — they are the estimator).
+        # Reported by the fold itself against the effective k it used
+        # (ADVICE r13 item 1: deriving it here from the module constant
+        # would misreport under any non-default k)
+        "serving_retried": retried,
         # audit trail for the kept-min (every window incl. discarded:
         # [wall_sec, ext_busy_cores]) — the fold must never hide how
         # much it changed the figure; main() concatenates the per-pass

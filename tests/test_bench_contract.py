@@ -271,17 +271,21 @@ def test_fold_draws_k_windows_unconditionally(bench_mod):
         calls.append(1)
         return _win(1.0 + 0.3 * len(calls))  # quiet, monotonically slower
 
-    windows, kept = bench_mod.fold_serving_windows(run_window)
+    windows, kept, retried = bench_mod.fold_serving_windows(run_window)
     assert len(calls) == bench_mod.SERVING_WINDOWS_PER_PASS == 3
     assert len(windows) == 3
     assert kept is windows[0]  # min wall
+    assert retried is False  # quiet windows never fire the gate
 
 
 def test_fold_min_wall_wins_regardless_of_order(bench_mod):
     seq = [_win(1.4), _win(0.8), _win(1.1)]
-    windows, kept = bench_mod.fold_serving_windows(lambda: seq.pop(0), k=3)
+    windows, kept, retried = bench_mod.fold_serving_windows(
+        lambda: seq.pop(0), k=3
+    )
     assert kept["wall"] == 0.8
     assert [w["wall"] for w in windows] == [1.4, 0.8, 1.1]
+    assert retried is False
 
 
 def test_fold_extra_window_only_when_all_contended(bench_mod):
@@ -291,14 +295,20 @@ def test_fold_extra_window_only_when_all_contended(bench_mod):
     extra is spent."""
     seq = [_win(1.4, True, 9.0), _win(1.5, True, 8.0),
            _win(1.6, True, 9.5), _win(0.9, False, 0.2)]
-    windows, kept = bench_mod.fold_serving_windows(lambda: seq.pop(0), k=3)
+    windows, kept, retried = bench_mod.fold_serving_windows(
+        lambda: seq.pop(0), k=3
+    )
     assert len(windows) == 4
     assert kept["wall"] == 0.9
+    assert retried is True  # the gate's extra draw IS the retry signal
 
     seq2 = [_win(1.4, True, 9.0), _win(1.0, False, 0.0), _win(1.6, True, 9.5)]
-    windows2, kept2 = bench_mod.fold_serving_windows(lambda: seq2.pop(0), k=3)
+    windows2, kept2, retried2 = bench_mod.fold_serving_windows(
+        lambda: seq2.pop(0), k=3
+    )
     assert len(windows2) == 3  # a quiet window suppressed the extra
     assert kept2["wall"] == 1.0
+    assert retried2 is False
 
 
 def test_fold_is_total_for_nonpositive_k(bench_mod):
@@ -306,11 +316,38 @@ def test_fold_is_total_for_nonpositive_k(bench_mod):
     the policy clamps to one draw instead of raising ValueError."""
     for bad_k in (0, -3):
         seq = [_win(1.2)]
-        windows, kept = bench_mod.fold_serving_windows(
+        windows, kept, retried = bench_mod.fold_serving_windows(
             lambda: seq.pop(0), k=bad_k
         )
         assert len(windows) == 1
         assert kept["wall"] == 1.2
+        assert retried is False
+
+
+def test_fold_reports_retry_against_effective_k(bench_mod):
+    """ADVICE r13 item 1: the retry verdict must come from the fold
+    itself, computed against the EFFECTIVE k it used.  Under a clamped
+    k=0 (effective 1) whose single window is contended, the gate draws
+    the extra: 2 windows > effective k 1 ⇒ retried.  The old
+    caller-side derivation (len(windows) > SERVING_WINDOWS_PER_PASS,
+    i.e. 2 > 3) would have misreported False."""
+    seq = [_win(1.5, True, 9.0), _win(1.0, False, 0.0)]
+    windows, kept, retried = bench_mod.fold_serving_windows(
+        lambda: seq.pop(0), k=0
+    )
+    assert len(windows) == 2
+    assert kept["wall"] == 1.0
+    assert retried is True
+    assert len(windows) <= bench_mod.SERVING_WINDOWS_PER_PASS  # the trap
+
+    # non-default k above the module constant: k=5, all quiet — five
+    # windows is NOT a retry even though 5 > 3
+    seq2 = [_win(1.0 + 0.1 * i) for i in range(5)]
+    windows2, _, retried2 = bench_mod.fold_serving_windows(
+        lambda: seq2.pop(0), k=5
+    )
+    assert len(windows2) == 5
+    assert retried2 is False
 
 
 # ---- ADVICE r12 items 1+3: the final line's cross-pass serving fold --
@@ -370,3 +407,20 @@ def test_build_final_serving_no_retry_anywhere(bench_mod):
     assert final["serving_retried"] is False
     assert len(final["windows"]) == 6
     assert final["contended"] is False  # best-pass (kept-window) scoped
+
+
+def test_build_final_serving_totality_guards(bench_mod):
+    """ADVICE r13 item 2: empty servings / out-of-range best_idx raise a
+    clear ValueError (matching fold_serving_windows' totality clamp),
+    never a bare IndexError from deep inside the fold."""
+    with pytest.raises(ValueError, match="non-empty"):
+        bench_mod.build_final_serving([], best_idx=0)
+    one = [_pass_serving(8000.0, retried=False, contended=False, n_windows=3)]
+    with pytest.raises(ValueError, match="out of range"):
+        bench_mod.build_final_serving(one, best_idx=1)
+    with pytest.raises(ValueError, match="out of range"):
+        bench_mod.build_final_serving(one, best_idx=-1)
+    # the in-range case still works
+    assert bench_mod.build_final_serving(one, best_idx=0)[
+        "keys_per_sec"
+    ] == 8000.0

@@ -31,9 +31,11 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -131,6 +133,267 @@ def build_final_serving(servings: list, best_idx: int) -> dict:
         s.get("serving_retried") for s in servings
     )
     return final
+
+
+# ---- serving-window instrument (module-level so envelope_probe.py ----
+# ---- measures with the IDENTICAL code — VERDICT r13 item 2) ----------
+
+# one serving window = SERVING_THREADS threads x SERVING_BATCHES batches
+# of SERVING_BATCH_KEYS keys through ONE Domain handle (8,000 lookups)
+SERVING_THREADS = 8
+SERVING_BATCHES = 10
+SERVING_BATCH_KEYS = 100
+SERVING_KEYS_PER_WINDOW = SERVING_THREADS * SERVING_BATCHES * SERVING_BATCH_KEYS
+
+# contention verdict threshold: >cpus/4 EXTERNAL busy cores in-window
+CONTENDED_BUSY_CORES = CPUS / 4.0
+
+
+def _reset_peak_rss() -> bool:
+    """Reset the kernel's VmHWM watermark so the recorded peak is
+    IN-WINDOW (ru_maxrss is a lifetime high-watermark: any earlier
+    phase that peaked higher would freeze the delta at 0 and hide a
+    probe-memory regression)."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+        return True
+    except OSError:
+        return False
+
+
+def _peak_rss_kb() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+
+def spark_jvm_pid(spark) -> int | None:
+    """PID of the live Spark JVM (our biggest CPU consumer), found once
+    so the external-cores instrument can subtract its tree."""
+    try:
+        return int(
+            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        )
+    except Exception:
+        return None
+
+
+def _cpu_totals(jvm_pid: int | None) -> tuple[float, float] | None:
+    """(host_busy_cpu_sec, own_tree_cpu_sec) at this instant.
+
+    The delta of these two over a window gives EXTERNAL busy cores:
+    (host_busy_delta - own_delta) / wall.  Unlike the 1-min loadavg
+    — which lags by a minute and counts the bench's OWN 32-core
+    Spark stages from the preceding entries — this measures other
+    tenants' CPU during the window itself.  Own tree = this process
+    (rusage SELF) + reaped children (rusage CHILDREN) + the live
+    Spark JVM's utime/stime/cutime/cstime from /proc; idle pyspark
+    workers (live, unreaped JVM grandchildren) are not counted but
+    run no Spark jobs during the pure-pyarrow serving window.
+    Returns None when /proc is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        jiffies = [float(x) for x in parts[1:]]
+        hz = float(os.sysconf("SC_CLK_TCK"))
+        idle = jiffies[3] + (jiffies[4] if len(jiffies) > 4 else 0.0)
+        busy = (sum(jiffies) - idle) / hz
+    except (OSError, ValueError, IndexError):
+        return None
+    own = 0.0
+    for who in (resource.RUSAGE_SELF, resource.RUSAGE_CHILDREN):
+        ru = resource.getrusage(who)
+        own += ru.ru_utime + ru.ru_stime
+    if jvm_pid is not None:
+        try:
+            with open(f"/proc/{jvm_pid}/stat") as f:
+                # comm may contain spaces/parens: split after the
+                # LAST ')' — fields utime stime cutime cstime are
+                # then tokens 11-14 (state is token 0)
+                rest = f.read().rsplit(")", 1)[1].split()
+            own += sum(float(rest[i]) for i in (11, 12, 13, 14)) / hz
+        except (OSError, ValueError, IndexError):
+            pass
+    return busy, own
+
+
+def serving_window(domain, keys, jvm_pid: int | None = None) -> dict:
+    """One serving window: SERVING_THREADS threads x SERVING_BATCHES
+    batches of SERVING_BATCH_KEYS keys through ONE Domain handle.
+    Measures wall, per-call latencies, in-window peak-RSS delta, and
+    the window's contention verdict (in-window EXTERNAL busy cores >
+    CONTENDED_BUSY_CORES; 1-min loadavg only as provenance / non-Linux
+    fallback)."""
+    lats: list[float] = []
+    hits: dict[int, int] = {}
+    errs: list[BaseException] = []
+
+    def _serve_worker(tid):
+        try:
+            batch = keys[tid * SERVING_BATCH_KEYS:(tid + 1) * SERVING_BATCH_KEYS]
+            mine = []
+            for _ in range(SERVING_BATCHES):
+                c0 = time.perf_counter()
+                res = domain.local_multi_get(batch)
+                mine.append(time.perf_counter() - c0)
+                hits[tid] = sum(v is not None for v in res.values())
+            lats.extend(mine)
+        except BaseException as e:  # surfaced after join, not a KeyError
+            errs.append(e)
+
+    windowed = _reset_peak_rss()
+    rss_before_kb = _peak_rss_kb()
+    la0 = os.getloadavg()[0]
+    cpu0 = _cpu_totals(jvm_pid)
+    t0 = time.perf_counter()
+    ts = [
+        threading.Thread(target=_serve_worker, args=(t,))
+        for t in range(SERVING_THREADS)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.perf_counter() - t0
+    cpu1 = _cpu_totals(jvm_pid)
+    if errs:
+        raise errs[0]
+    assert all(
+        hits[t] == len(set(
+            keys[t * SERVING_BATCH_KEYS:(t + 1) * SERVING_BATCH_KEYS]
+        ))
+        for t in range(SERVING_THREADS)
+    ), hits
+    if cpu0 is not None and cpu1 is not None and wall > 0:
+        ext_busy = max(0.0, (cpu1[0] - cpu0[0]) - (cpu1[1] - cpu0[1])) / wall
+    else:
+        ext_busy = None
+    loadavg = max(la0, os.getloadavg()[0])
+    # contention verdict: >cpus/4 EXTERNAL busy cores during the
+    # window itself.  The 1-min loadavg is kept as provenance but is
+    # NOT the verdict — it lags by a minute and brands the bench's
+    # own preceding Spark stages as contention (observed: a solo r11
+    # window at loadavg 12.4 with ~0 external load set the all-time
+    # serving record).  Loadavg is only the fallback verdict where
+    # /proc is unavailable.
+    contended = (
+        ext_busy > CONTENDED_BUSY_CORES if ext_busy is not None
+        else loadavg > CONTENDED_BUSY_CORES
+    )
+    return {
+        "wall": wall,
+        "lats": lats,
+        "loadavg_1m": loadavg,
+        "ext_busy_cores": ext_busy,
+        "rss_delta_mib": (_peak_rss_kb() - rss_before_kb) / 1024.0,
+        "rss_windowed": windowed,
+        "contended": contended,
+    }
+
+
+# ---- session-envelope serving gate (VERDICT r13 item 1) ---------------
+#
+# r13 proved the host serving envelope is a time-varying REGIME, not a
+# constant: identical engine bytes drew window floors from 1.044 s to
+# 2.992 s (2.9x) within one session, with in-window external cores ~0
+# throughout (SCALE.md §r13).  An absolute keys/s bar therefore cannot
+# distinguish regime from regression here.  The gate is now
+# envelope-RELATIVE: the official serving figure is judged against the
+# best window of a same-session standalone probe run BRACKETING the
+# bench (ENVELOPE_WINDOWS_PER_SIDE windows before pass 0 and after the
+# last pass, same domain shape, same serving_window instrument).
+# Criterion (PLANS.md §r14): official keys/s within ENVELOPE_TOLERANCE
+# of the probe's best-window keys/s ⇒ regime-consistent; worse ⇒
+# investigate as a regression.
+
+ENVELOPE_TOLERANCE = 1.25
+ENVELOPE_WINDOWS_PER_SIDE = max(
+    0, int(os.environ.get("SPARK_GRAFT_ENVELOPE_WINDOWS", "4"))
+)
+
+
+def build_envelope_fixture(spark, sf_dir: str = None):
+    """The official serving fixture, rebuilt standalone: lineitem_kv at
+    ``sf_dir`` in a throwaway work dir plus the 1000-key probe draw the
+    bench's serving entry uses.  Returns (domain, keys, work_dir); the
+    caller owns the work dir.  One untimed warm probe runs first so the
+    bracket windows measure the same cache-warm regime as the official
+    kept window (which follows earlier warm entries)."""
+    sf_dir = SF_DIR if sf_dir is None else sf_dir
+    work = tempfile.mkdtemp(prefix="edb_envelope_")
+    eng = Engine(spark, work)
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li_kv = lineitem.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("binary").alias("key"),
+        F.col("l_extendedprice").cast("string").cast("binary").alias("value"),
+    )
+    build_domain(spark, li_kv, eng.domain_root("lineitem_kv"),
+                 DomainSpec(num_shards=NUM_SHARDS), version=1)
+    dom = eng.domain("lineitem_kv")
+    keys = [
+        f"{r.l_orderkey}-{r.l_linenumber}".encode()
+        for r in lineitem.select("l_orderkey", "l_linenumber")
+        .limit(1000).collect()
+    ]
+    dom.local_multi_get(keys)  # untimed warm: handles + decoded groups
+    return dom, keys, work
+
+
+def compact_window(w: dict) -> list:
+    """[wall_sec, ext_busy_cores] audit form (the serving windows list's
+    shape) — drops the per-call latency vector."""
+    return [
+        round(w["wall"], 3),
+        round(w["ext_busy_cores"], 1)
+        if w.get("ext_busy_cores") is not None else None,
+    ]
+
+
+def build_envelope_block(
+    pre_windows: list, post_windows: list, official_keys_per_sec: float,
+    tolerance: float = ENVELOPE_TOLERANCE,
+    keys_per_window: int = SERVING_KEYS_PER_WINDOW,
+) -> dict | None:
+    """Fold the bracketing probe windows into the line's envelope
+    verdict (pure — sparkless tests pin it).
+
+    ``regime_consistent`` is true iff the official figure is within
+    ``tolerance`` of the session probe's best-window keys/s, i.e.
+    official * tolerance >= probe_best.  A consistent-but-low round
+    means the HOST regime was degraded (the probe saw the same
+    envelope); an INconsistent round means the official draw was slower
+    than the same session's demonstrated envelope and must be
+    investigated as a regression.  Returns None when no usable probe
+    windows exist (the line then carries envelope: null — an honest
+    absent gate, never a fabricated verdict)."""
+    pre = [w for w in (pre_windows or []) if w.get("wall", 0) > 0]
+    post = [w for w in (post_windows or []) if w.get("wall", 0) > 0]
+    walls = [w["wall"] for w in pre + post]
+    if not walls or not official_keys_per_sec:
+        return None
+    probe_best = keys_per_window / min(walls)
+    return {
+        "probe_best_keys_per_sec": round(probe_best, 1),
+        "official_over_probe_best": round(
+            official_keys_per_sec / probe_best, 3
+        ),
+        "regime_consistent": bool(
+            official_keys_per_sec * tolerance >= probe_best
+        ),
+        "tolerance": tolerance,
+        "pre_floor_sec": round(min(w["wall"] for w in pre), 3) if pre else None,
+        "post_floor_sec": round(min(w["wall"] for w in post), 3) if post else None,
+        "n_windows": len(walls),
+    }
 
 
 def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
@@ -319,149 +582,15 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     # handle — exercises the _pq_cache under concurrency. The recorded
     # value is wall seconds for 8x10 batches of 100 keys (8000 key
     # lookups); bench JSON stays one-number-per-entry, qps = 8000/value.
-    import resource as _resource
-    import threading as _threading
-
-    def _reset_peak_rss() -> bool:
-        """Reset the kernel's VmHWM watermark so the recorded peak is
-        IN-WINDOW (ru_maxrss is a lifetime high-watermark: any earlier
-        phase that peaked higher would freeze the delta at 0 and hide a
-        probe-memory regression)."""
-        try:
-            with open("/proc/self/clear_refs", "w") as f:
-                f.write("5")
-            return True
-        except OSError:
-            return False
-
-    def _peak_rss_kb() -> int:
-        try:
-            with open("/proc/self/status") as f:
-                for line in f:
-                    if line.startswith("VmHWM:"):
-                        return int(line.split()[1])
-        except OSError:
-            pass
-        return _resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss
-
-    try:  # the Spark JVM is our biggest CPU consumer; find it once
-        _jvm_pid = int(
-            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
-        )
-    except Exception:
-        _jvm_pid = None
-
-    def _cpu_totals() -> tuple[float, float] | None:
-        """(host_busy_cpu_sec, own_tree_cpu_sec) at this instant.
-
-        The delta of these two over a window gives EXTERNAL busy cores:
-        (host_busy_delta - own_delta) / wall.  Unlike the 1-min loadavg
-        — which lags by a minute and counts the bench's OWN 32-core
-        Spark stages from the preceding entries — this measures other
-        tenants' CPU during the window itself.  Own tree = this process
-        (rusage SELF) + reaped children (rusage CHILDREN) + the live
-        Spark JVM's utime/stime/cutime/cstime from /proc; idle pyspark
-        workers (live, unreaped JVM grandchildren) are not counted but
-        run no Spark jobs during the pure-pyarrow serving window.
-        Returns None when /proc is unavailable (non-Linux)."""
-        try:
-            with open("/proc/stat") as f:
-                parts = f.readline().split()
-            if parts[0] != "cpu":
-                return None
-            jiffies = [float(x) for x in parts[1:]]
-            hz = float(os.sysconf("SC_CLK_TCK"))
-            idle = jiffies[3] + (jiffies[4] if len(jiffies) > 4 else 0.0)
-            busy = (sum(jiffies) - idle) / hz
-        except (OSError, ValueError, IndexError):
-            return None
-        own = 0.0
-        for who in (_resource.RUSAGE_SELF, _resource.RUSAGE_CHILDREN):
-            ru = _resource.getrusage(who)
-            own += ru.ru_utime + ru.ru_stime
-        if _jvm_pid is not None:
-            try:
-                with open(f"/proc/{_jvm_pid}/stat") as f:
-                    # comm may contain spaces/parens: split after the
-                    # LAST ')' — fields utime stime cutime cstime are
-                    # then tokens 11-14 (state is token 0)
-                    rest = f.read().rsplit(")", 1)[1].split()
-                own += sum(float(rest[i]) for i in (11, 12, 13, 14)) / hz
-            except (OSError, ValueError, IndexError):
-                pass
-        return busy, own
-
-    def _concurrent_window(domain) -> dict:
-        """One serving window: 8 threads x 10 batches of 100 keys through
-        ONE Domain handle.  Measures wall, per-call latencies, in-window
-        peak-RSS delta, and the window's contention verdict."""
-        lats: list[float] = []
-        hits: dict[int, int] = {}
-        errs: list[BaseException] = []
-
-        def _serve_worker(tid):
-            try:
-                batch = li_keys[tid * 100:(tid + 1) * 100]
-                mine = []
-                for _ in range(10):
-                    c0 = time.perf_counter()
-                    res = domain.local_multi_get(batch)
-                    mine.append(time.perf_counter() - c0)
-                    hits[tid] = sum(v is not None for v in res.values())
-                lats.extend(mine)
-            except BaseException as e:  # surfaced after join, not a KeyError
-                errs.append(e)
-
-        windowed = _reset_peak_rss()
-        rss_before_kb = _peak_rss_kb()
-        la0 = os.getloadavg()[0]
-        cpu0 = _cpu_totals()
-        t0 = time.perf_counter()
-        ts = [
-            _threading.Thread(target=_serve_worker, args=(t,))
-            for t in range(8)
-        ]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        wall = time.perf_counter() - t0
-        cpu1 = _cpu_totals()
-        if errs:
-            raise errs[0]
-        assert all(hits[t] == len(set(li_keys[t * 100:(t + 1) * 100]))
-                   for t in range(8)), hits
-        if cpu0 is not None and cpu1 is not None and wall > 0:
-            ext_busy = max(0.0, (cpu1[0] - cpu0[0]) - (cpu1[1] - cpu0[1])) / wall
-        else:
-            ext_busy = None
-        loadavg = max(la0, os.getloadavg()[0])
-        # contention verdict: >cpus/4 EXTERNAL busy cores during the
-        # window itself.  The 1-min loadavg is kept as provenance but is
-        # NOT the verdict — it lags by a minute and brands the bench's
-        # own preceding Spark stages as contention (observed: a solo r11
-        # window at loadavg 12.4 with ~0 external load set the all-time
-        # serving record).  Loadavg is only the fallback verdict where
-        # /proc is unavailable.
-        contended = (
-            ext_busy > CONTENDED_BUSY_CORES if ext_busy is not None
-            else loadavg > CONTENDED_BUSY_CORES
-        )
-        return {
-            "wall": wall,
-            "lats": lats,
-            "loadavg_1m": loadavg,
-            "ext_busy_cores": ext_busy,
-            "rss_delta_mib": (_peak_rss_kb() - rss_before_kb) / 1024.0,
-            "rss_windowed": windowed,
-            "contended": contended,
-        }
+    # The window runner itself is module-level (serving_window) so the
+    # standalone envelope probe measures with the IDENTICAL instrument
+    # (VERDICT r13 item 2).
+    _jvm_pid = spark_jvm_pid(spark)
 
     # k unconditional windows, min-fold (r11 VERDICT item 1) — policy
     # and rationale live on fold_serving_windows / the module constant
-    CONTENDED_BUSY_CORES = CPUS / 4.0
     windows, kept, retried = fold_serving_windows(
-        lambda: _concurrent_window(dom)
+        lambda: serving_window(dom, li_keys, jvm_pid=_jvm_pid)
     )
     wall, call_lat = kept["wall"], kept["lats"]
     timings["local_multiget_concurrent_8t"] = round(wall, 3)
@@ -473,11 +602,16 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     call_lat.sort()
     _n = len(call_lat)
     serving_stats = {
-        "keys_per_sec": round(8000 / wall, 1),
-        "per_key_p50_ms": round(call_lat[_n // 2] / 100 * 1000, 4),
-        "per_key_p99_ms": round(call_lat[min(_n - 1, _n * 99 // 100)] / 100 * 1000, 4),
-        "batch_keys": 100,
-        "threads": 8,
+        "keys_per_sec": round(SERVING_KEYS_PER_WINDOW / wall, 1),
+        "per_key_p50_ms": round(
+            call_lat[_n // 2] / SERVING_BATCH_KEYS * 1000, 4
+        ),
+        "per_key_p99_ms": round(
+            call_lat[min(_n - 1, _n * 99 // 100)] / SERVING_BATCH_KEYS * 1000,
+            4,
+        ),
+        "batch_keys": SERVING_BATCH_KEYS,
+        "threads": SERVING_THREADS,
         "peak_rss_delta_mib": round(kept["rss_delta_mib"], 1),
         # false = clear_refs unavailable: the delta degrades to the
         # lifetime-watermark semantics and can under-report
@@ -531,7 +665,7 @@ def run_pass(spark, pass_idx: int) -> tuple[dict, dict]:
     # same harness as the warm entry (one window, no gate — this entry
     # exists as the warm entry's structural contrast, not a headline)
     timings["local_multiget_concurrent_8t_nocache"] = round(
-        _concurrent_window(cold_dom)["wall"], 3
+        serving_window(cold_dom, li_keys, jvm_pid=_jvm_pid)["wall"], 3
     )
 
     # bulk enrichment (r5): the WHOLE lineitem fact probed against its
@@ -1196,12 +1330,44 @@ def main() -> None:
 
     load_before = os.getloadavg()
     t_wall0 = time.perf_counter()
+
+    # session-envelope bracket, leg 1 (VERDICT r13 item 1): probe the
+    # host's serving envelope with the official instrument BEFORE the
+    # passes; leg 2 runs after them, so the regime during the official
+    # draw is bounded from both sides.  Best-effort: a probe failure
+    # degrades the line's envelope to null, never kills the bench.
+    env_pre: list[dict] = []
+    env_post: list[dict] = []
+    env_dom = env_keys = None
+    env_work = None
+    if ENVELOPE_WINDOWS_PER_SIDE > 0:
+        try:
+            env_dom, env_keys, env_work = build_envelope_fixture(spark)
+            _env_jvm = spark_jvm_pid(spark)
+            env_pre = [
+                serving_window(env_dom, env_keys, jvm_pid=_env_jvm)
+                for _ in range(ENVELOPE_WINDOWS_PER_SIDE)
+            ]
+        except Exception as e:
+            print(f"WARN: envelope pre-bracket failed: {e}", file=sys.stderr)
+
     raw: list[dict] = []
     servings: list[dict] = []
     for p in range(passes):
         timings, serving_stats = run_pass(spark, p)
         raw.append(timings)
         servings.append(serving_stats)
+
+    if env_dom is not None:
+        try:
+            env_post = [
+                serving_window(env_dom, env_keys, jvm_pid=spark_jvm_pid(spark))
+                for _ in range(ENVELOPE_WINDOWS_PER_SIDE)
+            ]
+        except Exception as e:
+            print(f"WARN: envelope post-bracket failed: {e}", file=sys.stderr)
+    if env_work is not None:
+        shutil.rmtree(env_work, ignore_errors=True)
     spark.stop()
 
     # per-entry min-merge; total = sum of merged entries (the structural
@@ -1222,6 +1388,12 @@ def main() -> None:
         key=lambda i: raw[i].get("local_multiget_concurrent_8t", float("inf")),
     )
     final_serving = build_final_serving(servings, best_serving)
+    # envelope-relative serving verdict (VERDICT r13 item 1): scalars
+    # ride the line; the full bracket window audit goes to the
+    # raw-passes side file (the line budget stays bounded)
+    final_serving["envelope"] = build_envelope_block(
+        env_pre, env_post, final_serving.get("keys_per_sec")
+    )
     total = round(sum(merged.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     provenance = {
@@ -1242,6 +1414,11 @@ def main() -> None:
         "queries": merged,
         "raw_passes": raw,
         "serving_passes": servings,
+        # full bracket audit: every envelope window as [wall, ext]
+        "envelope_windows": {
+            "pre": [compact_window(w) for w in env_pre],
+            "post": [compact_window(w) for w in env_post],
+        },
         "provenance": provenance,
     })
     print(build_final_line(total, merged, final_serving,
@@ -1260,17 +1437,19 @@ def main() -> None:
 FINAL_LINE_MAX_CHARS = 1500
 
 
-def stamped_raw_passes_name(here: str) -> str:
-    """Round-stamped raw-passes filename that does not exist yet.
+def stamped_artifact_name(here: str, prefix: str) -> str:
+    """Round-stamped ``{prefix}_r{N}[_k].json`` filename that does not
+    exist yet.
 
     The round number is inferred as 1 + the highest driver-recorded
     ``BENCH_r{N}.json`` (the driver writes that file AFTER the round's
     bench run, so during round N the max on disk is N-1).  Extra runs
     inside one round (solo sessions, re-runs) get ``_2``, ``_3``, ...
-    suffixes rather than ever reusing a name: per-query driver-run
-    history must survive across rounds (r9 VERDICT items 2/5 — the
-    unstamped BENCH_raw_passes.json was overwritten in place each run,
-    destroying round-over-round per-query diffs).
+    suffixes rather than ever reusing a name: per-run artifact history
+    must survive across rounds (r9 VERDICT items 2/5 — the unstamped
+    BENCH_raw_passes.json was overwritten in place each run, destroying
+    round-over-round per-query diffs).  Shared by the raw-passes audit
+    file and the envelope probe's PROBE_r{N}.json (VERDICT r13 item 2).
     """
     import re
 
@@ -1284,12 +1463,18 @@ def stamped_raw_passes_name(here: str) -> str:
         if m:
             rounds.append(int(m.group(1)))
     rnd = max(rounds) + 1
-    name = f"BENCH_raw_passes_r{rnd:02d}.json"
+    name = f"{prefix}_r{rnd:02d}.json"
     k = 2
     while os.path.exists(os.path.join(here, name)):
-        name = f"BENCH_raw_passes_r{rnd:02d}_{k}.json"
+        name = f"{prefix}_r{rnd:02d}_{k}.json"
         k += 1
     return name
+
+
+def stamped_raw_passes_name(here: str) -> str:
+    """The raw-passes audit file's round-stamped name (see
+    :func:`stamped_artifact_name`)."""
+    return stamped_artifact_name(here, "BENCH_raw_passes")
 
 
 def write_raw_passes(here: str, payload: dict) -> str | None:

@@ -57,6 +57,17 @@ def _realistic_inputs():
             [round(1.2591 + 0.0137 * i, 4), round(9.4 - 0.7 * i, 1)]
             for i in range(12)
         ],
+        # r14: the envelope-relative verdict's scalars ride the line
+        # (full bracket windows go to the raw-passes side file)
+        "envelope": {
+            "probe_best_keys_per_sec": 10444.6,
+            "official_over_probe_best": 0.439,
+            "regime_consistent": False,
+            "tolerance": 1.25,
+            "pre_floor_sec": 1.0441,
+            "post_floor_sec": 2.9917,
+            "n_windows": 8,
+        },
     }
     provenance = {
         "merge": "per-entry min over warm passes in one JVM",
@@ -111,6 +122,9 @@ def test_final_line_is_one_json_object(bench_mod):
     # under-sampled one without opening the raw-passes side file
     assert parsed["serving"]["windows"] == serving["windows"]
     assert len(parsed["serving"]["windows"]) == 12
+    # r13 VERDICT item 1: the envelope-relative verdict rides the line
+    assert parsed["serving"]["envelope"]["regime_consistent"] is False
+    assert parsed["serving"]["envelope"]["tolerance"] == 1.25
 
 
 def test_final_line_fallback_never_exceeds_budget(bench_mod):
@@ -407,6 +421,90 @@ def test_build_final_serving_no_retry_anywhere(bench_mod):
     assert final["serving_retried"] is False
     assert len(final["windows"]) == 6
     assert final["contended"] is False  # best-pass (kept-window) scoped
+
+
+# ---- r13 VERDICT item 1: envelope-relative serving gate ----------------
+
+
+def _probe_win(wall, ext=0.0):
+    return {"wall": wall, "ext_busy_cores": ext, "contended": False,
+            "loadavg_1m": 2.0, "lats": [], "rss_delta_mib": 0.0,
+            "rss_windowed": True}
+
+
+def test_envelope_block_regime_consistent_within_tolerance(bench_mod):
+    """Official within 1.25x of the session probe's best window ⇒ the
+    draw matched the envelope the session demonstrated — low absolute
+    figures in a degraded regime stop reading as regressions."""
+    pre = [_probe_win(1.10), _probe_win(1.05)]
+    post = [_probe_win(1.30), _probe_win(1.20)]
+    probe_best = 8000 / 1.05  # 7619.0 — best window across BOTH legs
+    # official 10% below the probe best: consistent
+    env = bench_mod.build_envelope_block(pre, post, probe_best * 0.9)
+    assert env["regime_consistent"] is True
+    assert env["probe_best_keys_per_sec"] == round(probe_best, 1)
+    assert env["official_over_probe_best"] == 0.9
+    assert env["pre_floor_sec"] == 1.05
+    assert env["post_floor_sec"] == 1.2
+    assert env["n_windows"] == 4
+    # official 2x below the probe best: the session itself proved the
+    # host could serve faster — investigate as regression
+    env2 = bench_mod.build_envelope_block(pre, post, probe_best * 0.5)
+    assert env2["regime_consistent"] is False
+    # boundary: exactly at tolerance is still consistent
+    env3 = bench_mod.build_envelope_block(pre, post, probe_best / 1.25)
+    assert env3["regime_consistent"] is True
+
+
+def test_envelope_block_official_faster_than_probe_is_consistent(
+    bench_mod,
+):
+    """The official kept window folds over >=9 samples vs the bracket's
+    8 — it may legitimately beat the probe's best."""
+    env = bench_mod.build_envelope_block(
+        [_probe_win(1.2)], [_probe_win(1.3)], 8000 / 1.0
+    )
+    assert env["regime_consistent"] is True
+    assert env["official_over_probe_best"] > 1.0
+
+
+def test_envelope_block_degrades_to_none(bench_mod):
+    """No usable probe windows (probe failed, or disabled via env) ⇒
+    envelope is null on the line — an honest absent gate, never a
+    fabricated verdict."""
+    assert bench_mod.build_envelope_block([], [], 8000.0) is None
+    assert bench_mod.build_envelope_block([], [], None) is None
+    # one-sided bracket still adjudicates, with the missing leg null
+    env = bench_mod.build_envelope_block([_probe_win(1.0)], [], 7000.0)
+    assert env is not None
+    assert env["post_floor_sec"] is None
+    assert env["pre_floor_sec"] == 1.0
+
+
+def test_compact_window_shape(bench_mod):
+    assert bench_mod.compact_window(
+        {"wall": 1.23456, "ext_busy_cores": 2.345}
+    ) == [1.235, 2.3]
+    assert bench_mod.compact_window(
+        {"wall": 1.0, "ext_busy_cores": None}
+    ) == [1.0, None]
+
+
+def test_stamped_artifact_name_probe_prefix(bench_mod, tmp_path):
+    """PROBE artifacts share the round inference and uniquification
+    with the raw-passes chain (VERDICT r13 item 2)."""
+    (tmp_path / "BENCH_r13.json").write_text("{}")
+    assert bench_mod.stamped_artifact_name(str(tmp_path), "PROBE") == (
+        "PROBE_r14.json"
+    )
+    (tmp_path / "PROBE_r14.json").write_text("{}")
+    assert bench_mod.stamped_artifact_name(str(tmp_path), "PROBE") == (
+        "PROBE_r14_2.json"
+    )
+    # the raw-passes wrapper is unchanged by the generalization
+    assert bench_mod.stamped_raw_passes_name(str(tmp_path)) == (
+        "BENCH_raw_passes_r14.json"
+    )
 
 
 def test_build_final_serving_totality_guards(bench_mod):

@@ -1,0 +1,118 @@
+"""Sparkless tests for envelope_probe.py (VERDICT r13 item 2).
+
+The r13 host-regime classification rests on this instrument; its window
+fold and artifact stamping must be pinned without a SparkSession so the
+probe is verifiable from git alone.
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_HERE = os.path.dirname(__file__)
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def probe_mod():
+    # envelope_probe imports the shared instrument from bench at module
+    # load; both imports are side-effect-free (Spark only inside main())
+    mod = _load(
+        os.path.join(_HERE, "..", "envelope_probe.py"), "probe_under_test"
+    )
+    yield mod
+    sys.modules.pop("probe_under_test", None)
+    sys.modules.pop("bench", None)
+
+
+def _win(wall, ext=0.0, contended=False):
+    return {"wall": wall, "ext_busy_cores": ext, "contended": contended}
+
+
+def test_fold_floor_and_best_keys_per_sec(probe_mod):
+    """The floor (min wall) is the criterion figure: 8000 keys per
+    window / floor = the session's demonstrated serving capability."""
+    windows = [_win(2.1, 0.3), _win(1.044, 0.0), _win(1.5, 1.2)]
+    s = probe_mod.fold_probe_windows(windows)
+    assert s["floor_wall_sec"] == 1.044
+    assert s["best_keys_per_sec"] == round(8000 / 1.044, 1)  # 7662.8
+    assert s["median_wall_sec"] == 1.5
+    assert s["worst_wall_sec"] == 2.1
+    assert s["n_windows"] == 3
+    assert s["windows"] == [[2.1, 0.3], [1.044, 0.0], [1.5, 1.2]]
+
+
+def test_fold_quiet_and_contention_census(probe_mod):
+    """22/24 quiet windows alongside a large floor swing is the r13
+    sub-/proc-interference signature — the fold must count it."""
+    windows = (
+        [_win(1.1 + 0.01 * i, 0.0) for i in range(22)]
+        + [_win(2.9, 9.4, True), _win(2.4, 0.4)]
+    )
+    s = probe_mod.fold_probe_windows(windows)
+    assert s["n_windows"] == 24
+    assert s["n_quiet"] == 23  # ext <= 0.5 counts as quiet (0.4 does)
+    assert s["n_contended"] == 1
+    assert s["max_ext_busy_cores"] == 9.4
+
+
+def test_fold_handles_null_ext_instrument(probe_mod):
+    """Where /proc is unavailable the ext instrument reads None per
+    window; the fold must not crash and must report max_ext as null."""
+    windows = [_win(1.2, None), _win(1.4, None)]
+    s = probe_mod.fold_probe_windows(windows)
+    assert s["max_ext_busy_cores"] is None
+    assert s["n_quiet"] == 0  # unknown is never claimed quiet
+    assert s["windows"] == [[1.2, None], [1.4, None]]
+
+
+def test_fold_empty_raises(probe_mod):
+    """A probe that drew nothing must fail loudly, never emit a
+    fabricated envelope."""
+    with pytest.raises(ValueError, match="no windows"):
+        probe_mod.fold_probe_windows([])
+
+
+def test_write_probe_artifact_stamps_and_never_clobbers(
+    probe_mod, tmp_path
+):
+    """PROBE artifacts ride the same round-stamping as the raw-passes
+    chain: round = 1 + max BENCH_r{N}.json on disk, re-runs uniquify,
+    an existing stamped file is never overwritten."""
+    (tmp_path / "BENCH_r13.json").write_text("{}")
+    payload = {"floor_wall_sec": 1.044}
+    name = probe_mod.write_probe_artifact(str(tmp_path), payload)
+    assert name == "PROBE_r14.json"
+    on_disk = json.loads((tmp_path / name).read_text())
+    assert on_disk["floor_wall_sec"] == 1.044
+    assert on_disk["artifact"] == name  # self-describing
+
+    # second run in the same round: _2 suffix, first file untouched
+    name2 = probe_mod.write_probe_artifact(str(tmp_path), {"x": 1})
+    assert name2 == "PROBE_r14_2.json"
+    assert json.loads((tmp_path / "PROBE_r14.json").read_text())[
+        "floor_wall_sec"
+    ] == 1.044
+
+
+def test_write_probe_artifact_degrades_to_none_on_failure(
+    probe_mod, tmp_path
+):
+    """Total write failure returns None and marks the payload — the
+    stdout summary never advertises a file that was never written."""
+    target = tmp_path / "not_a_dir"
+    target.write_text("")  # a FILE: open(join(file, name)) -> OSError
+    payload = {"x": 1}
+    assert probe_mod.write_probe_artifact(str(target), payload) is None
+    assert payload["artifact"] is None

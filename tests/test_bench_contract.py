@@ -481,6 +481,18 @@ def test_envelope_block_degrades_to_none(bench_mod):
     assert env["pre_floor_sec"] == 1.0
 
 
+def test_final_line_with_null_envelope_parses_and_fits(bench_mod):
+    """A failed/disabled bracket ships envelope: null on the line — it
+    must still parse and stay inside the budget."""
+    merged, serving, provenance = _realistic_inputs()
+    serving = dict(serving, envelope=None)
+    line = bench_mod.build_final_line(
+        66.1, merged, serving, 0.1, 3, provenance
+    )
+    assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
+    assert json.loads(line)["serving"]["envelope"] is None
+
+
 def test_compact_window_shape(bench_mod):
     assert bench_mod.compact_window(
         {"wall": 1.23456, "ext_busy_cores": 2.345}

@@ -116,3 +116,65 @@ def test_write_probe_artifact_degrades_to_none_on_failure(
     payload = {"x": 1}
     assert probe_mod.write_probe_artifact(str(target), payload) is None
     assert payload["artifact"] is None
+
+
+# ---- property pins: fold + envelope verdict invariants -----------------
+
+from hypothesis import given  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_walls = st.floats(min_value=0.05, max_value=60.0,
+                   allow_nan=False, allow_infinity=False)
+_exts = st.one_of(st.none(), st.floats(min_value=0.0, max_value=32.0,
+                                       allow_nan=False))
+_windows = st.lists(
+    st.builds(lambda w, e: {"wall": w, "ext_busy_cores": e,
+                            "contended": False},
+              _walls, _exts),
+    min_size=1, max_size=30,
+)
+
+
+@given(_windows)
+def test_fold_probe_windows_invariants(probe_mod, windows):
+    """floor = min wall exactly; best_keys_per_sec consistent with it;
+    counts bounded by n_windows; inputs not mutated."""
+    import copy
+
+    snapshot = copy.deepcopy(windows)
+    s = probe_mod.fold_probe_windows(windows)
+    floor = min(w["wall"] for w in windows)
+    assert s["floor_wall_sec"] == round(floor, 3)
+    assert s["best_keys_per_sec"] == round(8000 / floor, 1)
+    assert s["floor_wall_sec"] <= s["median_wall_sec"] <= s["worst_wall_sec"]
+    assert s["n_windows"] == len(windows)
+    assert 0 <= s["n_quiet"] <= len(windows)
+    assert 0 <= s["n_contended"] <= len(windows)
+    assert len(s["windows"]) == len(windows)
+    assert windows == snapshot  # pure
+
+
+@given(_windows, _windows,
+       st.floats(min_value=10.0, max_value=100000.0, allow_nan=False))
+def test_envelope_block_verdict_matches_definition(
+    bench_mod, pre, post, official
+):
+    """regime_consistent must equal the PLANS.md §r14 definition
+    exactly: official * tolerance >= keys_per_window / min(all walls);
+    the verdict can never disagree with the recorded scalars."""
+    env = bench_mod.build_envelope_block(pre, post, official)
+    assert env is not None
+    probe_best = 8000 / min(w["wall"] for w in pre + post)
+    assert env["regime_consistent"] == (official * 1.25 >= probe_best)
+    assert env["probe_best_keys_per_sec"] == round(probe_best, 1)
+    # the ratio and the verdict agree up to rounding at the boundary
+    if env["official_over_probe_best"] < 0.79:
+        assert env["regime_consistent"] is False
+    if env["official_over_probe_best"] > 0.81:
+        assert env["regime_consistent"] is True
+
+
+@pytest.fixture(scope="module")
+def bench_mod(probe_mod):
+    # the probe module imported bench under its canonical name
+    return sys.modules["bench"]

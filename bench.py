@@ -315,8 +315,29 @@ def serving_window(domain, keys, jvm_pid: int | None = None) -> dict:
 # investigate as a regression.
 
 ENVELOPE_TOLERANCE = 1.25
-ENVELOPE_WINDOWS_PER_SIDE = max(
-    0, int(os.environ.get("SPARK_GRAFT_ENVELOPE_WINDOWS", "4"))
+
+
+def parse_envelope_windows(raw, default: int = 4) -> int:
+    """Parse $SPARK_GRAFT_ENVELOPE_WINDOWS into a window count.
+
+    Best-effort like the envelope gate itself (ADVICE r14): a malformed
+    value must degrade to the default with a stderr warning, never raise
+    at import time — ``bench`` is imported sparkless by the probe and
+    the test suite, and a shell typo in the env var must not break
+    those imports.  Negative values clamp to 0 (bracket disabled)."""
+    try:
+        return max(0, int(raw))
+    except (TypeError, ValueError):
+        print(
+            f"WARN: SPARK_GRAFT_ENVELOPE_WINDOWS={raw!r} is not an "
+            f"integer; using default {default}",
+            file=sys.stderr,
+        )
+        return default
+
+
+ENVELOPE_WINDOWS_PER_SIDE = parse_envelope_windows(
+    os.environ.get("SPARK_GRAFT_ENVELOPE_WINDOWS", "4")
 )
 
 
@@ -329,23 +350,33 @@ def build_envelope_fixture(spark, sf_dir: str = None):
     kept window (which follows earlier warm entries)."""
     sf_dir = SF_DIR if sf_dir is None else sf_dir
     work = tempfile.mkdtemp(prefix="edb_envelope_")
-    eng = Engine(spark, work)
-    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    li_kv = lineitem.select(
-        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-        .cast("binary").alias("key"),
-        F.col("l_extendedprice").cast("string").cast("binary").alias("value"),
-    )
-    build_domain(spark, li_kv, eng.domain_root("lineitem_kv"),
-                 DomainSpec(num_shards=NUM_SHARDS), version=1)
-    dom = eng.domain("lineitem_kv")
-    keys = [
-        f"{r.l_orderkey}-{r.l_linenumber}".encode()
-        for r in lineitem.select("l_orderkey", "l_linenumber")
-        .limit(1000).collect()
-    ]
-    dom.local_multi_get(keys)  # untimed warm: handles + decoded groups
-    return dom, keys, work
+    # a failed build must not leak the work dir (ADVICE r14): the
+    # caller only learns the path from a SUCCESSFUL return, so on any
+    # raise the dir is ours to remove before re-raising
+    try:
+        eng = Engine(spark, work)
+        lineitem = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        li_kv = lineitem.select(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+            .cast("binary").alias("key"),
+            F.col("l_extendedprice").cast("string").cast("binary")
+            .alias("value"),
+        )
+        build_domain(spark, li_kv, eng.domain_root("lineitem_kv"),
+                     DomainSpec(num_shards=NUM_SHARDS), version=1)
+        dom = eng.domain("lineitem_kv")
+        keys = [
+            f"{r.l_orderkey}-{r.l_linenumber}".encode()
+            for r in lineitem.select("l_orderkey", "l_linenumber")
+            .limit(1000).collect()
+        ]
+        dom.local_multi_get(keys)  # untimed warm: handles + decoded groups
+        return dom, keys, work
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
 
 
 def compact_window(w: dict) -> list:
@@ -362,6 +393,7 @@ def build_envelope_block(
     pre_windows: list, post_windows: list, official_keys_per_sec: float,
     tolerance: float = ENVELOPE_TOLERANCE,
     keys_per_window: int = SERVING_KEYS_PER_WINDOW,
+    discard_window: dict | None = None,
 ) -> dict | None:
     """Fold the bracketing probe windows into the line's envelope
     verdict (pure — sparkless tests pin it).
@@ -374,7 +406,16 @@ def build_envelope_block(
     than the same session's demonstrated envelope and must be
     investigated as a regression.  Returns None when no usable probe
     windows exist (the line then carries envelope: null — an honest
-    absent gate, never a fabricated verdict)."""
+    absent gate, never a fabricated verdict).
+
+    ``discard_window`` (VERDICT r14 item 4) is the untimed warmup
+    window drawn before the pre-bracket leg on a fresh JVM: three of
+    seven r14 solo runs — exactly the fresh-JVM-after-idle launches —
+    drew pre-floors >=3.5 s against post-floors <=1.0 s, confounding
+    launch warmup with host regime.  The discard's wall is RECORDED
+    (``discard_wall_sec``) so the warmup cost stays auditable, but it
+    is EXCLUDED from the floors and the verdict: the pre-floor now
+    measures the host envelope at launch, not JIT/page-cache warmup."""
     pre = [w for w in (pre_windows or []) if w.get("wall", 0) > 0]
     post = [w for w in (post_windows or []) if w.get("wall", 0) > 0]
     walls = [w["wall"] for w in pre + post]
@@ -393,6 +434,11 @@ def build_envelope_block(
         "pre_floor_sec": round(min(w["wall"] for w in pre), 3) if pre else None,
         "post_floor_sec": round(min(w["wall"] for w in post), 3) if post else None,
         "n_windows": len(walls),
+        "discard_wall_sec": (
+            round(discard_window["wall"], 3)
+            if discard_window and discard_window.get("wall", 0) > 0
+            else None
+        ),
     }
 
 
@@ -1338,12 +1384,22 @@ def main() -> None:
     # degrades the line's envelope to null, never kills the bench.
     env_pre: list[dict] = []
     env_post: list[dict] = []
+    env_discard: dict | None = None
     env_dom = env_keys = None
     env_work = None
     if ENVELOPE_WINDOWS_PER_SIDE > 0:
         try:
             env_dom, env_keys, env_work = build_envelope_fixture(spark)
             _env_jvm = spark_jvm_pid(spark)
+            # warmup-discard window (VERDICT r14 item 4): the first
+            # full-shape window after a fresh JVM pays JIT + thread-pool
+            # + page-cache warmup the fixture's single warm multi_get
+            # does not cover (r14: fresh-JVM pre-floors >=3.5 s vs
+            # post-floors <=1.0 s on identical bytes).  Draw one window,
+            # record it, exclude it from the bracket floors/verdict.
+            env_discard = serving_window(
+                env_dom, env_keys, jvm_pid=_env_jvm
+            )
             env_pre = [
                 serving_window(env_dom, env_keys, jvm_pid=_env_jvm)
                 for _ in range(ENVELOPE_WINDOWS_PER_SIDE)
@@ -1392,7 +1448,8 @@ def main() -> None:
     # ride the line; the full bracket window audit goes to the
     # raw-passes side file (the line budget stays bounded)
     final_serving["envelope"] = build_envelope_block(
-        env_pre, env_post, final_serving.get("keys_per_sec")
+        env_pre, env_post, final_serving.get("keys_per_sec"),
+        discard_window=env_discard,
     )
     total = round(sum(merged.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -1416,6 +1473,7 @@ def main() -> None:
         "serving_passes": servings,
         # full bracket audit: every envelope window as [wall, ext]
         "envelope_windows": {
+            "discard": compact_window(env_discard) if env_discard else None,
             "pre": [compact_window(w) for w in env_pre],
             "post": [compact_window(w) for w in env_post],
         },

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -79,7 +80,10 @@ def fold_probe_windows(
     return {
         "floor_wall_sec": round(floor, 3),
         "best_keys_per_sec": round(keys_per_window / floor, 1),
-        "median_wall_sec": round(walls[len(walls) // 2], 3),
+        # statistics.median (ADVICE r14): the old upper-middle sample
+        # overstated the typical wall for even window counts (the
+        # default 24); the true median averages the two middle samples
+        "median_wall_sec": round(statistics.median(walls), 3),
         "worst_wall_sec": round(walls[-1], 3),
         "n_windows": len(windows),
         # how many windows the external-cores instrument read as quiet —
@@ -118,6 +122,27 @@ def write_probe_artifact(here: str, payload: dict) -> str | None:
     return None
 
 
+def finalize_probe_summary(
+    windows: list, requested: int, build_sec: float,
+    load_before, load_after,
+) -> dict:
+    """Fold drawn windows into the artifact payload (pure — sparkless
+    tests pin it).  A run that drew fewer windows than requested (the
+    crash-salvage path below) is stamped ``partial: true`` so a
+    short-sample floor is never mistaken for a full 24-window study;
+    ``windows_requested`` always records the plan."""
+    summary = fold_probe_windows(windows)
+    summary["windows_requested"] = requested
+    if len(windows) < requested:
+        summary["partial"] = True
+    summary["sf"] = _sf_tag(SF_DIR)
+    summary["cpus"] = CPUS
+    summary["fixture_build_sec"] = round(build_sec, 1)
+    summary["loadavg_before"] = [round(x, 2) for x in load_before]
+    summary["loadavg_after"] = [round(x, 2) for x in load_after]
+    return summary
+
+
 def main() -> None:
     from elephantdb_spark.session import get_spark
 
@@ -128,32 +153,51 @@ def main() -> None:
 
     load_before = os.getloadavg()
     t0 = time.perf_counter()
-    dom, keys, work = build_envelope_fixture(spark)
+    # fixture failure: build_envelope_fixture cleans its own work dir;
+    # we still own the Spark session
+    try:
+        dom, keys, work = build_envelope_fixture(spark)
+    except BaseException:
+        spark.stop()
+        raise
     build_sec = time.perf_counter() - t0
     jvm_pid = spark_jvm_pid(spark)
 
-    windows = []
-    for i in range(PROBE_WINDOWS):
-        w = serving_window(dom, keys, jvm_pid=jvm_pid)
-        windows.append(w)
-        print(
-            f"window {i + 1:2d}/{PROBE_WINDOWS}: wall {w['wall']:.3f}s "
-            f"ext {w['ext_busy_cores'] if w['ext_busy_cores'] is None else round(w['ext_busy_cores'], 1)} "
-            f"contended {w['contended']}",
-            file=sys.stderr,
-        )
-    shutil.rmtree(work, ignore_errors=True)
-    spark.stop()
+    # the window loop is try/finally (ADVICE r14): an exception at
+    # window k must not leak the work dir or the Spark session, and the
+    # k-1 already-drawn windows of a long run are salvaged into a
+    # partial artifact rather than discarded
+    windows: list[dict] = []
+    err: BaseException | None = None
+    try:
+        for i in range(PROBE_WINDOWS):
+            w = serving_window(dom, keys, jvm_pid=jvm_pid)
+            windows.append(w)
+            print(
+                f"window {i + 1:2d}/{PROBE_WINDOWS}: wall {w['wall']:.3f}s "
+                f"ext {w['ext_busy_cores'] if w['ext_busy_cores'] is None else round(w['ext_busy_cores'], 1)} "
+                f"contended {w['contended']}",
+                file=sys.stderr,
+            )
+    except BaseException as e:
+        err = e
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
-    summary = fold_probe_windows(windows)
-    summary["sf"] = _sf_tag(SF_DIR)
-    summary["cpus"] = CPUS
-    summary["fixture_build_sec"] = round(build_sec, 1)
-    summary["loadavg_before"] = [round(x, 2) for x in load_before]
-    summary["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    if err is not None and not windows:
+        raise err  # nothing to salvage — fail as before
+
+    summary = finalize_probe_summary(
+        windows, PROBE_WINDOWS, build_sec, load_before, os.getloadavg()
+    )
+    if err is not None:
+        summary["error"] = f"{type(err).__name__}: {err}"
     here = os.path.dirname(os.path.abspath(__file__))
     write_probe_artifact(here, summary)
     print(json.dumps(summary, separators=(",", ":")))
+    if err is not None:
+        raise err  # partial artifact written; the run still failed
 
 
 if __name__ == "__main__":

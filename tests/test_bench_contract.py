@@ -534,3 +534,116 @@ def test_build_final_serving_totality_guards(bench_mod):
     assert bench_mod.build_final_serving(one, best_idx=0)[
         "keys_per_sec"
     ] == 8000.0
+
+
+# ---- ADVICE r14 + VERDICT r14 item 4 regression pins --------------------
+
+
+def test_parse_envelope_windows_guards_malformed_values(
+    bench_mod, capsys
+):
+    """ADVICE r14: a malformed $SPARK_GRAFT_ENVELOPE_WINDOWS must not
+    break sparkless imports of bench — degrade to the default with a
+    stderr warning, mirroring the gate's best-effort posture."""
+    p = bench_mod.parse_envelope_windows
+    assert p("4") == 4
+    assert p(" 4 ") == 4  # int() tolerates pure whitespace padding
+    assert p("0") == 0
+    assert p("-3") == 0  # negative clamps to bracket-disabled
+    # the shell-typo class: non-numeric degrades to the default, warns
+    assert p("4x") == 4
+    assert p("") == 4
+    assert p(None) == 4
+    assert p("seven", default=2) == 2
+    err = capsys.readouterr().err
+    assert "SPARK_GRAFT_ENVELOPE_WINDOWS" in err
+    assert err.count("WARN") == 4  # one per malformed parse above
+
+
+def test_envelope_block_discard_recorded_but_excluded(bench_mod):
+    """VERDICT r14 item 4: the warmup-discard window's wall is recorded
+    for audit but must never enter the floors or the verdict — a 3.5 s
+    fresh-JVM warmup draw would otherwise brand the whole pre-leg."""
+    pre = [_probe_win(1.10), _probe_win(1.05)]
+    post = [_probe_win(1.20)]
+    discard = _probe_win(3.52)  # the r14 fresh-JVM warmup signature
+    official = 8000 / 1.05  # exactly the probe best
+    env = bench_mod.build_envelope_block(
+        pre, post, official, discard_window=discard
+    )
+    assert env["discard_wall_sec"] == 3.52
+    assert env["pre_floor_sec"] == 1.05   # NOT 3.52
+    assert env["n_windows"] == 3          # discard not counted
+    assert env["probe_best_keys_per_sec"] == round(8000 / 1.05, 1)
+    assert env["regime_consistent"] is True
+    # a discard FASTER than every bracket window must not inflate the
+    # envelope either: excluded means excluded, both directions
+    env2 = bench_mod.build_envelope_block(
+        pre, post, 8000 / 2.0, discard_window=_probe_win(0.20)
+    )
+    assert env2["probe_best_keys_per_sec"] == round(8000 / 1.05, 1)
+    assert env2["discard_wall_sec"] == 0.2
+
+
+def test_envelope_block_discard_absent_or_failed_is_null(bench_mod):
+    """No discard drawn (probe disabled, legacy callers, or the draw
+    itself failed with wall 0) ⇒ discard_wall_sec: null; the rest of
+    the block is unchanged — positional callers keep working."""
+    pre, post = [_probe_win(1.0)], [_probe_win(1.1)]
+    env = bench_mod.build_envelope_block(pre, post, 8000.0)
+    assert env["discard_wall_sec"] is None
+    env2 = bench_mod.build_envelope_block(
+        pre, post, 8000.0, discard_window={"wall": 0.0}
+    )
+    assert env2["discard_wall_sec"] is None
+
+
+def test_envelope_fixture_cleans_work_dir_on_failure(
+    bench_mod, tmp_path, monkeypatch
+):
+    """ADVICE r14: a failed fixture build must remove its own work dir —
+    the caller only learns the path on success, so every failed bracket
+    used to leak an edb_envelope_* dir."""
+    import tempfile as _tf
+
+    made = []
+    real_mkdtemp = _tf.mkdtemp
+
+    def recording_mkdtemp(*a, **kw):
+        kw.setdefault("dir", str(tmp_path))
+        path = real_mkdtemp(*a, **kw)
+        made.append(path)
+        return path
+
+    monkeypatch.setattr(bench_mod.tempfile, "mkdtemp", recording_mkdtemp)
+
+    class _BoomRead:
+        def parquet(self, path):
+            raise RuntimeError("simulated scan failure")
+
+    class _BoomSpark:
+        read = _BoomRead()
+
+    with pytest.raises(RuntimeError, match="simulated scan failure"):
+        bench_mod.build_envelope_fixture(_BoomSpark(), sf_dir=str(tmp_path))
+    assert len(made) == 1
+    assert not os.path.exists(made[0])  # cleaned before re-raise
+
+
+def test_final_line_budget_holds_with_discard_field(bench_mod):
+    """The envelope block grew a field (discard_wall_sec); the line must
+    still fit the driver's 2,000-char capture budget."""
+    merged, serving, provenance = _realistic_inputs()
+    serving = dict(serving)
+    serving["envelope"] = bench_mod.build_envelope_block(
+        [_probe_win(1.234), _probe_win(2.345)],
+        [_probe_win(3.456), _probe_win(1.111)],
+        serving["keys_per_sec"],
+        discard_window=_probe_win(3.519),
+    )
+    line = bench_mod.build_final_line(
+        66.123, merged, serving, 0.1, 3, provenance
+    )
+    assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
+    parsed = json.loads(line)
+    assert parsed["serving"]["envelope"]["discard_wall_sec"] == 3.519

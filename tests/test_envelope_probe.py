@@ -178,3 +178,60 @@ def test_envelope_block_verdict_matches_definition(
 def bench_mod(probe_mod):
     # the probe module imported bench under its canonical name
     return sys.modules["bench"]
+
+
+# ---- ADVICE r14 + VERDICT r14 item 4 regression pins --------------------
+
+
+def test_fold_even_count_median_is_true_median(probe_mod):
+    """ADVICE r14: walls[len//2] was the UPPER-middle sample — for the
+    default 24-window probe that overstated the typical wall.  The true
+    median of an even count averages the two middle samples."""
+    windows = [_win(w) for w in (1.0, 1.2, 1.4, 2.0)]
+    s = probe_mod.fold_probe_windows(windows)
+    assert s["median_wall_sec"] == 1.3  # (1.2 + 1.4) / 2, NOT 1.4
+    # odd counts unchanged: the middle sample is still the median
+    s3 = probe_mod.fold_probe_windows([_win(w) for w in (1.0, 1.5, 9.0)])
+    assert s3["median_wall_sec"] == 1.5
+
+
+def test_finalize_probe_summary_full_run_not_partial(probe_mod):
+    """A run that drew every requested window carries no partial flag
+    and records the plan in windows_requested."""
+    windows = [_win(1.1), _win(1.2), _win(1.0)]
+    s = probe_mod.finalize_probe_summary(
+        windows, requested=3, build_sec=12.34,
+        load_before=(1.0, 2.0, 3.0), load_after=(4.0, 5.0, 6.0),
+    )
+    assert "partial" not in s
+    assert s["windows_requested"] == 3
+    assert s["n_windows"] == 3
+    assert s["fixture_build_sec"] == 12.3
+    assert s["loadavg_before"] == [1.0, 2.0, 3.0]
+    assert s["loadavg_after"] == [4.0, 5.0, 6.0]
+
+
+def test_finalize_probe_summary_salvaged_run_is_partial(probe_mod):
+    """ADVICE r14: a crash at window k now salvages the k-1 drawn
+    windows into a partial artifact instead of discarding them — and
+    the artifact must SAY it is partial so a short-sample floor is
+    never read as a full study."""
+    windows = [_win(1.1), _win(0.9)]
+    s = probe_mod.finalize_probe_summary(
+        windows, requested=24, build_sec=10.0,
+        load_before=(0.0, 0.0, 0.0), load_after=(0.0, 0.0, 0.0),
+    )
+    assert s["partial"] is True
+    assert s["windows_requested"] == 24
+    assert s["n_windows"] == 2
+    assert s["floor_wall_sec"] == 0.9  # the salvage keeps the fold
+
+
+def test_finalize_probe_summary_empty_still_raises(probe_mod):
+    """Zero drawn windows have nothing to salvage: the loud-failure
+    contract of fold_probe_windows carries through."""
+    with pytest.raises(ValueError, match="no windows"):
+        probe_mod.finalize_probe_summary(
+            [], requested=24, build_sec=1.0,
+            load_before=(0, 0, 0), load_after=(0, 0, 0),
+        )

@@ -9,6 +9,14 @@ host noise (r10 VERDICT item "Next round" 3).
 Usage::
 
     python diff_raw_passes.py OLD.json NEW.json [--band 1.5]
+        [--dist-old RAW1.json RAW2.json ... --dist-new RAW1.json ...]
+
+``--dist-old``/``--dist-new`` mechanize the refute-before-code
+distribution check (SCALE.md §r15): each out-of-band entry is triaged
+against every per-pass sample drawn on each side — overlapping sample
+ranges mean the fold ratio is min-statistics under different sample
+counts or host regimes, not structure; a disjoint-slower range is the
+signature worth investigating as a regression.
 
 Prints one line per common entry — old sec, new sec, new/old ratio —
 sorted worst-first, then a summary: total ratio, entries outside the
@@ -69,6 +77,62 @@ def diff(old: dict[str, float], new: dict[str, float], band: float) -> dict:
     }
 
 
+def collect_samples(paths: list[str], entry: str) -> list[float]:
+    """Every per-pass timing drawn for ``entry`` across the given
+    raw-passes artifacts.  Stamped raw-passes files contribute every
+    pass's draw (``raw_passes``); folded artifacts without per-pass
+    data (solo folds) contribute their single merged figure.  Missing
+    entries are skipped, unreadable files raise — a triage over the
+    wrong files must fail loudly, never silently thin the sample."""
+    samples: list[float] = []
+    for p in paths:
+        with open(p) as fh:
+            data = json.load(fh)
+        passes = data.get("raw_passes")
+        if isinstance(passes, list):
+            samples += [
+                float(t[entry]) for t in passes
+                if isinstance(t, dict) and entry in t
+            ]
+        elif isinstance(data.get("queries"), dict) and entry in data["queries"]:
+            samples.append(float(data["queries"][entry]))
+    return samples
+
+
+def distribution_triage(
+    old_samples: list[float], new_samples: list[float]
+) -> dict:
+    """The refute-before-code distribution check (SCALE.md §r15),
+    mechanized: an out-of-band fold ratio on a min-merged entry is
+    only evidence of regression if the new side's samples sit OUTSIDE
+    the old side's observed range.  Overlapping ranges mean the ratio
+    is min-statistics under different sample counts / host regimes
+    (r15 worked example: a 1.764× fold ratio whose old min was the
+    best of 21 draws spanning 1.48–7.32 s, against 12 new draws
+    spanning 2.62–8.67 s — overlapping, refuted).
+
+    Verdicts: ``overlapping`` (sampling, not structural),
+    ``disjoint-slower`` (every new draw slower than every old draw —
+    investigate as structural), ``disjoint-faster`` (the mirror), or
+    ``insufficient`` (a side has no samples — no verdict fabricated)."""
+    if not old_samples or not new_samples:
+        verdict = "insufficient"
+    elif min(new_samples) > max(old_samples):
+        verdict = "disjoint-slower"
+    elif max(new_samples) < min(old_samples):
+        verdict = "disjoint-faster"
+    else:
+        verdict = "overlapping"
+    def _side(s):
+        return {
+            "n": len(s),
+            "min": round(min(s), 3) if s else None,
+            "max": round(max(s), 3) if s else None,
+        }
+    return {"old": _side(old_samples), "new": _side(new_samples),
+            "verdict": verdict}
+
+
 def main(argv: list[str] | None = None) -> None:
     try:  # die quietly under `| head` instead of BrokenPipeError noise
         import signal
@@ -88,10 +152,29 @@ def main(argv: list[str] | None = None) -> None:
         "--json", action="store_true",
         help="emit the full diff object as one JSON document",
     )
+    ap.add_argument(
+        "--dist-old", nargs="+", metavar="FILE",
+        help="raw-passes artifacts supplying the OLD side's per-pass "
+        "sample distribution (e.g. BENCH_raw_passes_r14*.json); with "
+        "--dist-new, every out-of-band entry gets a distribution-"
+        "overlap triage verdict (the SCALE.md refute-before-code check)",
+    )
+    ap.add_argument(
+        "--dist-new", nargs="+", metavar="FILE",
+        help="raw-passes artifacts supplying the NEW side's samples",
+    )
     args = ap.parse_args(argv)
+    if bool(args.dist_old) != bool(args.dist_new):
+        ap.error("--dist-old and --dist-new must be given together")
     old_q, old_prov = load_queries(args.old)
     new_q, new_prov = load_queries(args.new)
     d = diff(old_q, new_q, args.band)
+    if args.dist_old:
+        for r in d["slower_than_band"] + d["faster_than_band"]:
+            r["dist"] = distribution_triage(
+                collect_samples(args.dist_old, r["entry"]),
+                collect_samples(args.dist_new, r["entry"]),
+            )
     if args.json:
         d["provenance"] = {"old": old_prov, "new": new_prov}
         json.dump(d, sys.stdout, indent=1)
@@ -120,6 +203,12 @@ def main(argv: list[str] | None = None) -> None:
             flag = "  << faster than band"
         print(f"{r['entry']:42s} {r['old']:9.3f} {r['new']:9.3f} "
               f"x{r['ratio']:<7.3f}{flag}")
+        dist = r.get("dist")
+        if dist:
+            o, n = dist["old"], dist["new"]
+            print(f"{'':42s} dist: old n={o['n']} [{o['min']}, {o['max']}]"
+                  f"  new n={n['n']} [{n['min']}, {n['max']}]"
+                  f"  -> {dist['verdict']}")
 
 
 if __name__ == "__main__":

@@ -101,3 +101,91 @@ def test_main_json_output_parses(tool, tmp_path, capsys):
     d = json.loads(capsys.readouterr().out)
     assert d["total_ratio"] == 1.0
     assert d["provenance"]["old"]["pass_count"] == 1
+
+
+# ---- r15: --dist distribution triage (the refute-before-code check) ----
+
+
+def _raw_passes_file(tmp_path, name, per_pass):
+    """A minimal stamped raw-passes artifact: per_pass is a list of
+    {entry: sec} dicts (one per pass)."""
+    merged = {
+        k: min(p[k] for p in per_pass if k in p)
+        for k in {k for p in per_pass for k in p}
+    }
+    f = tmp_path / name
+    f.write_text(json.dumps(
+        {"queries": merged, "raw_passes": per_pass, "provenance": {}}
+    ))
+    return str(f)
+
+
+def test_collect_samples_reads_every_pass_and_folded_artifacts(
+    tool, tmp_path
+):
+    a = _raw_passes_file(tmp_path, "a.json",
+                         [{"e": 1.0, "x": 9.0}, {"e": 2.0}])
+    b = _raw_passes_file(tmp_path, "b.json", [{"e": 3.0}])
+    # a folded artifact (no raw_passes) contributes its merged figure
+    folded = tmp_path / "fold.json"
+    folded.write_text(json.dumps({"queries": {"e": 0.5}}))
+    got = tool.collect_samples([a, b, str(folded)], "e")
+    assert got == [1.0, 2.0, 3.0, 0.5]
+    assert tool.collect_samples([a], "missing") == []
+
+
+def test_distribution_triage_verdicts(tool):
+    """Overlapping ranges refute a fold-ratio regression claim; only a
+    disjoint-slower distribution is structural evidence.  The r15
+    worked example: old min best-of-21 spanning 1.48-7.32, new 12
+    draws spanning 2.62-8.67 -> overlapping, refuted."""
+    t = tool.distribution_triage(
+        [1.484, 7.324, 3.1], [2.618, 8.672, 4.4]
+    )
+    assert t["verdict"] == "overlapping"
+    assert t["old"] == {"n": 3, "min": 1.484, "max": 7.324}
+    assert t["new"] == {"n": 3, "min": 2.618, "max": 8.672}
+    # every new draw slower than every old draw: structural signature
+    assert tool.distribution_triage([1.0, 1.2], [1.3, 2.0])[
+        "verdict"] == "disjoint-slower"
+    assert tool.distribution_triage([1.3, 2.0], [1.0, 1.2])[
+        "verdict"] == "disjoint-faster"
+    # boundary: a shared endpoint still overlaps (no strict-inequality
+    # false alarm on equal draws)
+    assert tool.distribution_triage([1.0, 2.0], [2.0, 3.0])[
+        "verdict"] == "overlapping"
+    # a side with no samples never fabricates a verdict
+    assert tool.distribution_triage([], [1.0])["verdict"] == "insufficient"
+    assert tool.distribution_triage([1.0], [])["verdict"] == "insufficient"
+
+
+def test_main_dist_mode_annotates_out_of_band_rows(tool, tmp_path, capsys):
+    old = _raw_passes_file(tmp_path, "old.json",
+                           [{"hot": 1.0, "calm": 1.0}, {"hot": 6.0}])
+    new = _raw_passes_file(tmp_path, "new.json",
+                           [{"hot": 2.0, "calm": 1.05}, {"hot": 5.0}])
+    tool.main([old, new, "--band", "1.5",
+               "--dist-old", old, "--dist-new", new])
+    out = capsys.readouterr().out
+    # hot: fold 1.0 -> 2.0 = x2.0, out of band; samples overlap
+    assert "<< slower than band" in out
+    assert "dist: old n=2 [1.0, 6.0]  new n=2 [2.0, 5.0]  -> overlapping" in out
+    # in-band rows carry no dist line
+    assert out.count("dist:") == 1
+
+
+def test_main_dist_requires_both_sides(tool, tmp_path, capsys):
+    old = _raw_passes_file(tmp_path, "o2.json", [{"e": 1.0}])
+    new = _raw_passes_file(tmp_path, "n2.json", [{"e": 1.0}])
+    with pytest.raises(SystemExit):
+        tool.main([old, new, "--dist-old", old])
+    assert "together" in capsys.readouterr().err
+
+
+def test_main_json_output_includes_dist(tool, tmp_path, capsys):
+    old = _raw_passes_file(tmp_path, "o3.json", [{"e": 1.0}])
+    new = _raw_passes_file(tmp_path, "n3.json", [{"e": 9.0}])
+    tool.main([old, new, "--json",
+               "--dist-old", old, "--dist-new", new])
+    d = json.loads(capsys.readouterr().out)
+    assert d["slower_than_band"][0]["dist"]["verdict"] == "disjoint-slower"

@@ -341,6 +341,18 @@ ENVELOPE_WINDOWS_PER_SIDE = parse_envelope_windows(
 )
 
 
+def draw_bracket_leg(draw_one, count: int, out: list) -> None:
+    """Append ``count`` serving windows drawn by ``draw_one()`` to
+    ``out``, one at a time, so a mid-leg failure keeps every
+    already-drawn window in ``out`` (ADVICE r15: the old list
+    comprehension discarded k-1 good windows when window k raised —
+    envelope_probe.py salvages partial artifacts; the bench bracket
+    now matches that posture).  The exception still propagates to the
+    caller's best-effort WARN path."""
+    for _ in range(count):
+        out.append(draw_one())
+
+
 def build_envelope_fixture(spark, sf_dir: str = None):
     """The official serving fixture, rebuilt standalone: lineitem_kv at
     ``sf_dir`` in a throwaway work dir plus the 1000-key probe draw the
@@ -1400,10 +1412,10 @@ def main() -> None:
             env_discard = serving_window(
                 env_dom, env_keys, jvm_pid=_env_jvm
             )
-            env_pre = [
-                serving_window(env_dom, env_keys, jvm_pid=_env_jvm)
-                for _ in range(ENVELOPE_WINDOWS_PER_SIDE)
-            ]
+            draw_bracket_leg(
+                lambda: serving_window(env_dom, env_keys, jvm_pid=_env_jvm),
+                ENVELOPE_WINDOWS_PER_SIDE, env_pre,
+            )
         except Exception as e:
             print(f"WARN: envelope pre-bracket failed: {e}", file=sys.stderr)
 
@@ -1416,10 +1428,11 @@ def main() -> None:
 
     if env_dom is not None:
         try:
-            env_post = [
-                serving_window(env_dom, env_keys, jvm_pid=spark_jvm_pid(spark))
-                for _ in range(ENVELOPE_WINDOWS_PER_SIDE)
-            ]
+            _post_jvm = spark_jvm_pid(spark)
+            draw_bracket_leg(
+                lambda: serving_window(env_dom, env_keys, jvm_pid=_post_jvm),
+                ENVELOPE_WINDOWS_PER_SIDE, env_post,
+            )
         except Exception as e:
             print(f"WARN: envelope post-bracket failed: {e}", file=sys.stderr)
     if env_work is not None:

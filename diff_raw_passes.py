@@ -16,7 +16,12 @@ distribution check (SCALE.md §r15): each out-of-band entry is triaged
 against every per-pass sample drawn on each side — overlapping sample
 ranges mean the fold ratio is min-statistics under different sample
 counts or host regimes, not structure; a disjoint-slower range is the
-signature worth investigating as a regression.
+signature worth investigating as a regression.  An overlapping range
+whose medians still moved past the band reads ``overlapping-shifted``
+(needs eyes — a lone old-side outlier can force range overlap).  The
+tool also warns when the two sides fold unequal run counts (the
+fold-symmetry rule, VERDICT r15 item 3: min-folds under unequal
+sample counts manufacture phantom out-of-band entries).
 
 Prints one line per common entry — old sec, new sec, new/old ratio —
 sorted worst-first, then a summary: total ratio, entries outside the
@@ -32,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 
 
@@ -77,30 +83,38 @@ def diff(old: dict[str, float], new: dict[str, float], band: float) -> dict:
     }
 
 
-def collect_samples(paths: list[str], entry: str) -> list[float]:
-    """Every per-pass timing drawn for ``entry`` across the given
-    raw-passes artifacts.  Stamped raw-passes files contribute every
-    pass's draw (``raw_passes``); folded artifacts without per-pass
-    data (solo folds) contribute their single merged figure.  Missing
-    entries are skipped, unreadable files raise — a triage over the
-    wrong files must fail loudly, never silently thin the sample."""
-    samples: list[float] = []
+def collect_samples(paths: list[str], entry: str) -> dict[str, list[float]]:
+    """Every timing drawn for ``entry`` across the given raw-passes
+    artifacts, split by provenance (ADVICE r15): ``raw`` holds genuine
+    per-pass draws (``raw_passes``); ``folded`` holds min-merged
+    figures from artifacts carrying no per-pass draw for the entry —
+    solo folds, or a stamped file whose passes all missed it (the old
+    elif never fell back to such a file's queries map).  Folded
+    figures are each already the best of their runs' draws, so mixing
+    them into a distribution biases the side's min downward; the
+    triage uses them only when a side has no raw draws at all.
+    Missing entries are skipped, unreadable files raise — a triage
+    over the wrong files must fail loudly, never silently thin the
+    sample."""
+    raw: list[float] = []
+    folded: list[float] = []
     for p in paths:
         with open(p) as fh:
             data = json.load(fh)
         passes = data.get("raw_passes")
-        if isinstance(passes, list):
-            samples += [
-                float(t[entry]) for t in passes
-                if isinstance(t, dict) and entry in t
-            ]
+        hits = [
+            float(t[entry]) for t in passes
+            if isinstance(t, dict) and entry in t
+        ] if isinstance(passes, list) else []
+        if hits:
+            raw += hits
         elif isinstance(data.get("queries"), dict) and entry in data["queries"]:
-            samples.append(float(data["queries"][entry]))
-    return samples
+            folded.append(float(data["queries"][entry]))
+    return {"raw": raw, "folded": folded}
 
 
 def distribution_triage(
-    old_samples: list[float], new_samples: list[float]
+    old_samples, new_samples, shift_band: float = 1.5
 ) -> dict:
     """The refute-before-code distribution check (SCALE.md §r15),
     mechanized: an out-of-band fold ratio on a min-merged entry is
@@ -111,26 +125,74 @@ def distribution_triage(
     best of 21 draws spanning 1.48–7.32 s, against 12 new draws
     spanning 2.62–8.67 s — overlapping, refuted).
 
+    Sides may be the tagged ``collect_samples`` dicts or legacy flat
+    lists (treated as all-raw).  Folded min-merged figures stand in
+    only when a side has no raw per-pass draw (ADVICE r15: each is
+    already a best-of-runs, so mixing them biases the side's min).
+
+    Secondary signal (ADVICE r15): pure range overlap can be forced by
+    a single slow outlier on the old side even when the bulk of the
+    new distribution shifted clearly slower.  When the ranges overlap
+    but the median ratio crosses ``shift_band`` in either direction,
+    the verdict is ``overlapping-shifted`` — flagged for eyes, never
+    auto-refuted and never auto-promoted to structural.
+
     Verdicts: ``overlapping`` (sampling, not structural),
-    ``disjoint-slower`` (every new draw slower than every old draw —
-    investigate as structural), ``disjoint-faster`` (the mirror), or
-    ``insufficient`` (a side has no samples — no verdict fabricated)."""
-    if not old_samples or not new_samples:
+    ``overlapping-shifted`` (ranges touch but the medians moved past
+    the band — needs eyes), ``disjoint-slower`` (every new draw slower
+    than every old draw — investigate as structural),
+    ``disjoint-faster`` (the mirror), or ``insufficient`` (a side has
+    no samples — no verdict fabricated)."""
+    def _split(s):
+        if isinstance(s, dict):
+            return list(s.get("raw", [])), list(s.get("folded", []))
+        return list(s), []
+    old_raw, old_folded = _split(old_samples)
+    new_raw, new_folded = _split(new_samples)
+    old_eff = old_raw if old_raw else old_folded
+    new_eff = new_raw if new_raw else new_folded
+    if not old_eff or not new_eff:
         verdict = "insufficient"
-    elif min(new_samples) > max(old_samples):
+    elif min(new_eff) > max(old_eff):
         verdict = "disjoint-slower"
-    elif max(new_samples) < min(old_samples):
+    elif max(new_eff) < min(old_eff):
         verdict = "disjoint-faster"
     else:
         verdict = "overlapping"
-    def _side(s):
+    median_ratio = None
+    if old_eff and new_eff:
+        old_med = statistics.median(old_eff)
+        if old_med > 0:
+            median_ratio = round(statistics.median(new_eff) / old_med, 3)
+    if verdict == "overlapping" and median_ratio is not None and (
+        median_ratio > shift_band or median_ratio < 1.0 / shift_band
+    ):
+        verdict = "overlapping-shifted"
+    def _side(eff, raw, folded):
         return {
-            "n": len(s),
-            "min": round(min(s), 3) if s else None,
-            "max": round(max(s), 3) if s else None,
+            "n": len(eff),
+            "n_raw": len(raw),
+            "n_folded": len(folded),
+            "min": round(min(eff), 3) if eff else None,
+            "max": round(max(eff), 3) if eff else None,
+            "median": round(statistics.median(eff), 3) if eff else None,
         }
-    return {"old": _side(old_samples), "new": _side(new_samples),
+    return {"old": _side(old_eff, old_raw, old_folded),
+            "new": _side(new_eff, new_raw, new_folded),
+            "median_ratio": median_ratio,
             "verdict": verdict}
+
+
+def fold_run_count(prov: dict) -> int:
+    """How many independent bench runs an artifact's figures are a
+    min-fold over: a solo-fold artifact records its constituent runs'
+    provenance blocks in ``runs``; a single stamped raw-passes file is
+    one run.  The fold-symmetry rule (VERDICT r15 item 3, proven in
+    r15: a 4-run-vs-7-run fold manufactured a phantom 1.764× entry
+    that vanished at 7-vs-7) says per-entry min-folds compare equal
+    run counts; main() warns when the sides differ."""
+    runs = prov.get("runs")
+    return len(runs) if isinstance(runs, list) else 1
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -169,11 +231,23 @@ def main(argv: list[str] | None = None) -> None:
     old_q, old_prov = load_queries(args.old)
     new_q, new_prov = load_queries(args.new)
     d = diff(old_q, new_q, args.band)
+    oc, nc = fold_run_count(old_prov), fold_run_count(new_prov)
+    d["fold_symmetry"] = {"old_runs": oc, "new_runs": nc, "equal": oc == nc}
+    if oc != nc:
+        print(
+            f"WARNING: fold-symmetry: old side folds {oc} run(s), new side "
+            f"folds {nc} — per-entry min under unequal sample counts "
+            f"manufactures phantom out-of-band ratios (SCALE.md §r15); "
+            f"compare equal-run folds, or triage every flagged entry with "
+            f"--dist-old/--dist-new",
+            file=sys.stderr,
+        )
     if args.dist_old:
         for r in d["slower_than_band"] + d["faster_than_band"]:
             r["dist"] = distribution_triage(
                 collect_samples(args.dist_old, r["entry"]),
                 collect_samples(args.dist_new, r["entry"]),
+                shift_band=args.band,
             )
     if args.json:
         d["provenance"] = {"old": old_prov, "new": new_prov}
@@ -206,8 +280,16 @@ def main(argv: list[str] | None = None) -> None:
         dist = r.get("dist")
         if dist:
             o, n = dist["old"], dist["new"]
-            print(f"{'':42s} dist: old n={o['n']} [{o['min']}, {o['max']}]"
-                  f"  new n={n['n']} [{n['min']}, {n['max']}]"
+            def _prov(side):
+                # mixed-provenance note (ADVICE r15): show when a
+                # side's figures are folded minima, not raw draws
+                return "" if side["n_folded"] == 0 else (
+                    f" ({side['n_raw']} raw, {side['n_folded']} folded)")
+            print(f"{'':42s} dist: old n={o['n']}{_prov(o)} "
+                  f"[{o['min']}, {o['max']}] med {o['median']}"
+                  f"  new n={n['n']}{_prov(n)} "
+                  f"[{n['min']}, {n['max']}] med {n['median']}"
+                  f"  med-ratio {dist['median_ratio']}"
                   f"  -> {dist['verdict']}")
 
 

@@ -647,3 +647,28 @@ def test_final_line_budget_holds_with_discard_field(bench_mod):
     assert len(line) <= bench_mod.FINAL_LINE_MAX_CHARS
     parsed = json.loads(line)
     assert parsed["serving"]["envelope"]["discard_wall_sec"] == 3.519
+
+
+def test_draw_bracket_leg_salvages_partial_windows(bench_mod):
+    """ADVICE r15 (bench.py env_pre): the old list comprehension
+    discarded k-1 already-drawn windows when window k raised, unlike
+    envelope_probe's partial-artifact salvage.  draw_bracket_leg
+    appends one window at a time so the caller's list keeps every
+    completed window when the leg dies mid-draw."""
+    drawn = []
+    calls = {"n": 0}
+
+    def flaky_draw():
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("host regime change mid-bracket")
+        return {"window": calls["n"]}
+
+    with pytest.raises(RuntimeError):
+        bench_mod.draw_bracket_leg(flaky_draw, 4, drawn)
+    assert drawn == [{"window": 1}, {"window": 2}]  # salvaged, not []
+
+    # the healthy path draws exactly `count` windows in order
+    ok = []
+    bench_mod.draw_bracket_leg(lambda: {"w": len(ok)}, 3, ok)
+    assert ok == [{"w": 0}, {"w": 1}, {"w": 2}]

@@ -126,12 +126,32 @@ def test_collect_samples_reads_every_pass_and_folded_artifacts(
     a = _raw_passes_file(tmp_path, "a.json",
                          [{"e": 1.0, "x": 9.0}, {"e": 2.0}])
     b = _raw_passes_file(tmp_path, "b.json", [{"e": 3.0}])
-    # a folded artifact (no raw_passes) contributes its merged figure
+    # a folded artifact (no raw_passes) contributes its merged figure,
+    # tagged as folded (ADVICE r15: min-merged figures are each a
+    # best-of-runs and must not masquerade as raw draws)
     folded = tmp_path / "fold.json"
     folded.write_text(json.dumps({"queries": {"e": 0.5}}))
     got = tool.collect_samples([a, b, str(folded)], "e")
-    assert got == [1.0, 2.0, 3.0, 0.5]
-    assert tool.collect_samples([a], "missing") == []
+    assert got == {"raw": [1.0, 2.0, 3.0], "folded": [0.5]}
+    assert tool.collect_samples([a], "missing") == {"raw": [], "folded": []}
+
+
+def test_collect_samples_raw_passes_file_falls_back_to_queries(
+    tool, tmp_path
+):
+    """ADVICE r15: the old elif meant a file WITH raw_passes never fell
+    back to its queries map for an entry absent from every pass — the
+    figure was silently dropped.  Now it contributes as folded."""
+    f = tmp_path / "partial.json"
+    f.write_text(json.dumps({
+        "queries": {"e": 0.7, "other": 1.0},
+        "raw_passes": [{"other": 1.0}, {"other": 1.2}],
+    }))
+    assert tool.collect_samples([str(f)], "e") == {
+        "raw": [], "folded": [0.7]}
+    # and entries present in the passes still come through as raw
+    assert tool.collect_samples([str(f)], "other") == {
+        "raw": [1.0, 1.2], "folded": []}
 
 
 def test_distribution_triage_verdicts(tool):
@@ -143,20 +163,67 @@ def test_distribution_triage_verdicts(tool):
         [1.484, 7.324, 3.1], [2.618, 8.672, 4.4]
     )
     assert t["verdict"] == "overlapping"
-    assert t["old"] == {"n": 3, "min": 1.484, "max": 7.324}
-    assert t["new"] == {"n": 3, "min": 2.618, "max": 8.672}
+    assert t["old"] == {"n": 3, "n_raw": 3, "n_folded": 0,
+                        "min": 1.484, "max": 7.324, "median": 3.1}
+    assert t["new"] == {"n": 3, "n_raw": 3, "n_folded": 0,
+                        "min": 2.618, "max": 8.672, "median": 4.4}
+    assert t["median_ratio"] == round(4.4 / 3.1, 3)
     # every new draw slower than every old draw: structural signature
     assert tool.distribution_triage([1.0, 1.2], [1.3, 2.0])[
         "verdict"] == "disjoint-slower"
     assert tool.distribution_triage([1.3, 2.0], [1.0, 1.2])[
         "verdict"] == "disjoint-faster"
     # boundary: a shared endpoint still overlaps (no strict-inequality
-    # false alarm on equal draws)
-    assert tool.distribution_triage([1.0, 2.0], [2.0, 3.0])[
+    # false alarm on equal draws; medians 1.5 vs 2.05 stay in band)
+    assert tool.distribution_triage([1.0, 2.0], [2.0, 2.1])[
         "verdict"] == "overlapping"
+    # a shared endpoint whose medians DID cross the band escalates
+    assert tool.distribution_triage([1.0, 2.0], [2.0, 3.0])[
+        "verdict"] == "overlapping-shifted"
     # a side with no samples never fabricates a verdict
     assert tool.distribution_triage([], [1.0])["verdict"] == "insufficient"
     assert tool.distribution_triage([1.0], [])["verdict"] == "insufficient"
+
+
+def test_distribution_triage_median_shift_flags_outlier_masked_drift(tool):
+    """ADVICE r15 scenario: a single slow outlier on the old side
+    forces range overlap, but the bulk of the new distribution shifted
+    clearly slower — the pure-range check would auto-refute; the
+    median secondary signal flags it for eyes instead."""
+    old = [1.0, 1.05, 1.1, 0.95, 9.0]   # outlier 9.0 stretches the range
+    new = [4.0, 4.2, 3.9, 4.1, 4.3]     # bulk ~4x slower, inside [0.95, 9.0]
+    t = tool.distribution_triage(old, new)
+    assert t["verdict"] == "overlapping-shifted"
+    assert t["median_ratio"] == round(4.1 / 1.05, 3)
+    # the mirror direction (bulk much faster) is flagged too
+    assert tool.distribution_triage(new, old)[
+        "verdict"] == "overlapping-shifted"
+    # a median shift inside the band stays a plain overlap (refuted)
+    assert tool.distribution_triage(
+        [1.0, 1.2, 9.0], [1.3, 1.4, 1.5])["verdict"] == "overlapping"
+    # and the threshold is the caller's band, not a constant
+    assert tool.distribution_triage(
+        old, new, shift_band=5.0)["verdict"] == "overlapping"
+
+
+def test_distribution_triage_folded_figures_never_dilute_raw_draws(tool):
+    """ADVICE r15: folded min-merged figures are each a best-of-runs;
+    when a side has raw draws, folded figures are excluded from its
+    distribution (they'd bias the min downward) but still reported in
+    the provenance counts.  A side with ONLY folded figures uses them
+    rather than fabricating 'insufficient'."""
+    old = {"raw": [2.0, 2.2, 2.4], "folded": [0.5]}   # 0.5 must not widen
+    new = {"raw": [3.0, 3.1], "folded": []}
+    t = tool.distribution_triage(old, new)
+    assert t["verdict"] == "disjoint-slower"          # not masked by 0.5
+    assert t["old"]["n"] == 3 and t["old"]["n_folded"] == 1
+    assert t["old"]["min"] == 2.0
+    # folded-only side still gets a verdict, with honest counts
+    t2 = tool.distribution_triage({"raw": [], "folded": [1.0, 1.1]},
+                                  {"raw": [1.05], "folded": []})
+    assert t2["verdict"] == "overlapping"
+    assert t2["old"] == {"n": 2, "n_raw": 0, "n_folded": 2,
+                         "min": 1.0, "max": 1.1, "median": 1.05}
 
 
 def test_main_dist_mode_annotates_out_of_band_rows(tool, tmp_path, capsys):
@@ -169,7 +236,9 @@ def test_main_dist_mode_annotates_out_of_band_rows(tool, tmp_path, capsys):
     out = capsys.readouterr().out
     # hot: fold 1.0 -> 2.0 = x2.0, out of band; samples overlap
     assert "<< slower than band" in out
-    assert "dist: old n=2 [1.0, 6.0]  new n=2 [2.0, 5.0]  -> overlapping" in out
+    assert ("dist: old n=2 [1.0, 6.0] med 3.5"
+            "  new n=2 [2.0, 5.0] med 3.5"
+            "  med-ratio 1.0  -> overlapping") in out
     # in-band rows carry no dist line
     assert out.count("dist:") == 1
 
@@ -189,3 +258,74 @@ def test_main_json_output_includes_dist(tool, tmp_path, capsys):
                "--dist-old", old, "--dist-new", new])
     d = json.loads(capsys.readouterr().out)
     assert d["slower_than_band"][0]["dist"]["verdict"] == "disjoint-slower"
+
+
+def test_main_dist_line_notes_folded_provenance(tool, tmp_path, capsys):
+    """A dist side fed only folded min-merged figures renders its
+    provenance split on the text line (ADVICE r15: never present a
+    best-of-runs figure as a raw draw)."""
+    old = _raw_passes_file(tmp_path, "o4.json", [{"e": 1.0}])
+    new = _raw_passes_file(tmp_path, "n4.json", [{"e": 9.0}])
+    folded = tmp_path / "f4.json"
+    folded.write_text(json.dumps({"queries": {"e": 8.5}}))
+    tool.main([old, new, "--dist-old", old, "--dist-new", str(folded)])
+    out = capsys.readouterr().out
+    assert "new n=1 (0 raw, 1 folded) [8.5, 8.5]" in out
+
+
+# ---- r16: the fold-symmetry rule (VERDICT r15 item 3) ----
+
+
+def test_fold_run_count(tool):
+    """A solo fold records its constituent runs' provenance blocks in
+    ``runs``; a single stamped raw-passes artifact is one run."""
+    assert tool.fold_run_count({"runs": [{}, {}, {}]}) == 3
+    assert tool.fold_run_count({"pass_count": 3}) == 1
+    assert tool.fold_run_count({}) == 1
+    # non-list runs (corrupt/foreign provenance) counts as one run
+    assert tool.fold_run_count({"runs": "seven"}) == 1
+
+
+def _fold_file(tmp_path, name, queries, n_runs):
+    f = tmp_path / name
+    f.write_text(json.dumps({
+        "queries": queries,
+        "provenance": {"merge": f"per-entry min over {n_runs} solo runs",
+                       "runs": [{"pass_count": 3}] * n_runs},
+    }))
+    return str(f)
+
+
+def test_main_warns_on_unequal_fold_run_counts(tool, tmp_path, capsys):
+    """VERDICT r15 item 3, proven in-round: a 4-run-vs-7-run fold
+    manufactured a phantom 1.764x out-of-band entry that vanished at
+    7-vs-7.  Comparing folds over unequal run counts now warns."""
+    old = _fold_file(tmp_path, "fold4.json", {"e": 1.0}, 4)
+    new = _fold_file(tmp_path, "fold7.json", {"e": 1.1}, 7)
+    tool.main([old, new])
+    cap = capsys.readouterr()
+    assert "fold-symmetry" in cap.err
+    assert "4 run(s)" in cap.err and "7" in cap.err
+    # the structured verdict also rides the --json document
+    tool.main([old, new, "--json"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["fold_symmetry"] == {"old_runs": 4, "new_runs": 7,
+                                  "equal": False}
+
+
+def test_main_no_fold_warning_on_symmetric_comparison(
+    tool, tmp_path, capsys
+):
+    """Equal run counts — fold-to-fold 7v7, or stamped-to-stamped 1v1
+    (a lone raw-passes artifact is one run) — stay silent."""
+    old7 = _fold_file(tmp_path, "o7.json", {"e": 1.0}, 7)
+    new7 = _fold_file(tmp_path, "n7.json", {"e": 1.1}, 7)
+    tool.main([old7, new7])
+    assert "fold-symmetry" not in capsys.readouterr().err
+    stamped_o = _raw_passes_file(tmp_path, "so.json", [{"e": 1.0}])
+    stamped_n = _raw_passes_file(tmp_path, "sn.json", [{"e": 1.2}])
+    tool.main([stamped_o, stamped_n, "--json"])
+    cap = capsys.readouterr()
+    d = json.loads(cap.out)
+    assert d["fold_symmetry"]["equal"] is True
+    assert "fold-symmetry" not in cap.err

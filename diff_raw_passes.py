@@ -159,11 +159,14 @@ def distribution_triage(
         verdict = "disjoint-faster"
     else:
         verdict = "overlapping"
+    # band comparison uses the UNROUNDED ratio (ADVICE r16: a true
+    # ratio just past the band, e.g. 1.5004, rounds to 1.500 and would
+    # silently escape the escalation); rounding is display-only below
     median_ratio = None
     if old_eff and new_eff:
         old_med = statistics.median(old_eff)
         if old_med > 0:
-            median_ratio = round(statistics.median(new_eff) / old_med, 3)
+            median_ratio = statistics.median(new_eff) / old_med
     if verdict == "overlapping" and median_ratio is not None and (
         median_ratio > shift_band or median_ratio < 1.0 / shift_band
     ):
@@ -179,7 +182,9 @@ def distribution_triage(
         }
     return {"old": _side(old_eff, old_raw, old_folded),
             "new": _side(new_eff, new_raw, new_folded),
-            "median_ratio": median_ratio,
+            "median_ratio": (
+                round(median_ratio, 3) if median_ratio is not None else None
+            ),
             "verdict": verdict}
 
 
@@ -193,6 +198,33 @@ def fold_run_count(prov: dict) -> int:
     run counts; main() warns when the sides differ."""
     runs = prov.get("runs")
     return len(runs) if isinstance(runs, list) else 1
+
+
+def fold_draw_count(prov: dict) -> int | None:
+    """Total per-entry timing draws an artifact's figures are a min
+    over (ADVICE r16): run count alone misses the stamped-vs-stamped
+    asymmetry — a 3-pass clean artifact and an 8-pass official are
+    both "1 run", yet their min-folds draw unequal samples, the exact
+    phantom-ratio mechanism the r15 rule targets.  A solo fold sums
+    its constituent runs' ``pass_count``; a stamped file reports its
+    own ``pass_count``.  Returns None when the provenance doesn't
+    record enough to know (pre-r10 artifacts, foreign files) — an
+    unknown side never triggers the asymmetry warning."""
+    runs = prov.get("runs")
+    if isinstance(runs, list):
+        counts = [
+            r.get("pass_count") for r in runs if isinstance(r, dict)
+        ]
+        if len(counts) == len(runs) and all(
+            isinstance(c, (int, float)) and not isinstance(c, bool)
+            for c in counts
+        ):
+            return int(sum(counts))
+        return None
+    pc = prov.get("pass_count")
+    if isinstance(pc, (int, float)) and not isinstance(pc, bool):
+        return int(pc)
+    return None
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -232,7 +264,16 @@ def main(argv: list[str] | None = None) -> None:
     new_q, new_prov = load_queries(args.new)
     d = diff(old_q, new_q, args.band)
     oc, nc = fold_run_count(old_prov), fold_run_count(new_prov)
-    d["fold_symmetry"] = {"old_runs": oc, "new_runs": nc, "equal": oc == nc}
+    od, nd = fold_draw_count(old_prov), fold_draw_count(new_prov)
+    # symmetric = equal run counts AND (when both sides record it)
+    # equal total draws — ADVICE r16: a 3-pass clean vs an 8-pass
+    # official are both "1 run" but min over unequal draw counts
+    draws_known = od is not None and nd is not None
+    d["fold_symmetry"] = {
+        "old_runs": oc, "new_runs": nc,
+        "old_draws": od, "new_draws": nd,
+        "equal": oc == nc and (not draws_known or od == nd),
+    }
     if oc != nc:
         print(
             f"WARNING: fold-symmetry: old side folds {oc} run(s), new side "
@@ -240,6 +281,16 @@ def main(argv: list[str] | None = None) -> None:
             f"manufactures phantom out-of-band ratios (SCALE.md §r15); "
             f"compare equal-run folds, or triage every flagged entry with "
             f"--dist-old/--dist-new",
+            file=sys.stderr,
+        )
+    elif draws_known and od != nd:
+        print(
+            f"WARNING: fold-symmetry: old side mins over {od} draw(s), new "
+            f"side over {nd} — equal run counts but unequal per-entry "
+            f"sample counts (e.g. a 3-pass clean vs an 8-pass official) "
+            f"still bias the fold (min over fewer draws is high — ADVICE "
+            f"r16); compare equal-pass artifacts, or triage every flagged "
+            f"entry with --dist-old/--dist-new",
             file=sys.stderr,
         )
     if args.dist_old:
@@ -282,9 +333,16 @@ def main(argv: list[str] | None = None) -> None:
             o, n = dist["old"], dist["new"]
             def _prov(side):
                 # mixed-provenance note (ADVICE r15): show when a
-                # side's figures are folded minima, not raw draws
-                return "" if side["n_folded"] == 0 else (
-                    f" ({side['n_raw']} raw, {side['n_folded']} folded)")
+                # side's figures are folded minima, not raw draws.
+                # With raw draws present the folded figures were
+                # EXCLUDED from the stats — say so explicitly (ADVICE
+                # r16: "(3 raw, 1 folded)" next to n=3 read as a 3+1
+                # composition that participated in the min/median)
+                if side["n_folded"] == 0:
+                    return ""
+                if side["n_raw"] > 0:
+                    return f" ({side['n_folded']} folded excluded)"
+                return f" ({side['n_raw']} raw, {side['n_folded']} folded)"
             print(f"{'':42s} dist: old n={o['n']}{_prov(o)} "
                   f"[{o['min']}, {o['max']}] med {o['median']}"
                   f"  new n={n['n']}{_prov(n)} "

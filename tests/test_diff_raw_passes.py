@@ -310,6 +310,7 @@ def test_main_warns_on_unequal_fold_run_counts(tool, tmp_path, capsys):
     tool.main([old, new, "--json"])
     d = json.loads(capsys.readouterr().out)
     assert d["fold_symmetry"] == {"old_runs": 4, "new_runs": 7,
+                                  "old_draws": 12, "new_draws": 21,
                                   "equal": False}
 
 
@@ -329,3 +330,109 @@ def test_main_no_fold_warning_on_symmetric_comparison(
     d = json.loads(cap.out)
     assert d["fold_symmetry"]["equal"] is True
     assert "fold-symmetry" not in cap.err
+
+
+# ---- r17 (ADVICE r16): draw-count symmetry, unrounded shift band,
+# ---- folded-excluded rendering ----
+
+
+def test_fold_draw_count(tool):
+    """ADVICE r16 item 1: the symmetry measure must see TOTAL draws,
+    not just run count — a solo fold sums its runs' pass_count, a
+    stamped artifact reports its own, and unknown provenance returns
+    None (never a fabricated count)."""
+    assert tool.fold_draw_count(
+        {"runs": [{"pass_count": 3}] * 7}) == 21
+    assert tool.fold_draw_count({"pass_count": 8}) == 8
+    assert tool.fold_draw_count({"pass_count": 3}) == 3
+    # unknown: no pass_count recorded, or a run block missing it
+    assert tool.fold_draw_count({}) is None
+    assert tool.fold_draw_count({"runs": [{"pass_count": 3}, {}]}) is None
+    assert tool.fold_draw_count({"runs": [{"pass_count": 3}, "x"]}) is None
+    # corrupt/foreign values never count (bools are ints in Python)
+    assert tool.fold_draw_count({"pass_count": True}) is None
+    assert tool.fold_draw_count({"pass_count": "8"}) is None
+
+
+def _stamped_with_passes(tmp_path, name, sec, pass_count):
+    f = tmp_path / name
+    f.write_text(json.dumps({
+        "queries": {"e": sec},
+        "raw_passes": [{"e": sec}] * pass_count,
+        "provenance": {"pass_count": pass_count},
+    }))
+    return str(f)
+
+
+def test_main_warns_on_stamped_unequal_pass_counts(tool, tmp_path, capsys):
+    """ADVICE r16 item 1, the exact scenario: a 3-pass clean artifact
+    vs an 8-pass official are both one run, yet their per-entry mins
+    draw unequal samples — fold_symmetry must report unequal and warn."""
+    clean = _stamped_with_passes(tmp_path, "clean3.json", 1.0, 3)
+    official = _stamped_with_passes(tmp_path, "off8.json", 1.1, 8)
+    tool.main([clean, official])
+    cap = capsys.readouterr()
+    assert "fold-symmetry" in cap.err
+    assert "3 draw(s)" in cap.err and "8" in cap.err
+    tool.main([clean, official, "--json"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["fold_symmetry"] == {"old_runs": 1, "new_runs": 1,
+                                  "old_draws": 3, "new_draws": 8,
+                                  "equal": False}
+    # equal pass counts stay silent and symmetric
+    official2 = _stamped_with_passes(tmp_path, "off8b.json", 1.2, 8)
+    tool.main([official, official2, "--json"])
+    cap = capsys.readouterr()
+    assert json.loads(cap.out)["fold_symmetry"]["equal"] is True
+    assert "fold-symmetry" not in cap.err
+    # one side's draw count unknown (bare provenance): no warning —
+    # the tool never manufactures asymmetry from missing provenance
+    bare = _raw_passes_file(tmp_path, "bare.json", [{"e": 1.0}])
+    tool.main([bare, official, "--json"])
+    cap = capsys.readouterr()
+    d = json.loads(cap.out)
+    assert d["fold_symmetry"]["old_draws"] is None
+    assert d["fold_symmetry"]["equal"] is True
+    assert "fold-symmetry" not in cap.err
+
+
+def test_distribution_triage_shift_band_compares_unrounded(tool):
+    """ADVICE r16 item 2: a true median ratio just past the band
+    (1.5004, or 0.66659 on the fast side) must escalate to
+    overlapping-shifted even though it ROUNDS to the 3-decimal band
+    edge; rounding is display-only."""
+    # slow side: med-ratio 1.5004 -> rounds to 1.5, must still escalate
+    t = tool.distribution_triage(
+        [1.0, 1.0, 2.0], [1.5004, 1.5004, 1.9], shift_band=1.5)
+    assert t["verdict"] == "overlapping-shifted"
+    assert t["median_ratio"] == 1.5    # display rounding unchanged
+    # fast side: med-ratio 0.66659 < 1/1.5 but rounds to 0.667 (> band
+    # edge 0.6667 at 3 decimals) — the rounded compare missed it
+    t2 = tool.distribution_triage(
+        [2.0, 3.0, 9.0], [1.99977, 1.99977, 2.5], shift_band=1.5)
+    assert t2["verdict"] == "overlapping-shifted"
+    assert t2["median_ratio"] == 0.667
+    # exactly-at-band stays a plain overlap (band is exclusive)
+    t3 = tool.distribution_triage(
+        [1.0, 1.0, 2.0], [1.5, 1.5, 1.9], shift_band=1.5)
+    assert t3["verdict"] == "overlapping"
+
+
+def test_main_dist_line_renders_folded_excluded(tool, tmp_path, capsys):
+    """ADVICE r16 item 3: a side with raw draws plus an excluded
+    folded figure must not render '(3 raw, 1 folded)' next to n=3 —
+    that reads as a 3+1 composition that participated in the stats.
+    Say '(1 folded excluded)'; folded-only sides keep the old form."""
+    old = _raw_passes_file(tmp_path, "o5.json", [{"e": 1.0}])
+    new = _raw_passes_file(
+        tmp_path, "n5.json", [{"e": 9.0}, {"e": 9.1}, {"e": 9.2}])
+    folded = tmp_path / "f5.json"
+    folded.write_text(json.dumps({"queries": {"e": 8.5}}))
+    tool.main([old, new, "--dist-old", old,
+               "--dist-new", new, str(folded)])
+    out = capsys.readouterr().out
+    assert "new n=3 (1 folded excluded) [9.0, 9.2]" in out
+    assert "3 raw" not in out
+    # folded-only side: unchanged rendering (test above pins it too)
+    tool.main([old, new, "--dist-old", old, "--dist-new", str(folded)])
+    assert "new n=1 (0 raw, 1 folded) [8.5, 8.5]" in capsys.readouterr().out

@@ -337,10 +337,15 @@ def tfidf_topk(
 
     Assumes ``id_col`` uniquely identifies rows (N = row count). Plan:
     one shuffle to (doc, token) term frequencies — map-side combinable —
-    one vocab-sized aggregation to document frequencies (broadcast back
-    by default: vocabulary grows ~log of corpus size, it stays tiny
-    relative to data), a 1-row broadcast for N, and the per-doc top-k
-    window partitioned on the doc id.
+    document frequencies via a count window over the SAME tf frame (tf
+    is one row per (doc, token), so count-over-token IS the df; r18: a
+    second aggregation consumer recomputed tf's whole lineage and
+    re-exploded the corpus — the exact trap retrieval.bm25_topk
+    documents avoiding — measured 2× the corpus tokenization work), a
+    1-row broadcast for N, and the per-doc top-k window partitioned on
+    the doc id. ``broadcast_vocab`` is kept for API compatibility; the
+    window form shuffles only the matched-tf frame either way, which is
+    strictly smaller than the old vocab join's inputs.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -349,13 +354,12 @@ def tfidf_topk(
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     ).select("__doc", F.lower(F.col("token")).alias("token"))
     tf = toks.groupBy("__doc", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    if broadcast_vocab:
-        dfreq = F.broadcast(dfreq)
+    tf = tf.withColumn(
+        "dfreq", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
             (F.col("tf") * F.col("__n")).cast("double") / F.col("dfreq").cast("double"),

@@ -121,11 +121,18 @@ def bm25_topk(
 
     # ONE corpus scan: doc length + matched-token stream. The broadcast
     # join prunes non-query tokens in the scan stage, before any shuffle.
+    # The token array is materialized behind a projection boundary FIRST
+    # (r18, guide §4.2/§7.2): size() and explode() live in different
+    # physical operators (Project vs Generate), which per-operator
+    # subexpression elimination cannot see across, so inlining the regex
+    # split ran the whole-document tokenization TWICE per row — measured
+    # 3.8 s → 0.6 s on the sf0.1 corpus pass alone (plans/r18).
     toks = tokens_col(F.col(text_col))
-    dtok = docs.select(
-        did.alias("doc_id"),
-        F.size(toks).cast("long").alias("dl"),
-        F.explode(toks).alias("__t"),
+    base = docs.select(did.alias("doc_id"), toks.alias("__toks"))
+    dtok = base.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("__t"),
     ).select("doc_id", "dl", F.lower("__t").alias("token"))
     matched = dtok.join(F.broadcast(qtokens), "token")
 

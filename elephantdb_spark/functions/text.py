@@ -60,11 +60,16 @@ def subword_count_col(text: Column) -> Column:
     return F.size(subword_tokens_col(text)).cast("bigint")
 
 
-def stopword_ratio_col(
-    text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> Column:
-    """Fraction of tokens that are stopwords (quality-scoring feature)."""
-    toks = tokens_col(text)
+    """:func:`stopword_ratio_col` over an already-materialized token
+    array column. Prefer this form when the consumer computes several
+    token metrics in one projection: passing ``tokens_col(text)`` inline
+    to each metric re-runs the regex tokenization once per metric (and
+    per higher-order-lambda reference — expressions are not CSE'd across
+    those boundaries); materialize the array once and feed it here
+    (r18; same rule as :func:`text_profile` and dedup._shingle_index)."""
     stops = F.filter(
         toks, lambda t: F.lower(t).isin([s.lower() for s in stopwords])
     )
@@ -74,8 +79,16 @@ def stopword_ratio_col(
     )
 
 
-def avg_token_len_col(text: Column) -> Column:
-    toks = tokens_col(text)
+def stopword_ratio_col(
+    text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    """Fraction of tokens that are stopwords (quality-scoring feature)."""
+    return stopword_ratio_from_tokens(tokens_col(text), stopwords)
+
+
+def avg_token_len_from_tokens(toks: Column) -> Column:
+    """:func:`avg_token_len_col` over a materialized token array (see
+    :func:`stopword_ratio_from_tokens` for when to prefer this form)."""
     n = F.size(toks)
     total = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
@@ -85,13 +98,21 @@ def avg_token_len_col(text: Column) -> Column:
     )
 
 
-def lang_id_col(
-    text: Column, markers: dict[str, tuple[str, ...]] | None = None
-) -> Column:
-    """Marker-word language ID: score each language by its marker-token
-    count; argmax with alphabetical tiebreak; no markers at all → 'und'."""
+def avg_token_len_col(text: Column) -> Column:
+    return avg_token_len_from_tokens(tokens_col(text))
+
+
+def lang_scores_from_tokens(
+    toks: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> dict[str, Column]:
+    """Per-language marker-token counts over a materialized token array:
+    ``{lang: count}``. Split out from :func:`lang_id_col` (r18) so a
+    consumer can materialize the counts as real columns behind a
+    projection boundary before feeding them to :func:`lang_id_pick` —
+    the argmax WHEN-chain references every language's count several
+    times, so inline count expressions (and the tokenization inside
+    them) are re-evaluated O(languages²) times per row otherwise."""
     markers = markers or DEFAULT_LANG_MARKERS
-    toks = tokens_col(text)
 
     def marker_count(words: tuple[str, ...]) -> Column:
         lowered = [w.lower() for w in words]
@@ -99,7 +120,13 @@ def lang_id_col(
         # a two-arg (element, index) lambda — close over the list instead.
         return F.size(F.filter(toks, lambda t: F.lower(t).isin(lowered)))
 
-    scores = {lang: marker_count(words) for lang, words in markers.items()}
+    return {lang: marker_count(words) for lang, words in markers.items()}
+
+
+def lang_id_pick(scores: dict[str, Column]) -> Column:
+    """Argmax over per-language scores with alphabetical tiebreak; all
+    scores zero → 'und'. Pass cheap column references for the scores
+    where possible (see :func:`lang_scores_from_tokens`)."""
     best_score = None
     for s in scores.values():
         best_score = s if best_score is None else F.greatest(best_score, s)
@@ -111,6 +138,22 @@ def lang_id_col(
         cond = (scores[lang] == best_score) & (best_score > 0)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
     return chain.otherwise(result)
+
+
+def lang_id_from_tokens(
+    toks: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """:func:`lang_id_col` over a materialized token array (see
+    :func:`stopword_ratio_from_tokens` for when to prefer this form)."""
+    return lang_id_pick(lang_scores_from_tokens(toks, markers))
+
+
+def lang_id_col(
+    text: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Marker-word language ID: score each language by its marker-token
+    count; argmax with alphabetical tiebreak; no markers at all → 'und'."""
+    return lang_id_from_tokens(tokens_col(text), markers)
 
 
 def fingerprint_rolling_col(

@@ -276,23 +276,25 @@ GOPHER_DEFAULTS = {
 }
 
 
-def gopher_rule_cols(
-    text: Column,
+def gopher_rule_cols_from_tokens(
+    toks: Column,
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
     **thresholds: float,
 ) -> dict[str, Column]:
-    """The Gopher rules as reusable Column expressions over a text column:
-    ``{"n_words", "rule_*", "kept"}``. Pure scan-stage expressions — this
-    is what lets :func:`gopher_filter` (batch) and
-    ``streaming.pipeline.clean_stream`` (continuous) share one rule
-    definition with zero drift."""
+    """:func:`gopher_rule_cols` over an already-materialized clean-token
+    array column (r18): the rule set references the token array ~8 times
+    (size, three filter lambdas, an aggregate fold), and expression
+    references across operators / inside higher-order lambdas are never
+    CSE'd — inlining ``_clean_tokens(text)`` re-ran the regex
+    tokenization once per reference. Materialize the array behind a
+    projection boundary and feed it here; :func:`gopher_rule_cols` keeps
+    the inline convenience form."""
     cfg = dict(GOPHER_DEFAULTS)
     unknown = set(thresholds) - set(cfg)
     if unknown:
         raise ValueError(f"unknown thresholds: {sorted(unknown)}")
     cfg.update(thresholds)
 
-    toks = _clean_tokens(text)
     n = F.size(toks)
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -330,6 +332,24 @@ def gopher_rule_cols(
     }
 
 
+def gopher_rule_cols(
+    text: Column,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    **thresholds: float,
+) -> dict[str, Column]:
+    """The Gopher rules as reusable Column expressions over a text column:
+    ``{"n_words", "rule_*", "kept"}``. Pure scan-stage expressions — this
+    is what lets :func:`gopher_filter` (batch) and
+    ``streaming.pipeline.clean_stream`` (continuous) share one rule
+    definition with zero drift. Consumers that can add a projection
+    boundary should materialize ``_clean_tokens(text)`` once and use
+    :func:`gopher_rule_cols_from_tokens` instead (r18 — the inline form
+    re-tokenizes per rule reference)."""
+    return gopher_rule_cols_from_tokens(
+        _clean_tokens(text), stopwords=stopwords, **thresholds
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     id_col: str,
@@ -361,7 +381,15 @@ def gopher_filter(
 
     Empty documents fail every rule.
     """
-    cols = gopher_rule_cols(F.col(text_col), stopwords=stopwords, **thresholds)
-    return df.select(
+    # tokenize once behind a projection boundary (r18): the rule set
+    # references the token array ~8 times, and inline references re-ran
+    # the regex split per reference (see gopher_rule_cols_from_tokens)
+    toked = df.select(
+        F.col(id_col), _clean_tokens(F.col(text_col)).alias("__gf_toks")
+    )
+    cols = gopher_rule_cols_from_tokens(
+        F.col("__gf_toks"), stopwords=stopwords, **thresholds
+    )
+    return toked.select(
         F.col(id_col), *[expr.alias(name) for name, expr in cols.items()]
     )

@@ -76,10 +76,21 @@ def clean_stream(
     # (an EMPTY dict still gates — bare truthiness would skip it); any
     # other value raises rather than silently disabling the quality gate
     if gopher is True or isinstance(gopher, dict):
-        from elephantdb_spark.operators.curation import gopher_rule_cols
+        from elephantdb_spark.operators.curation import (
+            _clean_tokens,
+            gopher_rule_cols_from_tokens,
+        )
 
         overrides = gopher if isinstance(gopher, dict) else {}
-        out = out.filter(gopher_rule_cols(F.col(text_col), **overrides)["kept"])
+        # tokens behind a projection boundary (r18): the kept-rule
+        # conjunction references the token array ~8 times — inline, each
+        # reference re-ran the regex tokenization
+        out = out.withColumn("__g_toks", _clean_tokens(F.col(text_col)))
+        out = out.filter(
+            gopher_rule_cols_from_tokens(F.col("__g_toks"), **overrides)[
+                "kept"
+            ]
+        ).drop("__g_toks")
     elif gopher is not False and gopher is not None:
         raise ValueError(
             f"gopher must be False/None, True, or a dict of threshold "
@@ -88,8 +99,15 @@ def clean_stream(
     if min_tokens is not None:
         out = out.filter(token_count_col(F.col(text_col)) >= min_tokens)
     if max_dup_ngram_frac is not None:
-        toks = tokens_col(F.col(text_col))
-        out = out.withColumn("__ng", _ngrams_from_tokens(toks, 2))
+        # token array behind a projection boundary first (r18): the
+        # n-gram transform's per-element lambda references the token
+        # array, and lambda references are never CSE'd — inlining the
+        # regex split here re-tokenized the document once per n-gram
+        # (the O(tokens²) trap quality.repetition_profile documents)
+        out = out.withColumn("__toks", tokens_col(F.col(text_col)))
+        out = out.withColumn(
+            "__ng", _ngrams_from_tokens(F.col("__toks"), 2)
+        ).drop("__toks")
         n = F.size(F.col("__ng"))
         dup_frac: Column = F.when(n == 0, F.lit(0.0)).otherwise(
             F.lit(1.0)

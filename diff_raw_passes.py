@@ -53,15 +53,28 @@ def load_queries(path: str) -> tuple[dict[str, float], dict]:
 def diff(old: dict[str, float], new: dict[str, float], band: float) -> dict:
     common = sorted(set(old) & set(new))
     rows = []
+    raw_ratio: dict[str, float] = {}
     for name in common:
         o, n = old[name], new[name]
         # a 0.0 old timing (sub-0.5 ms entries round to 0.000) has no
         # finite ratio; None keeps the --json output RFC-8259-valid
         # (json.dump would otherwise emit the non-standard Infinity)
-        ratio = round(n / o, 3) if o > 0 else None
+        if o > 0:
+            raw_ratio[name] = n / o
+        # the band compare below uses the UNROUNDED ratio (ADVICE r17:
+        # a true 1.5004 rounds to 1.500 and silently escaped
+        # slower_than_band, so it never reached the triage at all —
+        # the same rounding-escape distribution_triage was fixed for
+        # in r17); round(…,3) stays display/serialization-only
+        ratio = round(raw_ratio[name], 3) if o > 0 else None
         rows.append({"entry": name, "old": o, "new": n, "ratio": ratio})
-    # worst-first; incomparable (None-ratio) rows lead — they need eyes
-    rows.sort(key=lambda r: (r["ratio"] is not None, -(r["ratio"] or 0.0)))
+    # worst-first (by the unrounded ratio); incomparable (None-ratio)
+    # rows lead — they need eyes
+    rows.sort(
+        key=lambda r: (
+            r["ratio"] is not None, -raw_ratio.get(r["entry"], 0.0)
+        )
+    )
     total_old = sum(old[n] for n in common)
     total_new = sum(new[n] for n in common)
     return {
@@ -73,11 +86,13 @@ def diff(old: dict[str, float], new: dict[str, float], band: float) -> dict:
         "total_ratio": round(total_new / total_old, 3) if total_old else None,
         "incomparable": [r for r in rows if r["ratio"] is None],
         "slower_than_band": [
-            r for r in rows if r["ratio"] is not None and r["ratio"] > band
+            r for r in rows
+            if r["entry"] in raw_ratio and raw_ratio[r["entry"]] > band
         ],
         "faster_than_band": [
             r for r in rows
-            if r["ratio"] is not None and r["ratio"] < 1.0 / band
+            if r["entry"] in raw_ratio
+            and raw_ratio[r["entry"]] < 1.0 / band
         ],
         "entries": rows,
     }
@@ -197,7 +212,11 @@ def fold_run_count(prov: dict) -> int:
     that vanished at 7-vs-7) says per-entry min-folds compare equal
     run counts; main() warns when the sides differ."""
     runs = prov.get("runs")
-    return len(runs) if isinstance(runs, list) else 1
+    # an empty runs list is degenerate provenance, not a 0-run fold —
+    # fall back to "one artifact = one run" so it cannot manufacture a
+    # 0-vs-N asymmetry warning (ADVICE r17, same guard as
+    # fold_draw_count's unknown)
+    return len(runs) if isinstance(runs, list) and runs else 1
 
 
 def fold_draw_count(prov: dict) -> int | None:
@@ -212,6 +231,13 @@ def fold_draw_count(prov: dict) -> int | None:
     unknown side never triggers the asymmetry warning."""
     runs = prov.get("runs")
     if isinstance(runs, list):
+        if not runs:
+            # an EMPTY runs list is corrupt/degenerate provenance, not
+            # "0 draws" — the vacuous all() below would otherwise report
+            # a confident 0 and let degenerate provenance assert draw
+            # (a)symmetry (ADVICE r17); unknown never triggers the
+            # warning, which is the documented posture
+            return None
         counts = [
             r.get("pass_count") for r in runs if isinstance(r, dict)
         ]

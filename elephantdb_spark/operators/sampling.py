@@ -234,12 +234,18 @@ def shuffle_assignments(
     """
     if num_files <= 0:
         raise ValueError(f"num_files must be positive, got {num_files}")
+    # materialize the hash once (r18): file_id lives in a Project and the
+    # window sort key in a Window operator — separate operators, so the
+    # inline form computed the md5 twice per row (write_shuffled_export
+    # already carried __h for the same reason)
     h = _md5_u32(F.col(id_col), salt)
-    with_file = df.withColumn("file_id", F.pmod(h, F.lit(num_files)).cast("int"))
-    w = Window.partitionBy("file_id").orderBy(
-        _md5_u32(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    with_file = df.withColumn("__sa_h", h).withColumn(
+        "file_id", F.pmod(F.col("__sa_h"), F.lit(num_files)).cast("int")
     )
-    return with_file.withColumn("pos", F.row_number().over(w))
+    w = Window.partitionBy("file_id").orderBy(
+        F.col("__sa_h").asc(), F.col(id_col).asc()
+    )
+    return with_file.withColumn("pos", F.row_number().over(w)).drop("__sa_h")
 
 
 def write_shuffled_export(

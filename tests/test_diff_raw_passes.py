@@ -436,3 +436,28 @@ def test_main_dist_line_renders_folded_excluded(tool, tmp_path, capsys):
     # folded-only side: unchanged rendering (test above pins it too)
     tool.main([old, new, "--dist-old", old, "--dist-new", str(folded)])
     assert "new n=1 (0 raw, 1 folded) [8.5, 8.5]" in capsys.readouterr().out
+
+
+def test_diff_band_compares_unrounded_ratio(tool):
+    """ADVICE r17: a true ratio of 1.5004 rounds to 1.500 for display,
+    but the band compare must use the unrounded value — the rounded
+    form silently escaped slower_than_band (and therefore the triage)."""
+    old = {"a": 10000.0, "b": 10000.0}
+    new = {"a": 15004.0, "b": 14996.0}  # ratios 1.5004 / 1.4996
+    d = tool.diff(old, new, band=1.5)
+    assert [r["entry"] for r in d["slower_than_band"]] == ["a"]
+    # display stays 3-decimal rounded
+    by_name = {r["entry"]: r for r in d["entries"]}
+    assert by_name["a"]["ratio"] == 1.5
+    # mirror direction: 1/1.5004 < 1/1.5 must flag, 1/1.4996 must not
+    d2 = tool.diff(new, old, band=1.5)
+    assert [r["entry"] for r in d2["faster_than_band"]] == ["a"]
+
+
+def test_fold_counts_treat_empty_runs_as_unknown(tool):
+    """ADVICE r17: an EMPTY runs list is corrupt/degenerate provenance —
+    fold_draw_count must report unknown (None, never a confident 0) and
+    fold_run_count must fall back to one-artifact-one-run, so degenerate
+    provenance can neither assert nor deny draw symmetry."""
+    assert tool.fold_draw_count({"runs": []}) is None
+    assert tool.fold_run_count({"runs": []}) == 1

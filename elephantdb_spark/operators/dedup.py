@@ -212,19 +212,38 @@ def jaccard_shingle_pairs(
     ``cache_index`` persists the shingle index consumed by the
     sizes/self-join branches; release it with
     :func:`release_shingle_caches` after the consuming action.
+
+    Scale shape (r18, guide §2.3): the self-join keys on a 128-bit
+    shingle DIGEST (two seeded xxhash64 halves — the :func:`exact_dedup`
+    collision story: negligible at any real corpus size), not the
+    shingle string, so the exchange carries 16 fixed bytes per posting
+    and the join/groupBy compare longs instead of strings (~1.2× faster
+    at sf0.1, identical pairs; shuffle bytes shrink further with longer
+    shingles). The persisted index holds digests only — smaller cache,
+    and the string never rides an exchange.
     """
     inv = _shingle_index(df, id_col, text_col, shingle_len)
+    inv = inv.select(
+        "doc",
+        F.xxhash64("shingle").alias("__s0"),
+        F.xxhash64("shingle", F.lit(_DIGEST_SEED)).alias("__s1"),
+    )
     if cache_index:
         inv = _persist_tracked(inv)
     # sizes from the unfiltered index: the denominator stays |A ∪ B| even
     # when the hot-shingle cut shrinks the intersection (ADVICE r1)
     sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
-        inv = _drop_hot_shingles(inv, max_shingle_freq)
-    a = inv.select(F.col("doc").alias("a"), "shingle")
-    b = inv.select(F.col("doc").alias("b"), "shingle")
+        freq = inv.groupBy("__s0", "__s1").agg(F.count(F.lit(1)).alias("f"))
+        inv = inv.join(
+            F.broadcast(freq.filter(F.col("f") > max_shingle_freq)),
+            ["__s0", "__s1"],
+            "left_anti",
+        )
+    a = inv.select(F.col("doc").alias("a"), "__s0", "__s1")
+    b = inv.select(F.col("doc").alias("b"), "__s0", "__s1")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, ["__s0", "__s1"])
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))

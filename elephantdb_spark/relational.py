@@ -54,8 +54,15 @@ def q38_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     space and the ordering-customer key space."""
     cust = _table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     ordering = _table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    with_orders = cust.intersect(ordering).agg(F.count(F.lit(1)).alias("n"))
-    without = cust.exceptAll(cust.intersect(ordering)).agg(F.count(F.lit(1)).alias("n"))
+    # the INTERSECT result feeds both branches; materialize it once with
+    # a lazy localCheckpoint (r18): as plain DAG references the whole
+    # customer⋈orders intersection executed twice — 5 exchanges / 5
+    # scans at round open (plans/r18/baseline/q38_set_ops.txt) — and at
+    # scale both set inputs are corpus-sized. Same set operators, same
+    # rows, one intersection.
+    inter = cust.intersect(ordering).localCheckpoint(eager=False)
+    with_orders = inter.agg(F.count(F.lit(1)).alias("n"))
+    without = cust.exceptAll(inter).agg(F.count(F.lit(1)).alias("n"))
     return (
         with_orders.select(F.lit("with_orders").alias("grp"), "n")
         .unionByName(without.select(F.lit("without_orders").alias("grp"), "n"))

@@ -1484,6 +1484,11 @@ def main() -> None:
         "queries": merged,
         "raw_passes": raw,
         "serving_passes": servings,
+        # the FULL folded serving block incl. windows audit + envelope:
+        # the stdout line may slim serving to scalars to fit the queries
+        # map inside the driver's capture window (r19), so the complete
+        # block must survive here
+        "serving_final": final_serving,
         # full bracket audit: every envelope window as [wall, ext]
         "envelope_windows": {
             "discard": compact_window(env_discard) if env_discard else None,
@@ -1498,14 +1503,19 @@ def main() -> None:
 
 # The driver captures only the LAST 2,000 characters of stdout and parses
 # the final line as JSON (measured: BENCH_r07/r08.json both carry exactly
-# 2,000-char front-truncated tails -> parsed:null two rounds running).
-# The full 66-entry per-query map alone is ~3.7 KB, so it can NEVER ride
-# the stdout line: it lives in the round-stamped raw-passes side file
-# ("queries" key; the line's queries_file field names it) and the final
-# line carries totals + serving + provenance scalars only.
+# 2,000-char front-truncated tails -> parsed:null two rounds running, and
+# every BENCH_r*.json tail since is exactly 2,000 chars).  The r18 VERDICT
+# (item 1) requires the per-entry map ON the line — PERF_r18 computed
+# nothing per-query because the line carried only the total — so the line
+# is now built in TIERS: the queries map is the priority payload and the
+# serving/provenance blocks degrade to scalars when (and only when) the
+# full blocks would push the line past the capture window.  Whatever the
+# line drops stays in the round-stamped raw-passes side file ("queries",
+# "serving_final", "provenance" keys; the line's queries_file names it).
 # tests/test_bench_contract.py pins the budget so added entries can't
-# regress this.
-FINAL_LINE_MAX_CHARS = 1500
+# regress this.  The hard bound is 1,999 (the capture window minus the
+# line's own trailing newline); 1,990 leaves a 9-char guard.
+FINAL_LINE_MAX_CHARS = 1990
 
 
 def stamped_artifact_name(here: str, prefix: str) -> str:
@@ -1597,48 +1607,75 @@ def write_raw_passes(here: str, payload: dict) -> str | None:
     return prov["raw_passes_file"]
 
 
+def slim_serving(serving, level: int) -> dict | None:
+    """Scalar subsets of the serving block for the tiered line builder.
+
+    Level 1 keeps the headline figures plus the contention/regime
+    verdicts (drops the windows audit list and the envelope details —
+    both stay in the raw-passes side file's ``serving_final``).  Level 2
+    keeps only keys/sec + the two verdicts.  The envelope's
+    ``regime_consistent`` bit is hoisted to the top of the slim block so
+    the regime verdict survives every tier that carries serving at all.
+    """
+    if not serving:
+        return serving
+    keys = (
+        ("keys_per_sec", "per_key_p50_ms", "per_key_p99_ms",
+         "contended", "serving_retried")
+        if level <= 1 else ("keys_per_sec", "contended")
+    )
+    out = {k: serving[k] for k in keys if k in serving}
+    env = serving.get("envelope")
+    if env is not None:
+        out["regime_consistent"] = env.get("regime_consistent")
+    return out
+
+
 def build_final_line(total, merged, serving, sf, passes, provenance) -> str:
     """Compact machine-readable last stdout line (<= FINAL_LINE_MAX_CHARS).
 
-    Per-query timings intentionally absent — they live in the
-    round-stamped raw-passes file named by ``queries_file``.
+    The per-entry ``queries`` map is the priority payload (r18 VERDICT
+    item 1: the driver's PERF comparison reads per-entry seconds from
+    THIS line; the side file is not consulted).  Tiers, first that fits:
+
+    0. everything the pre-r19 line carried, plus queries at 3 decimals;
+    1. queries at 3 decimals, serving slimmed to scalars, provenance
+       reduced to the pass count (the full blocks live in the side file);
+    2. queries at 2 decimals, serving at its minimal scalar form;
+    3. queries at 2 decimals, no serving;
+    4. legacy no-queries line (honest degrade — the capture window is a
+       hard driver bound and a corrupt line loses the total too);
+    5. bare scalars.
     """
     queries_file = (provenance or {}).get(
         "raw_passes_file", "BENCH_raw_passes.json"
     )
-    line = json.dumps({
-        "metric": "total_bench_sec",
-        "value": total,
-        "unit": "sec",
-        "n_queries": len(merged),
-        "serving": serving,
-        "sf": sf,
-        "passes": passes,
-        "provenance": provenance,
-        "queries_file": queries_file,
-    }, separators=(",", ":"))
-    if len(line) > FINAL_LINE_MAX_CHARS:
-        # fallback: drop to bare scalars rather than ever exceeding the
-        # driver's capture window (unreachable unless blocks bloat)
-        line = json.dumps({
-            "metric": "total_bench_sec",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(merged),
-            "sf": sf,
-            "passes": passes,
-            "queries_file": queries_file,
-        }, separators=(",", ":"))
-    if len(line) > FINAL_LINE_MAX_CHARS:
-        # second fallback (ADVICE r9: the first fallback was not
-        # re-checked — a pathological sf/queries_file scalar could still
-        # blow the window): fixed keys + bounded floats only
-        line = json.dumps({
-            "metric": "total_bench_sec",
-            "value": round(float(total), 3),
-            "unit": "sec",
-        }, separators=(",", ":"))
-    # absolute driver-contract guarantee; unreachable (the object above
+
+    def q(nd):
+        return {k: round(float(v), nd) for k, v in (merged or {}).items()}
+
+    head = {"metric": "total_bench_sec", "value": total, "unit": "sec"}
+    tiers = [
+        dict(head, n_queries=len(merged), queries=q(3), serving=serving,
+             sf=sf, passes=passes, provenance=provenance,
+             queries_file=queries_file),
+        dict(head, n_queries=len(merged), queries=q(3),
+             serving=slim_serving(serving, 1), sf=sf, passes=passes,
+             queries_file=queries_file),
+        dict(head, queries=q(2), serving=slim_serving(serving, 2), sf=sf,
+             passes=passes, queries_file=queries_file),
+        dict(head, queries=q(2), sf=sf, passes=passes,
+             queries_file=queries_file),
+        dict(head, n_queries=len(merged), sf=sf, passes=passes,
+             queries_file=queries_file),
+        {"metric": "total_bench_sec", "value": round(float(total), 3),
+         "unit": "sec"},
+    ]
+    for tier in tiers:
+        line = json.dumps(tier, separators=(",", ":"))
+        if len(line) <= FINAL_LINE_MAX_CHARS:
+            return line
+    # absolute driver-contract guarantee; unreachable (the last tier
     # is ~60 chars), but the budget must hold UNCONDITIONALLY
     return line[:FINAL_LINE_MAX_CHARS]
 

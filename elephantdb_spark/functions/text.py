@@ -125,8 +125,11 @@ def lang_scores_from_tokens(
 
 def lang_id_pick(scores: dict[str, Column]) -> Column:
     """Argmax over per-language scores with alphabetical tiebreak; all
-    scores zero → 'und'. Pass cheap column references for the scores
-    where possible (see :func:`lang_scores_from_tokens`)."""
+    scores zero (or no languages at all) → 'und'. Pass cheap column
+    references for the scores where possible (see
+    :func:`lang_scores_from_tokens`)."""
+    if not scores:  # no markers: the documented no-winner answer, not
+        return F.lit("und")  # an AttributeError on the empty WHEN chain
     best_score = None
     for s in scores.values():
         best_score = s if best_score is None else F.greatest(best_score, s)

@@ -25,11 +25,33 @@ from pyspark.sql import functions as F
 from elephantdb_spark.functions.text import tokens_col
 
 
-#: Seed of the second digest half in :func:`exact_dedup` (two independently
+#: Seed of the second digest half in :func:`digest128` (two independently
 #: seeded xxhash64 halves ≈ a 128-bit digest: birthday collision odds stay
 #: negligible even at 10^10 documents, where a single 64-bit hash would
 #: already collide).
 _DIGEST_SEED = 1
+
+
+def digest128(*cols):
+    """The engine's canonical 128-bit composite digest: two
+    independently seeded ``xxhash64`` halves over identical inputs
+    (seeds 0 and :data:`_DIGEST_SEED`), returned as a ``(d0, d1)``
+    column pair.  Every digest-keyed path — :func:`exact_dedup`, the
+    :func:`jaccard_shingle_pairs` shingle join, the dedup-history
+    domain key, the streaming dedup gate — derives through here (r18
+    ADVICE: one shared helper keeps the collision story centralized).
+    """
+    return F.xxhash64(*cols), F.xxhash64(*cols, F.lit(_DIGEST_SEED))
+
+
+def digest128_null_safe(cols: "list[str]"):
+    """:func:`digest128` with per-column null indicators mixed in:
+    Spark's hash functions SKIP null inputs, so ``(NULL, x)`` and
+    ``(x, NULL)`` would otherwise collide."""
+    mix = []
+    for c in cols:
+        mix.extend([F.col(c), F.col(c).isNull()])
+    return digest128(*mix)
 
 #: Shingle indexes persisted by the near-dup operators, awaiting release.
 #: Spark's LRU eviction never proactively frees these, so in a long session
@@ -90,14 +112,9 @@ def exact_dedup(
     ]
     if not digest:
         return df.groupBy(*key_cols).agg(*aggs)
-    mix = []
-    for c in key_cols:
-        mix.extend([F.col(c), F.col(c).isNull()])
+    d0, d1 = digest128_null_safe(key_cols)
     return (
-        df.groupBy(
-            F.xxhash64(*mix).alias("__d0"),
-            F.xxhash64(*mix, F.lit(_DIGEST_SEED)).alias("__d1"),
-        )
+        df.groupBy(d0.alias("__d0"), d1.alias("__d1"))
         .agg(*[F.min(c).alias(c) for c in key_cols], *aggs)
         .select(*key_cols, "keep_id", "n_dups")
     )
@@ -223,11 +240,8 @@ def jaccard_shingle_pairs(
     and the string never rides an exchange.
     """
     inv = _shingle_index(df, id_col, text_col, shingle_len)
-    inv = inv.select(
-        "doc",
-        F.xxhash64("shingle").alias("__s0"),
-        F.xxhash64("shingle", F.lit(_DIGEST_SEED)).alias("__s1"),
-    )
+    s0, s1 = digest128(F.col("shingle"))
+    inv = inv.select("doc", s0.alias("__s0"), s1.alias("__s1"))
     if cache_index:
         inv = _persist_tracked(inv)
     # sizes from the unfiltered index: the denominator stays |A ∪ B| even

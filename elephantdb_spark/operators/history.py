@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from elephantdb_spark.build import build_domain, update_domain
 from elephantdb_spark.engine import Domain
-from elephantdb_spark.operators.dedup import _DIGEST_SEED
+from elephantdb_spark.operators.dedup import digest128_null_safe
 from elephantdb_spark.spec import DomainSpec
 
 #: Above this many batch rows the filter falls back from the broadcast
@@ -54,11 +54,7 @@ def digest_key_col(key_cols: list[str]):
     key columns (null indicators mixed in, as in ``exact_dedup``). Hex
     (not raw longs) keeps the key printable and byte-orderable; the
     md5-mod shard router (A4) only sees bytes either way."""
-    mix = []
-    for c in key_cols:
-        mix.extend([F.col(c), F.col(c).isNull()])
-    d0 = F.xxhash64(*mix)
-    d1 = F.xxhash64(*mix, F.lit(_DIGEST_SEED))
+    d0, d1 = digest128_null_safe(key_cols)
     return F.encode(
         F.concat(F.lpad(F.hex(d0), 16, "0"), F.lpad(F.hex(d1), 16, "0")),
         "UTF-8",

@@ -30,11 +30,9 @@ from pyspark.sql import functions as F
 
 from elephantdb_spark.functions.redact import redact_pii
 from elephantdb_spark.functions.text import token_count_col
+from elephantdb_spark.operators.dedup import digest128_null_safe
 from elephantdb_spark.operators.quality import _ngrams_from_tokens
 from elephantdb_spark.functions.text import tokens_col
-
-#: seed mirroring operators/dedup._DIGEST_SEED (second digest half).
-_DIGEST_SEED = 1
 
 
 def clean_stream(
@@ -118,12 +116,9 @@ def clean_stream(
     if redact:
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
     # digest-first dedup: state stores 16 bytes per doc in the horizon,
-    # never the text (same scale rule as batch exact_dedup)
-    out = out.withColumn(
-        "__d0", F.xxhash64(F.col(text_col), F.col(text_col).isNull())
-    ).withColumn(
-        "__d1",
-        F.xxhash64(F.col(text_col), F.col(text_col).isNull(), F.lit(_DIGEST_SEED)),
-    )
+    # never the text (same scale rule as batch exact_dedup; shared
+    # digest128 derivation keeps the collision story centralized)
+    d0, d1 = digest128_null_safe([text_col])
+    out = out.withColumn("__d0", d0).withColumn("__d1", d1)
     out = out.withWatermark(event_time_col, watermark_delay)
     return out.dropDuplicatesWithinWatermark(["__d0", "__d1"]).drop("__d0", "__d1")

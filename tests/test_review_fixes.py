@@ -409,3 +409,51 @@ def test_inverted_index_bounded_state_plan(spark):
     assert rows["common"] == (10, "0,1,2")
     assert rows["word"] == (10, "0,1,2")
     assert rows["unique7"] == (1, "7")
+
+
+# ---- r18 ADVICE items (r19) ---------------------------------------------
+
+
+def test_lang_id_pick_empty_scores_is_und(spark):
+    """r18 ADVICE item 3: lang_id_pick({}) used to leave the WHEN chain
+    None and raise AttributeError; the documented no-markers answer is
+    'und'."""
+    from elephantdb_spark.functions.text import lang_id_pick
+
+    df = spark.range(3).select(lang_id_pick({}).alias("lang"))
+    assert [r.lang for r in df.collect()] == ["und"] * 3
+
+
+def test_digest128_matches_inline_derivation(spark):
+    """r18 ADVICE item 2: every digest-keyed path derives through one
+    shared helper; pin that the helper equals the historical inline
+    two-seeded-xxhash64 derivation (sidecar/domain compat)."""
+    from elephantdb_spark.operators.dedup import (
+        _DIGEST_SEED,
+        digest128,
+        digest128_null_safe,
+    )
+
+    df = spark.createDataFrame(
+        [("abc",), (None,), ("",)], "t string"
+    )
+    d0, d1 = digest128(F.col("t"))
+    rows = df.select(
+        d0.alias("h0"),
+        d1.alias("h1"),
+        F.xxhash64("t").alias("e0"),
+        F.xxhash64("t", F.lit(_DIGEST_SEED)).alias("e1"),
+    ).collect()
+    assert all(r.h0 == r.e0 and r.h1 == r.e1 for r in rows)
+    n0, n1 = digest128_null_safe(["t"])
+    nrows = df.select(
+        n0.alias("h0"),
+        n1.alias("h1"),
+        F.xxhash64(F.col("t"), F.col("t").isNull()).alias("e0"),
+        F.xxhash64(
+            F.col("t"), F.col("t").isNull(), F.lit(_DIGEST_SEED)
+        ).alias("e1"),
+    ).collect()
+    assert all(r.h0 == r.e0 and r.h1 == r.e1 for r in nrows)
+    # null vs empty-string must stay distinguishable (the null-mix rule)
+    assert len({(r.h0, r.h1) for r in nrows}) == 3

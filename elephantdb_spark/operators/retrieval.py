@@ -17,20 +17,35 @@ Design (Spark-first, one corpus scan):
   scan stage (the broadcast semi-join prunes the token stream before it
   touches an exchange).
 * Document frequencies are computed over the *matched* tf frame (one
-  row per (doc, token) by construction) via a count window over token —
-  NOT a second aggregation consumer, which would recompute the frame's
-  lineage and re-scan the corpus. Ranking Q probe queries never builds
-  the full inverted index (contrast :func:`~elephantdb_spark.operators.
-  quality.inverted_index`, the index-build path); the corpus is read
-  twice in total (token stream + the 1-row dl stats), never more.
-* Top-k is TWO-STAGE: a first window over ``(query_id, salt-bucket)``
-  cuts each query's candidate set to ``prefilter_buckets * k`` rows
-  before the final per-query window. A single window partitioned by
-  query_id is the classic skew trap — with 4 queries over a 100 TB
-  corpus all candidates funnel into 4 partitions; the salted pre-pass
-  bounds the final window's input to a driver-trivial size while
-  computing exactly the same top-k (per-bucket top-k is a superset of
-  the global top-k members in that bucket).
+  row per (doc, token) by construction), which is materialized ONCE via
+  a lazy ``localCheckpoint``: a map-side-combinable ``groupBy(token)``
+  over the checkpointed tf yields the per-token df (tiny — only query
+  tokens survive), broadcast back onto tf. A count window over token
+  (the r18 shape) avoided the duplicate lineage too, but funneled every
+  (doc, token) row of a hot query token into ONE window partition with
+  no partial aggregation — a single corpus-sized task at 100 TB when a
+  probe term is frequent (the §2.5 skew class the r18 VERDICT flagged
+  on ``tfidf_topk``; same fix here). Ranking Q probe queries never
+  builds the full inverted index (contrast :func:`~elephantdb_spark.
+  operators.quality.inverted_index`, the index-build path); without
+  ``corpus_stats`` the tokenized corpus frame is ALSO checkpointed, so
+  the dl-stats aggregation reads the materialized token arrays instead
+  of re-scanning and re-tokenizing the corpus — the corpus is read and
+  tokenized exactly ONCE either way.
+* Top-k is a single per-query ``row_number`` window on engines whose
+  optimizer rewrites rank-limit filters to ``WindowGroupLimit``
+  (Spark >= 3.5): the Partial-mode WindowGroupLimit prunes every map
+  partition to its own top-k BEFORE the exchange, so the final window's
+  input is bounded by ``k * n_map_partitions`` per query regardless of
+  candidate count — the engine-native form of the salted pre-pass this
+  operator carried through r18, without the extra exchange + two sorts
+  the manual stage cost. When the rewrite is disabled (threshold < k or
+  set to -1) the salted TWO-STAGE form is kept: a first window over
+  ``(query_id, salt-bucket)`` cuts each query's candidate set to
+  ``prefilter_buckets * k`` rows before the final per-query window
+  (per-bucket top-k is a superset of the global top-k members in that
+  bucket), because a bare window partitioned by 4 query_ids over a
+  100 TB corpus would funnel all candidates into 4 tasks.
 * Scores are summed in FIXED POINT: each term's BM25 contribution is
   floored to ``score_scale`` units and summed as a BIGINT, so the
   per-(query, doc) total is independent of Spark's partition-level
@@ -64,8 +79,30 @@ from elephantdb_spark.functions.text import tokens_col
 DEFAULT_SCORE_SCALE = 1_000_000
 
 #: Default salt-bucket count for the two-stage top-k (stage-2 input is
-#: bounded by prefilter_buckets * k rows per query).
+#: bounded by prefilter_buckets * k rows per query). Only used when the
+#: engine's WindowGroupLimit rewrite is unavailable — see module docs.
 DEFAULT_PREFILTER_BUCKETS = 32
+
+#: Conf key for Spark's rank-limit window rewrite (>= 3.5): row_number
+#: windows filtered to <= threshold get a Partial WindowGroupLimit per
+#: map partition before the exchange; -1 disables the rewrite.
+_WGL_THRESHOLD_CONF = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+
+def _window_group_limit_active(spark, k: int) -> bool:
+    """True when the session's optimizer will rewrite a row_number-limit
+    filter of ``k`` into a pre-shuffle Partial WindowGroupLimit (which
+    makes the manual salted top-k pre-stage redundant). Conservative:
+    any lookup/parse failure means "assume unavailable". The no-default
+    ``conf.get`` is deliberate: ``get(key, fallback)`` returns the
+    fallback whenever the conf is merely unset, hiding the registered
+    engine default (1000); the no-default form resolves the effective
+    value and throws only on engines that predate the rewrite."""
+    try:
+        thr = int(spark.conf.get(_WGL_THRESHOLD_CONF))
+    except Exception:
+        return False
+    return 0 < k <= thr
 
 
 def bm25_topk(
@@ -82,6 +119,7 @@ def bm25_topk(
     score_scale: int = DEFAULT_SCORE_SCALE,
     prefilter_buckets: int = DEFAULT_PREFILTER_BUCKETS,
     corpus_stats: "tuple[int, int] | None" = None,
+    two_stage: "bool | None" = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25, whitespace-tokenized and
     lowercased (the :mod:`functions.text` tokenizer, matching
@@ -96,11 +134,20 @@ def bm25_topk(
     token rows).
 
     ``corpus_stats``: optional precomputed ``(n_docs, total_dl)`` (see
-    :func:`bm25_corpus_stats`). Without it the plan carries a second
-    column-pruned corpus pass just to tokenize for those two scalars —
-    fine for one-shot queries, 2× the corpus tokenization cost at 100 TB.
-    A serving deployment computes the stats once per corpus version and
-    passes them in; the plan then touches the corpus exactly once.
+    :func:`bm25_corpus_stats`). Without it the tokenized corpus frame is
+    materialized via a lazy ``localCheckpoint`` so the dl-stats
+    aggregation reads the token arrays instead of re-scanning and
+    re-tokenizing the corpus; the checkpoint blocks are executor-local
+    (MEMORY_AND_DISK, ~corpus-sized) and non-recoverable on executor
+    loss — the engine's established intra-query pattern (q38/q86,
+    ``tfidf_topk``). A serving deployment passes precomputed stats in,
+    which both skips the checkpoint entirely (no executor storage) and
+    leaves a single streaming corpus pass.
+
+    ``two_stage``: ``None`` (default) auto-selects the top-k shape —
+    single per-query window when the engine's WindowGroupLimit rewrite
+    bounds the window input per map partition (see module docs), else
+    the salted two-stage form. ``True``/``False`` force a shape.
     """
     if idf not in ("lucene", "rational"):
         raise ValueError(f"idf must be 'lucene' or 'rational', got {idf!r}")
@@ -126,9 +173,16 @@ def bm25_topk(
     # physical operators (Project vs Generate), which per-operator
     # subexpression elimination cannot see across, so inlining the regex
     # split ran the whole-document tokenization TWICE per row — measured
-    # 3.8 s → 0.6 s on the sf0.1 corpus pass alone (plans/r18).
+    # 3.8 s → 0.6 s on the sf0.1 corpus pass alone (plans/r18). Without
+    # precomputed corpus_stats the frame is ALSO checkpointed, so the
+    # stats consumer below reads the materialized arrays instead of
+    # re-running the scan + tokenization (r19; the checkpoint is skipped
+    # when stats are supplied — the plan then has one consumer and one
+    # streaming pass, no executor storage).
     toks = tokens_col(F.col(text_col))
     base = docs.select(did.alias("doc_id"), toks.alias("__toks"))
+    if corpus_stats is None:
+        base = base.localCheckpoint(eager=False)
     dtok = base.select(
         "doc_id",
         F.size("__toks").cast("long").alias("dl"),
@@ -137,28 +191,32 @@ def bm25_topk(
     matched = dtok.join(F.broadcast(qtokens), "token")
 
     # corpus stats ride a 1-row broadcast cross join (no collect);
-    # precomputed stats replace the stats subquery's corpus pass with a
-    # literal 1-row frame
+    # precomputed stats replace the stats subquery entirely
     if corpus_stats is not None:
         n_docs_v, total_dl_v = corpus_stats
         stats = docs.sparkSession.createDataFrame(
             [(int(n_docs_v), int(total_dl_v))], "n_docs long, total_dl long"
         )
     else:
-        stats = docs.select(F.size(toks).cast("long").alias("__dl")).agg(
+        stats = base.select(F.size("__toks").cast("long").alias("__dl")).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__dl").alias("total_dl"),
         )
 
     # tf per (doc, query-token): the only corpus-sized shuffle, and its
     # rows are (id, token, counts) — document text never leaves the scan.
-    # df rides a window over the SAME aggregated frame (tf is one row per
-    # (doc, token), so count-over-token IS the df): a second aggregation
-    # consumer would recompute tf's lineage and re-scan the corpus; the
-    # window re-shuffles only the tiny matched-tf frame.
+    # tf is one row per (doc, token), so count-per-token over it IS the
+    # df. It is materialized once (lazy localCheckpoint) and the df rides
+    # a map-side-combinable groupBy(token) broadcast back onto tf: a
+    # second aggregation consumer without the checkpoint would recompute
+    # tf's lineage and re-scan the corpus, and the r18 count-window form
+    # put every row of a hot query token into one window partition (§2.5
+    # skew; see module docs).
     tf = matched.groupBy("doc_id", "dl", "token").agg(
         F.count(F.lit(1)).alias("tf")
-    ).withColumn("dfc", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    ).localCheckpoint(eager=False)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    tf = tf.join(F.broadcast(dfreq), "token")
 
     n_d = F.col("n_docs").cast("double")
     df_d = F.col("dfc").cast("double")
@@ -181,16 +239,23 @@ def bm25_topk(
         .agg(F.sum("__fp").alias("score_fp"))
     )
 
-    # two-stage top-k: per-(query, salt) cut, then the global window over
-    # at most prefilter_buckets * k survivors per query
+    # top-k: single per-query window when the engine pre-prunes map
+    # partitions (WindowGroupLimit — see module docs); otherwise the
+    # salted two-stage cut bounds the final window's input to
+    # prefilter_buckets * k rows per query
     order = [F.col("score_fp").desc(), F.col("doc_id").asc()]
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(prefilter_buckets))
-    local = Window.partitionBy("query_id", salt).orderBy(*order)
-    pruned = (
-        scored.withColumn("__rn", F.row_number().over(local))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    if two_stage is None:
+        two_stage = not _window_group_limit_active(docs.sparkSession, k)
+    if two_stage:
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(prefilter_buckets))
+        local = Window.partitionBy("query_id", salt).orderBy(*order)
+        pruned = (
+            scored.withColumn("__rn", F.row_number().over(local))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    else:
+        pruned = scored
     final = Window.partitionBy("query_id").orderBy(*order)
     return (
         pruned.withColumn("rank", F.row_number().over(final).cast("int"))

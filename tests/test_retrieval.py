@@ -147,9 +147,14 @@ def test_validation(frames):
 
 
 def test_precomputed_corpus_stats_single_scan_and_identical(spark):
-    """corpus_stats removes the second (stats-only) corpus pass: the plan
-    must scan the corpus parquet exactly once, and results must be
-    byte-identical to the computed-stats path."""
+    """corpus_stats removes the stats-only corpus pass: results must be
+    byte-identical to the computed-stats path, and the corpus parquet
+    must never appear in more than one scan node. Since r19 the matched
+    tf frame is a lazy localCheckpoint (dfreq rides a groupBy+broadcast
+    over it instead of a skew-prone token window), so the one real scan
+    lives INSIDE the checkpoint RDD's lineage and the top-level plan
+    shows only Scan ExistingRDD — zero visible parquet Locations is the
+    pass condition, >= 2 would mean the re-scan came back."""
     import io
     from contextlib import redirect_stdout
 
@@ -177,9 +182,74 @@ def test_precomputed_corpus_stats_single_scan_and_identical(spark):
     with redirect_stdout(buf):
         fast.explain("formatted")
     plan = buf.getvalue()
-    # formatted output names nodes twice (tree + detail); the corpus
-    # parquet must appear in exactly ONE scan node's Location
-    assert (
-        sum("documents.parquet" in ln for ln in plan.splitlines()
-            if "Location" in ln) == 1
-    ), plan
+    n_corpus_scans = sum(
+        "documents.parquet" in ln for ln in plan.splitlines()
+        if "Location" in ln
+    )
+    assert n_corpus_scans <= 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_topk_invariant_to_two_stage(frames):
+    """r19: the single-window (WindowGroupLimit-backed) and salted
+    two-stage top-k forms must select identical rows."""
+    docs, qdf = frames
+    single = bm25_topk(docs, qdf, "doc_id", "text", idf="rational", two_stage=False)
+    double = bm25_topk(docs, qdf, "doc_id", "text", idf="rational", two_stage=True)
+    assert sorted(map(tuple, single.collect())) == sorted(
+        map(tuple, double.collect())
+    )
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_auto_topk_shape_follows_window_group_limit(frames):
+    """r19: two_stage=None resolves against the engine's rank-limit
+    rewrite — one Window node (plus WindowGroupLimit pre-pruning) when
+    active, the salted two-Window chain when the rewrite is disabled."""
+    import re
+
+    from elephantdb_spark.operators.retrieval import (
+        _WGL_THRESHOLD_CONF,
+        _window_group_limit_active,
+    )
+
+    docs, qdf = frames
+    spark = docs.sparkSession
+    assert _window_group_limit_active(spark, 10)  # Spark >= 3.5 default
+
+    def n_windows(df):
+        return len(re.findall(r"\(\d+\) Window\b", _plan_of(df)))
+
+    auto = bm25_topk(docs, qdf, "doc_id", "text", idf="rational")
+    plan = _plan_of(auto)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+    prev = spark.conf.get(_WGL_THRESHOLD_CONF)
+    spark.conf.set(_WGL_THRESHOLD_CONF, "-1")
+    try:
+        assert not _window_group_limit_active(spark, 10)
+        fallback = bm25_topk(docs, qdf, "doc_id", "text", idf="rational")
+        assert n_windows(fallback) == 2  # salted pre-stage + final
+    finally:
+        spark.conf.set(_WGL_THRESHOLD_CONF, prev)
+
+
+def test_dfreq_broadcast_no_token_window(frames):
+    """r19: the per-token document frequency must ride a broadcast join
+    of a groupBy(token) aggregate, never a count window partitioned by
+    token (single-task skew on a hot query token at scale)."""
+    docs, qdf = frames
+    plan = _plan_of(bm25_topk(docs, qdf, "doc_id", "text", idf="rational"))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "token" not in line, line

@@ -1550,9 +1550,12 @@ def q82_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elephantdb_spark.operators.curation import cap_per_source
 
     docs = _skewed_sources(_table(spark, sf_dir, "documents"))
-    return cap_per_source(docs, "doc_id", "source", cap=15, salt="cap").orderBy(
-        "doc_id"
-    )
+    # materialize_input pins the scan+skew-fold projection once (lazy
+    # localCheckpoint) instead of re-executing it from each of the cap
+    # machinery's four consumer subtrees (r19; see cap_per_source docs).
+    return cap_per_source(
+        docs, "doc_id", "source", cap=15, salt="cap", materialize_input=True
+    ).orderBy("doc_id")
 
 
 VOCAB_MIN_COUNT = 2

@@ -100,6 +100,7 @@ def cap_per_source(
     cap: int,
     salt: str = "",
     margin: float = 1.3,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per source, chosen deterministically: the
     ``cap`` smallest rows under (md5(id, salt), id) order. Same columns
@@ -126,15 +127,33 @@ def cap_per_source(
     Rows with a NULL source pass through uncapped (the over-cap flag join
     is an equality join, and NULL = NULL is never true) — cap the NULLs
     too by coalescing the source column to a sentinel first.
+
+    ``materialize_input``: the exactness machinery consumes ``df`` from
+    four separate subtrees (counts, under/over split, survivors,
+    fallback re-rank), and Spark re-executes the input's whole lineage
+    per consumer — a non-trivial upstream (joins, regex normalization)
+    runs 4×. ``True`` pins the input ONCE via a lazy ``localCheckpoint``
+    so every branch reads the materialized blocks (executor-local
+    MEMORY_AND_DISK, ~input-sized, non-recoverable on executor loss —
+    see PLANS.md §localCheckpoint). Leave ``False`` (default) when the
+    input is a bare scan or already checkpointed (q86 passes an
+    already-pinned frame: a second copy would double the block storage
+    for zero saved work).
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
     if margin <= 1.0:
         raise ValueError(f"margin must exceed 1, got {margin}")
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     cols = list(df.columns)
     h = _md5_u32(F.col(id_col), salt)
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    over = counts.filter(F.col("__n") > cap)  # one row per over-cap source
+    # One row per over-cap source — broadcast-sized by construction, and
+    # referenced from two subtrees (the threshold flag join and the
+    # fallback re-count); the lazy localCheckpoint runs the full-input
+    # counts aggregation ONCE instead of once per consumer (r19).
+    over = counts.filter(F.col("__n") > cap).localCheckpoint(eager=False)
 
     flagged = df.join(
         F.broadcast(over.withColumnRenamed(source_col, "__src").withColumn(
@@ -153,6 +172,9 @@ def cap_per_source(
     survivors = over_rows.filter(h.cast("double") < F.col("__thresh")).select(*cols)
     surv_counts = survivors.groupBy(source_col).agg(F.count(F.lit(1)).alias("__sn"))
     # Sources where the threshold kept < cap rows rank over all their rows.
+    # Broadcast-sized (subset of ``over``) and consumed by two joins; the
+    # pin keeps its surv_counts lineage (a survivors-wide aggregation)
+    # from re-executing per consumer (r19).
     fallback_srcs = (
         over.join(
             surv_counts.withColumnRenamed(source_col, "__src2"),
@@ -161,6 +183,7 @@ def cap_per_source(
         )
         .filter(F.coalesce(F.col("__sn"), F.lit(0)) < cap)
         .select(F.col(source_col).alias("__fsrc"))
+        .localCheckpoint(eager=False)
     )
 
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())

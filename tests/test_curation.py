@@ -147,6 +147,42 @@ class TestCapPerSource:
         with pytest.raises(ValueError):
             cap_per_source(df, "doc_id", "source", cap=1, margin=1.0)
 
+    def test_materialize_input_identical_and_single_scan(self, spark, tmp_path):
+        """r19: materialize_input=True pins the input (lazy localCheckpoint)
+        so the four consumer subtrees read blocks instead of re-executing
+        the input lineage — selected rows must be identical, and a parquet
+        input must stop appearing as one scan node per consumer (>= 4
+        without the pin, <= 1 with it; the one real scan lives inside the
+        checkpoint RDD)."""
+        import io
+        from contextlib import redirect_stdout
+
+        rows = (
+            [(i, "hot") for i in range(200)]
+            + [(1000 + i, "small") for i in range(3)]
+        )
+        pq = str(tmp_path / "cap_input.parquet")
+        spark.createDataFrame(rows, "doc_id long, source string").write.parquet(pq)
+        df = spark.read.parquet(pq)
+        plain = cap_per_source(df, "doc_id", "source", cap=5, salt="m")
+        pinned = cap_per_source(
+            df, "doc_id", "source", cap=5, salt="m", materialize_input=True
+        )
+        assert self._rows(pinned) == self._rows(plain)
+
+        def n_input_scans(d):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                d.explain("formatted")
+            return sum(
+                "cap_input.parquet" in ln
+                for ln in buf.getvalue().splitlines()
+                if "Location" in ln
+            )
+
+        assert n_input_scans(plain) >= 4
+        assert n_input_scans(pinned) <= 1
+
 
 DOCS = [
     (1, "b b a a c"),

@@ -547,6 +547,13 @@ def repeated_span_profile(
         F.greatest(F.length(text) - F.lit(gram_chars), F.lit(0)),
         F.lit(stride),
     )
+    # Digests-only by construction (~24 B/span: doc + two hash halves),
+    # and consumed by TWO subtrees (hot-gram count, per-doc tally) — the
+    # lazy localCheckpoint runs the corpus explode + per-span double
+    # xxhash64 ONCE instead of once per consumer. Measured 1.18x on the
+    # interleaved sf0.1 A/B (r19); the stored frame is ~gram_chars/stride
+    # x corpus bytes of executor MEMORY_AND_DISK blocks (see PLANS.md
+    # §localCheckpoint for the recoverability trade).
     spans = (
         df.select(F.col(id_col).alias("__doc"), text.alias("__t"), F.explode(offsets).alias("off"))
         .select(
@@ -557,6 +564,7 @@ def repeated_span_profile(
                 F.lit(_DIGEST_SEED),
             ).alias("__d1"),
         )
+        .localCheckpoint(eager=False)
     )
     hot = (
         spans.distinct()

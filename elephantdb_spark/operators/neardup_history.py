@@ -421,7 +421,10 @@ def filter_against_neardup_history(
     ``cache_sigs`` persists the batch signature frame consumed by both
     the band probe and the scoring join (tracked like the shingle
     indexes — ``dedup.release_shingle_caches()`` frees it); pass False
-    in long-lived many-query sessions with no release hook.
+    in long-lived many-query sessions with no release hook (the minhash
+    lineage then runs once per consumer — measured cheaper than a
+    per-query pin, which would defeat bulk_join's auto task sizing; see
+    the inline note).
 
     ``version`` pins BOTH sub-domains (their versions move in lockstep);
     when None, ONE shared snapshot is resolved from the bands domain —
@@ -440,6 +443,13 @@ def filter_against_neardup_history(
     )
     if cache_sigs:
         sigs = _persist_tracked(sigs)
+    # cache_sigs=False deliberately does NOT substitute a lazy
+    # localCheckpoint for the tracked persist (r19, measured): pinning
+    # sigs puts the band probe on an ExistingRDD lineage, which defeats
+    # the footer-sampled probe-row estimate behind bulk_join's
+    # auto-tasks_per_shard (non-file plans -> m=1), and the de-par-
+    # allelized joins cost more than the duplicate minhash lineage saves
+    # — interleaved sf0.1 A/B read 0.88x (OPTIMIZATION_r19.md item 6).
     banded = sigs.select(
         "doc", F.explode(F.array(*_band_key_cols(num_perm, bands))).alias("key")
     )

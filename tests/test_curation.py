@@ -361,6 +361,36 @@ class TestRepeatedSpans:
         with _pt.raises(ValueError):
             repeated_span_profile(df, "doc_id", "text", max_gram_docs=0)
 
+    def test_spans_materialized_once(self, spark, tmp_path):
+        """r19: the digests-only spans frame is pinned (lazy
+        localCheckpoint), so a parquet input must not be re-scanned per
+        consumer — at most one visible scan, with the checkpoint RDD in
+        the plan."""
+        import io
+        from contextlib import redirect_stdout
+
+        from elephantdb_spark.operators.dedup import repeated_span_profile
+
+        pq = str(tmp_path / "span_input.parquet")
+        spark.createDataFrame(
+            [(1, "abcdefghij" * 4), (2, "abcdefghij" * 4)],
+            "doc_id long, text string",
+        ).write.parquet(pq)
+        out = repeated_span_profile(
+            spark.read.parquet(pq), "doc_id", "text",
+            gram_chars=8, stride=4, max_gram_docs=1,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        n_scans = sum(
+            "span_input.parquet" in ln
+            for ln in plan.splitlines() if "Location" in ln
+        )
+        assert n_scans <= 1, plan
+        assert "Scan ExistingRDD" in plan, plan
+
 
 def test_cap_per_source_randomized_equivalence(spark):
     """Seeded random corpora (skewed source distribution, random caps and
